@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every QueryModule's queries + oracle SQL. Each key is
+  * one operator row from SURVEY.md §2; modules own the implementations.
+  */
 object SparkEntry {
+  private val modules: Seq[QueryModule] = Seq(
+    operators.Relational,
+    operators.Aggregates,
+    operators.SetOps,
+    operators.Joins,
+    operators.Windows,
+    functions.Scalars,
+    functions.Text,
+    functions.Vectors,
+    functions.Dedup,
+    ml.Clustering,
+    ml.FlightPipeline,
+    streaming.EventWindows,
+    multimodal.Multimodal,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_filter_topk_count")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (ML/LSH/sketches/streaming
+    * shapes with no deterministic ANSI twin) get the driver's weaker
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,143 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text analysis for LLM-data pipelines over `documents`:
+  * tokenization + token counting, language-ID heuristic, quality
+  * scoring (length / punctuation / stopword ratios), and document
+  * fingerprinting (normalized md5). Everything is built from codegen'd
+  * built-ins and higher-order array functions — per-row compute with
+  * no shuffle, so it scales linearly with input splits at 100 TB.
+  */
+object Text extends QueryModule {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: word tokens + extra splits
+    * on punctuation/digit boundaries via regex.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[\\s.,;:!?]+|(?=\\d)"), t => length(t) > 0))
+
+  /** Stopword hits among tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Normalized fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key that survives trivial reformatting.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Language-ID heuristic: non-ASCII script detection first, then an
+    * English stopword signal, else unknown. (A real n-gram model slots
+    * in here; the heuristic keeps the operator SQL-expressible so the
+    * DuckDB oracle can check the plumbing.)
+    */
+  def langGuess(text: Column): Column =
+    when(text.rlike("[^\\x00-\\x7F]"), lit("other"))
+      .when(text.rlike("(^| )(the|a|of|and|is)( |$)"), lit("en"))
+      .otherwise(lit("unknown"))
+
+  /** Quality score in [0,1]: rewards length up to 100 tokens and a
+    * healthy stopword ratio, penalizes punctuation density.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    round(lenScore * (lit(1.0) - punctRatio) * least(stopRatio * 5.0, lit(1.0)), 4)
+  }
+
+  def analyzed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      stopwordCount(col("text")).as("n_stop"),
+      punctCount(col("text")).as("n_punct"),
+      langGuess(col("text")).as("lang_guess"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fp"))
+  }
+
+  override def queries: Map[String, Query] = Map(
+    "q_text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        stopwordCount($"text").as("n_stop"),
+        length($"text").cast("int").as("len"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", langGuess($"text").as("lang_guess"), $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  override def oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(length(list_filter(string_split(text, ' '), t -> t IN $stopList)) AS INT) AS n_stop,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
+        |       WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
+        |       ELSE 'unknown' END AS lang_guess,
+        |  lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, ROUND(
+         |    LEAST(CAST(length(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |    * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+         |    * LEAST(CAST(length(list_filter(string_split(text, ' '), t -> t IN $stopList)) AS DOUBLE)
+         |        / GREATEST(CAST(length(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0),
+         |  4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

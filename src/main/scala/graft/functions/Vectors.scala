@@ -1,0 +1,136 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Embedding similarity for LLM-data pipelines over
+  * `embeddings` (64-dim float vectors).
+  *
+  * Dot product / norm / cosine are built from higher-order array
+  * functions (`zip_with` + `aggregate`) — codegen'd, sequential
+  * left-fold accumulation in doubles, so the result is bit-identical
+  * to any engine that folds the list in element order.
+  *
+  * Search paths:
+  *   - brute-force cosine top-k: broadcast the query vector, score
+  *     every row, `TakeOrderedAndProject` keeps per-partition top-k —
+  *     one pass, no shuffle of the big side; the correct baseline and
+  *     the oracle-checkable one.
+  *   - LSH-bucketed (random-hyperplane sign bits): each vector hashes
+  *     to a bucket; candidates come only from the query's bucket. At
+  *     100 TB the bucket column becomes the partition key so a probe
+  *     touches one partition instead of the full corpus.
+  */
+object Vectors extends QueryModule {
+
+  /** Element-wise double cast (embeddings arrive as float32). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-bit LSH. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id: one bit per hyperplane, MSB-first fold. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.reduce((acc, b) => acc * 2 + b)
+  }
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val query = broadcast(
+      emb.filter(col("vec_id") === queryId).select(col("v").as("qv")))
+    emb.crossJoin(query)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: score only vectors sharing the query's bucket. */
+  def annLsh(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    // 4 sign bits → 16 buckets: on random testdata embeddings that
+    // keeps ~1/16 of the corpus as candidates; at real scale the
+    // plane count tunes bucket fan-out and `bucket` becomes the
+    // partition key.
+    val planes = hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val query = broadcast(
+      emb.filter(col("vec_id") === queryId)
+        .select(col("v").as("qv"), col("bucket").as("qbucket")))
+    emb.join(query, col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  override def queries: Map[String, Query] = Map(
+    // Array feature assembly — SQL-friendly twin of VectorAssembler
+    // (`Code/flight_analysis.py:128-132`).
+    "q_vec_assemble" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber",
+        array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax").as("features"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Dot product via higher-order functions (squared L2 norm here).
+    "q_array_dot" -> ((s, dir) => {
+      import s.implicits._
+      val v = asDouble($"embedding")
+      Tables.embeddings(s, dir)
+        .select($"vec_id", round(dot(v, v), 4).as("dot_self"))
+        .orderBy($"vec_id")
+    }),
+
+    // Brute-force cosine top-k (the ANN correctness baseline).
+    "q_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, queryId = 0L, k = 10)),
+
+    // LSH-bucketed ANN — scale path, same output shape (no oracle:
+    // bucketing is engine-specific).
+    "q_ann_lsh" -> ((s, dir) => annLsh(s, dir, queryId = 0L, k = 10)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_vec_assemble" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  [l_quantity, l_extendedprice, l_discount, l_tax] AS features
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_dot" ->
+      """SELECT vec_id,
+        |  ROUND(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS dot_self
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, ROUND(
+        |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |  4) AS sim
+        |  FROM embeddings e, q)
+        |SELECT vec_id, sim FROM scored
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ml
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ML payload (SURVEY §2.9), Spark-ML native:
+  * VectorAssembler → KMeans(k=5, seed=42) → predict → silhouette →
+  * cluster profiling (`Code/flight_analysis.py:128-152`).
+  *
+  * KMeans.fit is inherently iterative (kmeans|| init + Lloyd): each
+  * iteration broadcasts current centers and treeAggregates partial
+  * sums — that is already the right distributed shape at 100 TB; the
+  * input is cached by spark.ml internally for the iterations.
+  *
+  * The vector→string export (`Code/flight_analysis.py:227-241`) is
+  * UDF-free: built from array/concat built-ins so it stays inside
+  * whole-stage codegen (the reference's Python UDF forced a
+  * BatchEvalPython break on every executor).
+  */
+object Clustering extends QueryModule {
+
+  val FeatureCols: Array[String] =
+    Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def assembler(inputCols: Array[String] = FeatureCols): VectorAssembler =
+    new VectorAssembler()
+      .setInputCols(inputCols)
+      .setOutputCol("features")
+      .setHandleInvalid("keep")
+
+  def fitKMeans(df: DataFrame, k: Int = 5, seed: Long = 42L): KMeansModel =
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(df)
+
+  def silhouette(predictions: DataFrame): Double =
+    new ClusteringEvaluator()
+      .setMetricName("silhouette")
+      .setDistanceMeasure("squaredEuclidean")
+      .evaluate(predictions)
+
+  /** Cluster profile: per-(cluster, key) counts, multi-key descending
+    * sort, top rows (`Code/flight_analysis.py:147-152`) — with the
+    * deterministic tiebreaker the reference lacks.
+    */
+  def clusterProfile(predictions: DataFrame, key: String, limit: Int = 20): DataFrame =
+    predictions.groupBy(col("prediction"), col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("prediction").asc, col(key).asc)
+      .limit(limit)
+
+  /** UDF-free vector/array → "[1, 2, 3]" string (elements floored to
+    * longs so float rendering can't differ across engines).
+    */
+  def arrayToString(arr: Column): Column =
+    concat(lit("["),
+      array_join(transform(arr, x => floor(x).cast("long").cast("string")), ", "),
+      lit("]"))
+
+  override def queries: Map[String, Query] = Map(
+    // KMeans on lineitem features; output is the per-cluster size
+    // distribution (sorted by size desc — label ids are not portable,
+    // sizes are). No oracle: clustering is not SQL-expressible.
+    "q_kmeans_predict" -> ((s, dir) => {
+      import s.implicits._
+      val feats = assembler().transform(
+        Tables.lineitem(s, dir).select(FeatureCols.map(col): _*))
+      val model = fitKMeans(feats)
+      model.transform(feats)
+        .groupBy($"prediction").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"prediction".asc)
+    }),
+
+    // Vector stringification, UDF-free (`Code/flight_analysis.py:227-241`).
+    "q_udf_vec_str" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber",
+        arrayToString(array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"))
+          .as("features_str"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_udf_vec_str" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  '[' || array_to_string(list_transform(
+        |    [l_quantity, l_extendedprice, l_discount, l_tax],
+        |    x -> CAST(CAST(FLOOR(x) AS BIGINT) AS VARCHAR)), ', ') || ']' AS features_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,210 @@
+package graft.ml
+
+import graft.QueryModule
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end re-expression of the reference pipeline
+  * (`Code/flight_analysis.py`, all 246 lines): two differently-shaped
+  * flight tables → schema conciliation → cast-then-fill cleaning →
+  * code→label mapping → date/time features → delay labeling → KMeans
+  * k=5 seed=42 → silhouette → cluster profiling → top-K airlines by
+  * cancellations → membership-scored new rows → vector-string export.
+  *
+  * Deviations from the reference are intent-fixes (SURVEY §0 bug
+  * table): casts run BEFORE fills so numeric defaults actually apply;
+  * non-finite feature values are sanitized with a typed conditional
+  * (the reference's `replace` on a vector column was a no-op); the
+  * driver-side collect+isin membership filter becomes a broadcast
+  * left-semi join.
+  *
+  * The real flight CSVs are git-LFS pointers in the reference repo, so
+  * fixtures are synthesized deterministically (seed 42) with the exact
+  * 2019/2023 schemas from FIXTURES.md §A.
+  */
+object FlightPipeline extends QueryModule {
+
+  /** CANCELLATION_CODE → reason (`Code/flight_analysis.py:29-41`). */
+  val CancellationReasons: Seq[(String, String)] = Seq(
+    "A" -> "Carrier Caused",
+    "B" -> "Weather",
+    "C" -> "National Aviation System",
+    "D" -> "Security")
+
+  val DelayThresholdMin = 5
+  val K = 5
+  val Seed = 42L
+
+  private val airlines = Array("Delta", "United", "Southwest Airlines",
+    "American Airlines", "Frontier Airlines", "Alaska", "JetBlue")
+  private val delayReasons = Array("None", "Weather", "Air Traffic Control", "Maintenance")
+
+  /** Deterministic 2019-shaped fixture (BTS UPPER_SNAKE, all-string —
+    * mirrors the headered-CSV-without-inferSchema read).
+    */
+  def fixture2019(spark: SparkSession, rows: Int = 600): DataFrame = {
+    val rnd = new scala.util.Random(Seed)
+    val data = (0 until rows).map { i =>
+      val month = 1 + rnd.nextInt(12)
+      val day = 1 + rnd.nextInt(28)
+      val dep = rnd.nextInt(2400)
+      val arrDelay = if (rnd.nextInt(10) == 0) null else (rnd.nextGaussian() * 30).round.toString
+      val depDelay = if (rnd.nextInt(10) == 0) null else (rnd.nextGaussian() * 20).round.toString
+      val cancelled = if (rnd.nextInt(20) == 0) "1" else "0"
+      val code = if (cancelled == "1") "ABCD".charAt(rnd.nextInt(4)).toString else null
+      val airline = if (rnd.nextInt(30) == 0) null else airlines(rnd.nextInt(airlines.length))
+      (f"2019-$month%02d-$day%02d", dep.toString, arrDelay, depDelay,
+        cancelled, if (rnd.nextInt(50) == 0) "1" else "0",
+        (100 + rnd.nextInt(4900)).toString, airline, code)
+    }
+    import spark.implicits._
+    data.toDF("FL_DATE", "DEP_TIME", "ARR_DELAY", "DEP_DELAY",
+      "CANCELLED", "DIVERTED", "DISTANCE", "AIRLINE", "CANCELLATION_CODE")
+  }
+
+  /** Deterministic 2023-shaped fixture (Kaggle CamelCase, all-string). */
+  def fixture2023(spark: SparkSession, rows: Int = 600): DataFrame = {
+    val rnd = new scala.util.Random(Seed + 1)
+    val data = (0 until rows).map { i =>
+      val month = 1 + rnd.nextInt(12)
+      val day = 1 + rnd.nextInt(28)
+      val hh = rnd.nextInt(24)
+      val mm = rnd.nextInt(60)
+      val delay = if (rnd.nextInt(10) == 0) null else (rnd.nextGaussian() * 25).round.toString
+      val cancelled = if (rnd.nextInt(20) == 0) "True" else "False"
+      val reason = if (rnd.nextInt(4) == 0) delayReasons(rnd.nextInt(delayReasons.length)) else null
+      (f"2023-$month%02d-$day%02d $hh%02d:$mm%02d", delay, cancelled,
+        if (rnd.nextInt(50) == 0) "True" else "False",
+        (100 + rnd.nextInt(4900)).toString,
+        airlines(rnd.nextInt(airlines.length)), reason)
+    }
+    import spark.implicits._
+    data.toDF("ScheduledDeparture", "DelayMinutes", "Cancelled",
+      "Diverted", "Distance", "Airline", "DelayReason")
+  }
+
+  /** 2019 cleaning (`Code/flight_analysis.py:44-66`): cast FIRST, then
+    * fill (the reference filled string columns with numeric defaults —
+    * a silent no-op), then the CASE-WHEN reason mapping.
+    */
+  def clean2019(raw: DataFrame): DataFrame =
+    raw.select(
+      to_date(col("FL_DATE")).as("FlightDate"),
+      col("DEP_TIME").cast("double").as("DepTime"),
+      col("ARR_DELAY").cast("double").as("DelayMinutes"),
+      col("CANCELLED").cast("int").cast("boolean").as("Cancelled"),
+      col("DIVERTED").cast("int").cast("boolean").as("Diverted"),
+      col("DISTANCE").cast("double").as("Distance"),
+      col("AIRLINE").as("Airline"),
+      col("CANCELLATION_CODE").as("code"))
+      .na.fill(Map("DepTime" -> 0.0, "DelayMinutes" -> 0.0,
+        "Distance" -> 0.0, "Airline" -> "Not Listed", "code" -> "None"))
+      .na.fill(Map("Cancelled" -> false, "Diverted" -> false))
+      .withColumn("CancellationReason",
+        Relational.caseWhenMap(col("code"), CancellationReasons, "No Cancellation"))
+      .withColumn("DayofWeek", dayofweek(col("FlightDate")))
+      .withColumn("DepHour", floor(col("DepTime") / 100).cast("int"))
+      .withColumn("Month", month(col("FlightDate")))
+      .drop("code")
+
+  /** 2023 cleaning (`Code/flight_analysis.py:73-89`). */
+  def clean2023(raw: DataFrame): DataFrame =
+    raw.select(
+      to_timestamp(col("ScheduledDeparture"), "yyyy-MM-dd HH:mm").as("SchedDep"),
+      col("DelayMinutes").cast("double").as("DelayMinutes"),
+      col("Cancelled").cast("boolean").as("Cancelled"),
+      col("Diverted").cast("boolean").as("Diverted"),
+      col("Distance").cast("double").as("Distance"),
+      col("Airline"),
+      col("DelayReason"))
+      .na.fill(Map("DelayMinutes" -> 0.0, "Distance" -> 0.0,
+        "Airline" -> "Not Listed", "DelayReason" -> "None"))
+      .na.fill(Map("Cancelled" -> false, "Diverted" -> false))
+      .withColumn("DayofWeek", dayofweek(col("SchedDep")))
+      .withColumn("DepHour", hour(col("SchedDep")))
+      .withColumn("Month", month(col("SchedDep")))
+
+  /** Conciliated logical shape shared by both years — the schema both
+    * tables map into before one analysis pipeline runs
+    * (`union`-able; SURVEY §1).
+    */
+  def conciliated(df: DataFrame, reasonCol: String): DataFrame =
+    df.select(
+      col("DayofWeek"), col("DepHour"), col("Month"),
+      col("Distance"), col("Airline"), col("Cancelled"),
+      col(reasonCol).as("Reason"),
+      (when(col("DelayMinutes") > DelayThresholdMin, 1).otherwise(0)).as("IsDelayed"))
+
+  /** Sanitize non-finite feature values (the reference's intent at
+    * `Code/flight_analysis.py:129,132`; its `replace` on a VectorUDT
+    * column silently did nothing).
+    */
+  def sanitize(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(isnan(col(c).cast("double")) ||
+          col(c) === Double.PositiveInfinity ||
+          col(c) === Double.NegativeInfinity, 0.0)
+          .otherwise(col(c).cast("double")))
+    }
+
+  val ClusterFeatures: Array[String] = Array("DayofWeek", "DepHour", "Month", "Distance")
+
+  /** Fit + predict on one conciliated table: the reference's
+    * clustering stage (`Code/flight_analysis.py:128-141`).
+    */
+  def clusterPredictions(df: DataFrame): DataFrame = {
+    val feats = Clustering.assembler(ClusterFeatures)
+      .transform(sanitize(df, ClusterFeatures.toSeq))
+    Clustering.fitKMeans(feats, K, Seed).transform(feats)
+  }
+
+  /** Top-K airlines by cancellation count
+    * (`Code/flight_analysis.py:197-208`).
+    */
+  def topAirlinesByCancellation(df: DataFrame, k: Int = 5): DataFrame =
+    Relational.topKByCount(df, col("Cancelled") === true, "Airline", k)
+
+  /** Score new rows restricted to the top airlines — broadcast
+    * left-semi join replacing the reference's collect+isin
+    * (`Code/flight_analysis.py:219-224`).
+    */
+  def scoreFuture(future: DataFrame, topAirlines: DataFrame,
+                  predictions: DataFrame): DataFrame = {
+    val model = Clustering.fitKMeans(
+      Clustering.assembler(ClusterFeatures).transform(
+        sanitize(predictions, ClusterFeatures.toSeq)), K, Seed)
+    val filtered = future.join(
+      broadcast(topAirlines.select(col("Airline"))), Seq("Airline"), "left_semi")
+    val feats = Clustering.assembler(ClusterFeatures)
+      .transform(sanitize(filtered, ClusterFeatures.toSeq))
+    model.transform(feats)
+  }
+
+  /** Full pipeline on the synthesized fixtures; returns the 2019
+    * cluster profile (the reference's headline output).
+    */
+  def run(spark: SparkSession): DataFrame = {
+    val p19 = clusterPredictions(conciliated(clean2019(fixture2019(spark)), "CancellationReason"))
+    Clustering.clusterProfile(p19, "Reason", 20)
+  }
+
+  override def queries: Map[String, Query] = Map(
+    // Reference-parity pipeline on deterministic fixtures (no oracle:
+    // KMeans labels are not SQL-expressible).
+    "q_flight_pipeline" -> ((s, _) => run(s)),
+
+    // The cleaning/conciliation stages alone ARE relational — exercise
+    // them through the deterministic fixture, no ML (rows-only check;
+    // fixture lives in-memory, not in testdata parquet).
+    "q_flight_clean" -> ((s, _) => {
+      import s.implicits._
+      conciliated(clean2019(fixture2019(s)), "CancellationReason")
+        .orderBy($"Airline", $"DayofWeek", $"DepHour", $"Month", $"Distance",
+          $"IsDelayed", $"Reason", $"Cancelled")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map.empty
+}

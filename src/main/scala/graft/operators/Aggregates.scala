@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation breadth: single/multi-key hash group-counts (the
+  * reference's `groupBy(...).count()` at `Code/flight_analysis.py:147-148,
+  * 197-202`), plus [EXT] TPC-H-Q1-shape summary aggregates, exact and
+  * approximate distinct counts, and rollup — all planned as partial
+  * (map-side) + final `HashAggregateExec` around one hash-partition
+  * exchange, so the shuffle moves pre-aggregated groups, not rows.
+  *
+  * Double sums are rounded to 4 decimals in both engines: FP summation
+  * order differs between Spark partitions and DuckDB, so unrounded
+  * sums are not comparable (SURVEY §5 determinism rules).
+  */
+object Aggregates extends QueryModule {
+
+  override def queries: Map[String, Query] = Map(
+    // Two-key group-count with multi-key descending sort
+    // (`Code/flight_analysis.py:147-152`).
+    "q_group2_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"o_orderstatus".asc, $"o_orderpriority".asc)
+    }),
+
+    // [EXT] TPC-H Q1-shape pricing summary: sum/avg/min/max/count.
+    "q_agg_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_quantity" <= 49)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 4).as("sum_qty"),
+          round(sum($"l_extendedprice"), 4).as("sum_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // [EXT] exact distinct cardinalities (expand-based multi-distinct).
+    "q_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_returnflag").as("n_flags"))
+    }),
+
+    // [EXT] approximate distinct via HLL++ — sketch internals differ
+    // from DuckDB's, so no hash oracle (rows-only check); the exact
+    // twin q_count_distinct carries the oracle.
+    "q_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+    }),
+
+    // [EXT] rollup: per-(flag,status), per-flag subtotals, grand total.
+    // Subtotal rows carry NULL group keys → sort NULLS FIRST on both
+    // engines (Spark asc default is nulls-first; DuckDB's is not).
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_group2_count" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY cnt DESC, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem WHERE l_quantity <= 49
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+  )
+}

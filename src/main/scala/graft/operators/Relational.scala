@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational spine: scan/project, cast chains, null fill,
+  * dictionary-driven CASE-WHEN labeling, equality filter + top-K
+  * group-count, literal-membership filter, local-rows source.
+  *
+  * Mirrors the reference's cleaning + analytics shapes
+  * (`Code/flight_analysis.py:15-126,188-220`) re-expressed on the
+  * testdata tables. All operators are pure `DataFrame => DataFrame`
+  * compositions of Catalyst built-ins: projections collapse, filters
+  * push to the parquet scan, the top-K plans as
+  * `TakeOrderedAndProjectExec` (per-partition top-K, no global sort).
+  */
+object Relational extends QueryModule {
+
+  /** Dictionary → CASE-WHEN compiler: the reference builds a SQL CASE
+    * expression string from a Python dict (`Code/flight_analysis.py:29-41`);
+    * here the same partial-evaluation trick folds a Map into chained
+    * `when` columns at plan-build time (Catalyst constant-folds it).
+    */
+  def caseWhenMap(key: Column, mapping: Seq[(String, String)], default: String): Column =
+    mapping.foldLeft(lit(default)) { case (acc, (k, v)) => when(key === k, lit(v)).otherwise(acc) }
+
+  /** Top-K by group count: filter → groupBy → count → orderBy desc →
+    * limit. The reference's signature query (`Code/flight_analysis.py:197-208`)
+    * with a deterministic tiebreaker added (the reference's count-only
+    * sort is nondeterministic across partitionings). Catalyst plans the
+    * sort+limit as TakeOrderedAndProject — no full shuffle sort.
+    */
+  def topKByCount(df: DataFrame, filterCol: Column, groupCol: String, k: Int): DataFrame =
+    df.filter(filterCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(groupCol).asc)
+      .limit(k)
+
+  /** The reference's priority-code → readable-reason dictionary shape
+    * (`Code/flight_analysis.py:29-41`), keyed on order priority.
+    */
+  private val priorityLabels = Seq(
+    "1-URGENT"        -> "Carrier Caused",
+    "2-HIGH"          -> "Weather",
+    "3-MEDIUM"        -> "National Aviation System",
+    "4-NOT SPECIFIED" -> "Security")
+
+  override def queries: Map[String, Query] = Map(
+    // Scan + projection + pushed filter (SURVEY §2.1/§2.2).
+    "q_scan_project" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .filter($"l_quantity" > 45)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Local-rows source: the reference's in-memory scoring table
+    // (`Code/flight_analysis.py:188-194`).
+    "q_local_rows" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        (1, 10, 6, 500, "Delta"),
+        (2, 14, 7, 800, "United"),
+        (3, 9, 3, 1200, "Southwest Airlines"),
+        (5, 16, 12, 2400, "American Airlines"),
+        (6, 21, 9, 300, "Frontier Airlines"))
+        .toDF("dow", "dep_hour", "mon", "distance", "airline")
+        .orderBy($"dow")
+    }),
+
+    // Cast chains: double→int (via floor: Spark truncates, DuckDB
+    // rounds — floor first makes both agree), int→boolean-ish
+    // predicate, int→string→double round-trip
+    // (`Code/flight_analysis.py:56-63,82-87,102`).
+    "q_cast_clean" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber",
+        floor($"l_quantity").cast("int").as("qty_int"),
+        floor($"l_extendedprice" / 100).cast("int").as("price_h"),
+        ($"l_linenumber" % 2 === 1).as("odd_line"),
+        $"l_orderkey".cast("string").cast("double").as("key_d"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Null fill with numeric + string defaults via na.fill
+    // (`Code/flight_analysis.py:44-53,73-80`); nulls are manufactured
+    // deterministically since testdata has none.
+    "q_null_fill" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).select(
+        $"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", lit(null)).otherwise($"o_totalprice").as("price_n"),
+        when($"o_orderstatus" === "F", lit(null)).otherwise($"o_orderstatus").as("status_n"))
+        .na.fill(Map("price_n" -> 0.0, "status_n" -> "None"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Dictionary-driven CASE-WHEN mapping + binary threshold label
+    // (`Code/flight_analysis.py:29-41,64,123-125`).
+    "q_case_label" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).select(
+        $"o_orderkey",
+        caseWhenMap($"o_orderpriority", priorityLabels, "No Cancellation").as("priority_label"),
+        when($"o_totalprice" > 150000, 1).otherwise(0).as("is_big"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Flagship: filter → group-count → top-K (`Code/flight_analysis.py:197-208`).
+    "q_filter_topk_count" -> ((s, dir) => {
+      import s.implicits._
+      topKByCount(Tables.orders(s, dir), $"o_orderstatus" === "F", "o_custkey", 5)
+    }),
+
+    // Literal membership filter (`Code/flight_analysis.py:219-220`).
+    // Kept for parity with the reference's collect+isin idiom; the
+    // scale-correct version of the same semantics is q_join_semi.
+    "q_isin_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_local_rows" ->
+      """SELECT * FROM (VALUES
+        |  (1, 10, 6, 500, 'Delta'),
+        |  (2, 14, 7, 800, 'United'),
+        |  (3, 9, 3, 1200, 'Southwest Airlines'),
+        |  (5, 16, 12, 2400, 'American Airlines'),
+        |  (6, 21, 9, 300, 'Frontier Airlines'))
+        |  AS t(dow, dep_hour, mon, distance, airline)
+        |ORDER BY dow""".stripMargin,
+    "q_cast_clean" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+        |  CAST(FLOOR(l_extendedprice / 100) AS INT) AS price_h,
+        |  (l_linenumber % 2 = 1) AS odd_line,
+        |  CAST(CAST(l_orderkey AS VARCHAR) AS DOUBLE) AS key_d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_null_fill" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_totalprice END, 0.0) AS price_n,
+        |  COALESCE(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END, 'None') AS status_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_case_label" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'Carrier Caused'
+        |       WHEN o_orderpriority = '2-HIGH' THEN 'Weather'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'National Aviation System'
+        |       WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Security'
+        |       ELSE 'No Cancellation' END AS priority_label,
+        |  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS is_big
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_filter_topk_count" ->
+      """SELECT o_custkey, COUNT(*) AS cnt
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey
+        |ORDER BY cnt DESC, o_custkey LIMIT 5""".stripMargin,
+    "q_isin_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Window functions (SURVEY §2.5). The reference approximates
+  * "top reasons per cluster" with a global sort + limit
+  * (`Code/flight_analysis.py:147-152`); `rank() OVER (PARTITION BY …)`
+  * is the correct per-group implementation of that intent. One
+  * hash-partition exchange per distinct partitioning key; rows within
+  * a partition sort locally — no global sort at any scale.
+  */
+object Windows extends QueryModule {
+
+  override def queries: Map[String, Query] = Map(
+    // Per-group rank with deterministic tiebreak; keep top-3 per group
+    // — the reference's per-cluster top-reasons done right.
+    "q_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", rank().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_orderpriority", $"rk", $"o_orderkey")
+    }),
+
+    // Running sum per customer over order history.
+    "q_window_runsum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("run_total", round(sum($"o_totalprice").over(w), 4))
+        .select($"o_custkey", $"o_orderkey", $"run_total")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // lag/lead per user over the event stream.
+    "q_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .select($"user_id", $"event_id", $"value", $"prev_value", $"next_type")
+        .orderBy($"user_id", $"event_id")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(RANK() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+    "q_window_runsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+  )
+}

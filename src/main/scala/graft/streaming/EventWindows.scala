@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Time-window analytics on `events` (SURVEY §2.11), batch-first
+  * so the DuckDB oracle can check the semantics, with Structured
+  * Streaming twins of the same logic for stream execution (tested via
+  * file/memory sources in the spec suite).
+  *
+  * Window aggregation shuffles once on (window, key) — with a
+  * watermark in streaming mode state is bounded and late rows beyond
+  * the watermark are dropped.
+  */
+object EventWindows extends QueryModule {
+
+  /** Tumbling 1-hour counts per event type (batch). The window struct
+    * is rendered as a formatted string so oracle comparison is
+    * type-stable across engines.
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Sliding 1-hour windows every 15 minutes (batch). */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Session windows (30-minute gap) per user (batch). */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Streaming twin of tumblingCounts with a 10-minute watermark —
+    * identical transform chain over readStream; used by the streaming
+    * parity tests (MemoryStream / file source → memory sink).
+    */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("cnt"))
+
+  override def queries: Map[String, Query] = Map(
+    "q_window_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
+    "q_window_sliding" -> ((s, dir) => slidingCounts(s, dir)),
+    "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    // sliding windows: each event lands in 4 overlapping windows —
+    // express via generate_series offsets in DuckDB.
+    "q_window_sliding" ->
+      """SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS cnt
+        |FROM (
+        |  SELECT e.event_type,
+        |    to_timestamp(CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900 - g.o * 900) AS w_start
+        |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS o) g
+        |  WHERE epoch(e.ts) - (CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900 - g.o * 900) < 3600)
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB-oracle compare.
+
+Runs each oracle SQL from <outDir>/oracle_sql.json against DuckDB views
+over the sf parquet tables, loads the engine's parquet dump for the same
+key, sorts columns by name and rows by all columns, and diffs values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize values: lists->tuples for sortability
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                              else (tuple(v) if isinstance(v, list) else v))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for key, sql in sorted(oracles.items()):
+        res_dir = f"{out_dir}/{key}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {key}: no engine output at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            mine = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            oracle = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {key}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(mine.columns) != list(oracle.columns):
+            print(f"FAIL {key}: columns {list(mine.columns)} vs {list(oracle.columns)}")
+            n_fail += 1
+            continue
+        if len(mine) != len(oracle):
+            print(f"FAIL {key}: rows {len(mine)} vs {len(oracle)}")
+            n_fail += 1
+            continue
+        diffs = []
+        for c in mine.columns:
+            a, b = mine[c], oracle[c]
+            try:
+                eq = (a == b) | (a.isna() & b.isna())
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                bad = (~eq).idxmax()
+                diffs.append(f"{c}[row {bad}]: {a[bad]!r} vs {b[bad]!r} ({(~eq).sum()} diffs)")
+        # dtype drift report (schema-match risk even when values agree)
+        dt = [f"{c}: {mine[c].dtype} vs {oracle[c].dtype}"
+              for c in mine.columns if str(mine[c].dtype) != str(oracle[c].dtype)]
+        if diffs:
+            print(f"FAIL {key}: " + "; ".join(diffs[:3]))
+            n_fail += 1
+        else:
+            note = f"  [dtype drift: {'; '.join(dt)}]" if dt else ""
+            print(f"PASS {key} ({len(mine)} rows){note}")
+            n_pass += 1
+    # rows-only keys
+    declared = set(oracles)
+    for res_dir in sorted(glob.glob(f"{out_dir}/q_*")):
+        key = os.path.basename(res_dir)
+        if key in declared or not os.path.isdir(res_dir):
+            continue
+        files = glob.glob(f"{res_dir}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        print(f"{'ROWS' if n > 0 else 'EMPTY'} {key}: {n} rows (no oracle)")
+        if n == 0:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
