@@ -33,16 +33,28 @@ object Dedup extends QueryModule {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for each of k seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Seeding is by
-    * concatenating a distinct suffix per hash — xxhash64's seed
-    * parameter is fixed in the functions API, the suffix varies the
-    * function family deterministically.
+  /** MinHash signatures, distributed shape: explode shingles to one
+    * row each, then groupBy(doc) with k `min(hash_j)` aggregates.
+    *
+    * The inline alternative (k × `array_min(transform(shingles…))`
+    * in one projection) duplicates the shingle expression k times in
+    * the plan — 17s for 500 docs at k=32. This shape computes shingles
+    * once, hash-aggregates with map-side combine, and scales linearly:
+    * the only shuffle is pre-aggregated (doc, k mins) rows.
+    *
+    * Seeding is by a distinct per-hash suffix — xxhash64's seed is
+    * fixed in the functions API; the suffix varies the hash family
+    * deterministically.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, sh => xxhash64(concat(sh, lit(s"#$j")))))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(concat(col("sh"), lit(s"#$j")))).as(s"h$j"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
 
   /** Bit i of a hash, extracted
     * arithmetically so the shift amount can be a lambda variable:
@@ -140,9 +152,8 @@ object Dedup extends QueryModule {
     val numHashes = 32
     val bands = 8
     val rowsPerBand = numHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        minhashSignature(shingles(col("text"), 3), numHashes).as("sig"))
+    val docs = minhashSignatures(
+      Tables.documents(spark, dir), "doc_id", "text", numHashes)
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -88,7 +88,8 @@ object Multimodal extends QueryModule {
     media.select(
       col("media_id"),
       transform(
-        sequence(lit(0), greatest((length(col("payload")) / every) - 1, lit(0))),
+        sequence(lit(0),
+          greatest(floor(length(col("payload")) / every).cast("int") - 1, lit(0))),
         i => i * every).as("frame_offsets"))
 
   override def queries: Map[String, Query] = Map(

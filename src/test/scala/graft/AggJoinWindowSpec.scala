@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AggJoinWindowSpec extends SparkSpec {
+
+  test("q_agg_summary group count equals sum of cnt") {
+    import spark.implicits._
+    val rows = run("q_agg_summary").collect()
+    assert(rows.length === 6) // 3 returnflags × 2 linestatus
+    val total = rows.map(r => r.getAs[Long]("cnt")).sum
+    val expected = Tables.lineitem(spark, sf).filter($"l_quantity" <= 49).count()
+    assert(total === expected)
+  }
+
+  test("q_count_distinct matches dropDuplicates counts") {
+    val r = run("q_count_distinct").collect().head
+    val li = Tables.lineitem(spark, sf)
+    assert(r.getAs[Long]("n_parts") === li.select("l_partkey").distinct().count())
+    assert(r.getAs[Long]("n_flags") === 3)
+  }
+
+  test("rollup contains group rows, subtotals and grand total") {
+    val rows = run("q_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("cnt") === Tables.lineitem(spark, sf).count())
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(subtotals.length === 3)
+  }
+
+  test("union count = sum of branch counts; intersect/except partition the key space") {
+    val u = run("q_union").count()
+    assert(u === Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())
+    import spark.implicits._
+    val interNk = run("q_intersect").collect().map(_.getInt(0)).toSet
+    val suppNk = Tables.supplier(spark, sf).select($"s_nationkey").collect().map(_.getInt(0)).toSet
+    val custNk = Tables.customer(spark, sf).select($"c_nationkey").collect().map(_.getInt(0)).toSet
+    assert(interNk === (custNk intersect suppNk))
+  }
+
+  test("semi + anti partition customers exactly") {
+    import spark.implicits._
+    val semi = run("q_join_semi").collect().map(_.getLong(0)).toSet
+    val anti = run("q_join_anti").collect().map(_.getLong(0)).toSet
+    val all = Tables.customer(spark, sf).select($"c_custkey").collect().map(_.getLong(0)).toSet
+    // semi uses threshold 250k, anti uses 400k: anti ⊇ complement of semi-at-400k.
+    assert(semi.subsetOf(all) && anti.subsetOf(all))
+    val semi400 = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert((semi400 union anti) === all && (semi400 intersect anti).isEmpty)
+  }
+
+  test("q_join_left keeps all customers") {
+    assert(run("q_join_left").count() === Tables.customer(spark, sf).count())
+  }
+
+  test("q_join_broadcast plan actually broadcasts") {
+    val plan = run("q_join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("q_filter_topk_count plans as TakeOrderedAndProject (no global sort)") {
+    val plan = run("q_filter_topk_count").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("window rank within [1,3] and per-group top keys are the group maxima") {
+    import spark.implicits._
+    val rows = run("q_window_rank").collect()
+    assert(rows.forall(r => r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 3))
+    val top = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val maxByHand = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority").agg(max($"o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(top === maxByHand)
+  }
+
+  test("running sum final value per customer equals the customer's total") {
+    import spark.implicits._
+    val finals = run("q_window_runsum").collect()
+      .groupBy(_.getLong(0)).map { case (ck, rs) => ck -> rs.map(_.getDouble(2)).max }
+    val byHand = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(round(sum($"o_totalprice"), 4).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    finals.foreach { case (ck, v) => assert(math.abs(v - byHand(ck)) < 1e-6) }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ml.{Clustering, FlightPipeline}
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  test("kmeans produces k non-trivial clusters covering all rows") {
+    val sizes = run("q_kmeans_predict").collect().map(_.getLong(1))
+    assert(sizes.length <= 5 && sizes.length >= 2)
+    assert(sizes.sum === Tables.lineitem(spark, sf).count())
+  }
+
+  test("kmeans with fixed seed is stable across re-runs") {
+    val a = run("q_kmeans_predict").collect().map(_.getLong(1)).toSeq
+    val b = run("q_kmeans_predict").collect().map(_.getLong(1)).toSeq
+    assert(a === b)
+  }
+
+  test("flight pipeline end-to-end: profile bounded, silhouette in (0,1]") {
+    val spark0 = spark
+    val prepped = FlightPipeline.conciliated(
+      FlightPipeline.clean2019(FlightPipeline.fixture2019(spark0)), "CancellationReason")
+    val preds = FlightPipeline.clusterPredictions(prepped)
+    val sil = Clustering.silhouette(preds)
+    assert(sil > 0.0 && sil <= 1.0, s"silhouette=$sil")
+    val profile = Clustering.clusterProfile(preds, "Reason", 20).collect()
+    assert(profile.length <= 20 && profile.nonEmpty)
+    val cnts = profile.map(_.getAs[Long]("cnt"))
+    assert(cnts.sameElements(cnts.sorted.reverse))
+  }
+
+  test("2023 branch conciliates to the same schema as 2019") {
+    val s = spark
+    val c19 = FlightPipeline.conciliated(
+      FlightPipeline.clean2019(FlightPipeline.fixture2019(s)), "CancellationReason")
+    val c23 = FlightPipeline.conciliated(
+      FlightPipeline.clean2023(FlightPipeline.fixture2023(s)), "DelayReason")
+    assert(c19.schema.fieldNames.toSeq === c23.schema.fieldNames.toSeq)
+    // the union the reference never did but implies
+    assert(c19.unionByName(c23).count() === c19.count() + c23.count())
+  }
+
+  test("cast-then-fill actually fills (the reference's fill-then-cast was a no-op)") {
+    import spark.implicits._
+    val cleaned = FlightPipeline.clean2019(FlightPipeline.fixture2019(spark))
+    assert(cleaned.filter($"DelayMinutes".isNull).count() === 0)
+    assert(cleaned.filter($"Airline" === "Not Listed").count() > 0)
+  }
+
+  test("scoring restricts to top airlines via semi join and predicts clusters") {
+    import spark.implicits._
+    val s = spark
+    val prepped = FlightPipeline.conciliated(
+      FlightPipeline.clean2019(FlightPipeline.fixture2019(s)), "CancellationReason")
+    val top = FlightPipeline.topAirlinesByCancellation(prepped, 3)
+    val topNames = top.collect().map(_.getString(0)).toSet
+    val future = Seq(
+      (1, 10, 6, 500.0, topNames.head),
+      (2, 14, 7, 800.0, "NoSuchAirline"))
+      .toDF("DayofWeek", "DepHour", "Month", "Distance", "Airline")
+    val scored = FlightPipeline.scoreFuture(future, top, prepped)
+    val rows = scored.collect()
+    assert(rows.length === 1) // NoSuchAirline filtered by the semi join
+    assert(rows.head.getAs[Int]("prediction") >= 0)
+  }
+
+  test("arrayToString renders deterministic bracket form") {
+    import spark.implicits._
+    val out = Seq(Array(1.9, 2.0, 3.7)).toDF("a")
+      .select(Clustering.arrayToString($"a")).collect().head.getString(0)
+    assert(out === "[1, 2, 3]")
+  }
+}

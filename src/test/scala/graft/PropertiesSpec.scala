@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{Text, Vectors}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated property tests (SURVEY §5.3). scalatestplus is
+  * not in the offline cache, so sampling is driven manually from `Gen`
+  * with a fixed seed — deterministic and framework-free.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val sentence = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("prop: fingerprint invariant under case/whitespace noise; token count >= 1") {
+    import spark.implicits._
+    val texts = samples(sentence, 40)
+    val noisy = texts.map(t => t.toUpperCase.replace(" ", "   "))
+    val df = texts.zip(noisy).toDF("clean", "noisy")
+    df.select(
+      Text.fingerprint($"clean").as("f1"),
+      Text.fingerprint($"noisy").as("f2"),
+      Text.tokenCount($"clean").as("n")).collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getInt(2) >= 1)
+    }
+  }
+
+  test("prop: cosine is symmetric, bounded, 1 on itself") {
+    import spark.implicits._
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)).suchThat(_.exists(_ != 0.0))
+    val pairs = samples(Gen.zip(vec, vec), 30)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = pairs.toDF("a", "b")
+    df.select(
+      Vectors.cosine($"a", $"b").as("ab"),
+      Vectors.cosine($"b", $"a").as("ba"),
+      Vectors.cosine($"a", $"a").as("aa")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("prop: top-K of group counts is a prefix of the full sorted counts") {
+    import spark.implicits._
+    val full = Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_custkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (-c, k) }
+    val topk = run("q_filter_topk_count").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(topk.toSeq === full.take(5).toSeq)
+  }
+
+  test("prop: na.fill is idempotent") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, null), (null, "x"), (null, null))
+      .toDF("a", "b")
+    val once = df.na.fill(Map("a" -> 0L, "b" -> "none"))
+    val twice = once.na.fill(Map("a" -> 0L, "b" -> "none"))
+    assert(once.collect().toSeq === twice.collect().toSeq)
+  }
+
+  test("prop: union count additivity over random splits") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    samples(Gen.chooseNum(1000.0, 400000.0), 5).foreach { thr =>
+      val lo = o.filter($"o_totalprice" <= thr)
+      val hi = o.filter($"o_totalprice" > thr)
+      assert(lo.unionByName(hi).count() === o.count())
+    }
+  }
+}

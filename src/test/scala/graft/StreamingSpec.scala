@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.EventWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, event_type: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling counts match the batch twin on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(t("2024-01-01 10:05:00"), "click"),
+      Ev(t("2024-01-01 10:25:00"), "click"),
+      Ev(t("2024-01-01 10:45:00"), "view"),
+      Ev(t("2024-01-01 11:05:00"), "click"))
+    input.addData(events: _*)
+
+    val q = EventWindows.streamingTumbling(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = s.sql("SELECT bucket, event_type, cnt FROM tumbling_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss"), $"event_type", $"cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.contains(("2024-01-01 10:00:00", "click", 2L)))
+  }
+
+  test("watermark drops events later than the threshold in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventWindows.streamingTumbling(input.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(t("2024-01-01 10:05:00"), "click"))
+      q.processAllAvailable()
+      // advance event time far past 10:00-11:00 window + 10 min watermark
+      input.addData(Ev(t("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      // this event is older than watermark → must be dropped
+      input.addData(Ev(t("2024-01-01 10:07:00"), "click"))
+      q.processAllAvailable()
+      // close the 12:00 window so nothing is pending for it either
+      input.addData(Ev(t("2024-01-01 14:00:00"), "late-closer"))
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val out = s.sql("SELECT bucket, event_type, cnt FROM wm_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the 10:00 window emitted exactly 1 click — the late second click never counted
+    assert(out.contains(("2024-01-01 10:00:00", "click", 1L)))
+  }
+
+  test("batch session windows: per-user event totals are preserved") {
+    val sessions = run("q_window_session").collect()
+    val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents === Tables.events(spark, sf).count())
+  }
+}

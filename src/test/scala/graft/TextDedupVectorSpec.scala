@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Dedup, Text, Vectors}
+import org.apache.spark.sql.functions._
+
+class TextDedupVectorSpec extends SparkSpec {
+
+  test("fingerprint is invariant under case and whitespace noise") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "Hello  World foo"),
+      ("b", "hello world   foo"),
+      ("c", "entirely different")).toDF("id", "text")
+    val fps = df.select($"id", Text.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") !== fps("c"))
+  }
+
+  test("token and stopword counts on known sentence") {
+    import spark.implicits._
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val r = df.select(
+      Text.tokenCount($"text").as("n"),
+      Text.stopwordCount($"text").as("s")).collect().head
+    assert(r.getInt(0) === 6)
+    assert(r.getInt(1) === 3) // the, on, the
+  }
+
+  test("quality score stays in [0,1]") {
+    val qs = run("q_quality_score").collect().map(_.getDouble(1))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("identical texts get identical minhash signatures; est_jaccard detects a planted dup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash of identical texts matches; disjoint texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark scala data"), (2L, "spark scala data"), (3L, "totally other words here"))
+      .toDF("doc_id", "text")
+    val hs = df.select($"doc_id", Dedup.simhash48($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(hs(1L) !== hs(3L))
+  }
+
+  test("cosine(v, v) == 1 and dot matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot($"a", $"b").as("d"),
+      Vectors.cosine($"a", $"a").as("c")).collect().head
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force cosine top-k: query vector ranks itself first with sim 1") {
+    val top = run("q_cosine_topk").collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates by construction") {
+    val ann = run("q_ann_lsh").collect()
+    assert(ann.head.getLong(0) === 0L) // query's own bucket contains it
+    assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("exact dedup keeps one keeper per distinct fingerprint") {
+    val rows = run("q_dedup_exact").collect()
+    val keepers = rows.map(_.getLong(0))
+    assert(keepers.distinct.length === keepers.length)
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+  }
+}
