@@ -14,6 +14,7 @@ object SparkEntry {
     operators.SetOps,
     operators.Joins,
     operators.Windows,
+    sources.Csv,
     functions.Scalars,
     functions.Text,
     functions.Vectors,

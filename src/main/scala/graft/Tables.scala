@@ -17,13 +17,16 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy nanosAsLong) and
-    * rebuild a proper timestamp with exact integer arithmetic —
-    * `ts div 1000` keeps full precision (a double round-trip would not:
-    * epoch-nanos exceeds 2^53).
+    * reader rejects. Read it as a raw long (legacy nanosAsLong — the
+    * session builders in Verify/Bench/SparkSpec set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; table loaders never
+    * mutate session conf) and rebuild a proper timestamp with exact
+    * integer arithmetic — `ts div 1000` keeps full precision (a double
+    * round-trip would not: epoch-nanos exceeds 2^53).
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

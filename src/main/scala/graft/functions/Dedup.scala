@@ -17,20 +17,32 @@ import org.apache.spark.sql.functions._
   *     sizes, never quadratic in corpus size.
   *   - SimHash: 64-bit signature via sign-summed token-hash bits;
   *     near-dups differ in few bits (compare with bit_count(a XOR b)).
-  *   - n-gram Jaccard: exact set overlap on shingles for candidate
-  *     pairs, blocked by a cheap key (lang) to bound the pair space.
+  *   - n-gram Jaccard: exact set overlap on shingles, computed only
+  *     for MinHash-band candidate pairs — banding proposes (linear in
+  *     bucket sizes), exact Jaccard verifies.
   *
   * All hashing uses Spark's codegen'd xxhash64 — deterministic across
   * runs and cluster layouts, no UDFs anywhere.
   */
 object Dedup extends QueryModule {
 
-  /** Word n-gram shingles of a text column (distinct). */
+  /** Whitespace tokens, robust to noisy input: split on runs of
+    * whitespace and drop empties (a single-space split would emit
+    * empty tokens for multi-space runs — exactly the kind of noise
+    * dedup exists to handle).
+    */
+  def robustTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles of a text column (distinct). Texts shorter
+    * than n tokens yield an empty shingle set, not a truncated one.
+    */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val toks = robustTokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
   /** MinHash signatures, distributed shape: explode shingles to one
@@ -48,31 +60,44 @@ object Dedup extends QueryModule {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
+    // Hash each shingle string ONCE, then derive the k-member family
+    // by rehashing the 64-bit value with the member index — hashing
+    // (long, int) is far cheaper than re-hashing the full string k
+    // times, and equally deterministic.
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), 3)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h0"))
     val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(concat(col("sh"), lit(s"#$j")))).as(s"h$j"))
+      min(xxhash64(col("h0"), lit(j))).as(s"h$j"))
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
-  /** Bit i of a hash, extracted
-    * arithmetically so the shift amount can be a lambda variable:
-    * bit = floor(h / 2^i) mod 2 over the non-negative 63-bit part.
+  /** Bit i of a hash, extracted arithmetically so the shift amount can
+    * be a lambda variable: bit = floor(h / 2^i) mod 2. The input MUST
+    * already be < 2^53 (exactly representable as a double) — dividing
+    * a raw 63-bit hash here would zero the low ~10 bits in the 53-bit
+    * mantissa and bias them to 0.
     */
   private def bitOf(h: Column, i: Column): Column =
-    pmod(floor(abs(h) / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
+    pmod(floor(h / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
 
-  /** SimHash via arithmetic bit extraction (48 bits: stays exact in
-    * the double-precision pow/floor path, 2^48 < 2^53).
+  /** SimHash over 48-bit token hashes. The 64-bit xxhash64 is masked
+    * into [0, 2^48) with pmod BEFORE the double-arithmetic bit path:
+    * every value below 2^53 is exact in the pow/floor division, so all
+    * 48 extracted bits are unbiased (and the packed signature still
+    * fits a long exactly).
     */
   def simhash48(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
+    val toks = array_distinct(robustTokens(text))
     val idx = sequence(lit(0), lit(47))
     val zeros = transform(idx, _ => lit(0L))
-    val counters = aggregate(toks, zeros, (acc, tok) =>
+    val counters = aggregate(toks, zeros, (acc, tok) => {
+      val h48 = pmod(xxhash64(tok), lit(1L << 48))
       zip_with(acc, idx, (c, i) =>
-        c + when(bitOf(xxhash64(tok), i) === 1L, lit(1L)).otherwise(lit(-1L))))
+        c + when(bitOf(h48, i) === 1L, lit(1L)).otherwise(lit(-1L)))
+    })
     aggregate(counters, lit(0L), (acc, c) => acc * 2 + when(c > 0, 1L).otherwise(0L))
   }
 
@@ -110,27 +135,20 @@ object Dedup extends QueryModule {
         .orderBy($"doc_id")
     }),
 
-    // Exact n-gram Jaccard on lang-blocked pairs (no oracle).
-    "q_ngram_jaccard" -> ((s, dir) => {
-      import s.implicits._
-      val d = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", shingles($"text", 3).as("sh"))
-      val a = d.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      val b = d.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-      a.join(b, Seq("lang"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
-        .filter($"jaccard" >= 0.1)
-        .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
-        .limit(100)
-    }),
+    // Exact n-gram Jaccard, computed only on MinHash-band candidate
+    // pairs (no oracle — the candidate set is hash-family specific).
+    // Round 1 blocked all-pairs on `lang` (5 values → n²/5 pairs, 63%
+    // of the whole bench); banding makes candidate generation linear
+    // in bucket sizes, never quadratic in corpus size.
+    "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
     // Embedding-cosine near-dup pairs via LSH blocking (no oracle).
+    // Plane count scales with corpus size (Vectors.planeCount) so
+    // within-bucket pair work stays O(n · bucket-target), not O(n²).
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val planes = Vectors.hyperplanes(nPlanes = 4, dim = 64, seed = 7L)
+      val corpusSize = Tables.embeddings(s, dir).count()
+      val planes = Vectors.planesFor(corpusSize, dim = 64, seed = 7L)
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Vectors.asDouble($"embedding").as("v"))
         .withColumn("bucket", Vectors.lshBucket($"v", planes))
@@ -145,23 +163,69 @@ object Dedup extends QueryModule {
     }),
   )
 
+  /** Band-bucket rows: one (id, bucket) row per band, bucket = hash of
+    * the band index + that band's signature slice. Docs sharing any
+    * band's full slice land in the same bucket.
+    */
+  private def bandBuckets(sigs: DataFrame, idCol: String,
+                          numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          concat_ws(",",
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
+              .cast("array<string>"))))
+  }
+
+  /** LSH candidate pairs: distinct (id_a < id_b) pairs colliding in at
+    * least one band bucket. The self-join is on `bucket`, so work is
+    * linear in bucket occupancy — only colliding docs ever meet.
+    */
+  private[graft] def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                                    numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandBuckets(
+      minhashSignatures(docs, idCol, textCol, numHashes), idCol, numHashes, bands)
+    val a = banded.select(col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle Jaccard on MinHash-band candidates only: banding
+    * proposes (linear), exact set overlap verifies (per candidate).
+    * 16 bands × 2 rows keeps recall high for near-dups (P[candidate] =
+    * 1-(1-j²)^16: ≥0.97 at j≥0.5) while unrelated pairs almost never
+    * collide.
+    */
+  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String,
+                                       threshold: Double = 0.1): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
   /** MinHash banding pairs with estimated Jaccard from signature
     * agreement (fraction of equal minhashes).
     */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 32
     val bands = 8
-    val rowsPerBand = numHashes / bands
     val docs = minhashSignatures(
       Tables.documents(spark, dir), "doc_id", "text", numHashes)
-    val banded = docs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket",
-        xxhash64(col("band"),
-          concat_ws(",",
-            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
-              .cast("array<string>"))))
+    val banded = bandBuckets(docs, "doc_id", numHashes, bands)
     val a = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))

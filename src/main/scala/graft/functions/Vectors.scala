@@ -41,6 +41,22 @@ object Vectors extends QueryModule {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** Plane count as a function of corpus size: enough sign bits that
+    * expected bucket occupancy stays near `targetPerBucket`
+    * (buckets ≈ n / target, planes = ceil(log2(buckets))), clamped to
+    * [4, 24]. Within-bucket pair work is then O(n · target) instead of
+    * O(n² / 2^planes) for a fixed plane count — the difference between
+    * linear and quadratic as the corpus grows to 100 TB.
+    */
+  private[graft] def planeCount(corpusSize: Long, targetPerBucket: Long = 64L): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / targetPerBucket)
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** Hyperplane family sized for `corpusSize` vectors. */
+  private[graft] def planesFor(corpusSize: Long, dim: Int, seed: Long): Array[Array[Double]] =
+    hyperplanes(planeCount(corpusSize), dim, seed)
+
   /** Sign-bit LSH bucket id: one bit per hyperplane, MSB-first fold. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
@@ -62,13 +78,15 @@ object Vectors extends QueryModule {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN: score only vectors sharing the query's bucket. */
+  /** LSH-bucketed ANN: score only vectors sharing the query's bucket.
+    * The plane count scales with corpus size (planeCount) so bucket
+    * occupancy — and therefore probe cost — stays bounded as the
+    * corpus grows; at real scale `bucket` becomes the partition key so
+    * a probe touches one partition instead of the full corpus.
+    */
   def annLsh(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
-    // 4 sign bits → 16 buckets: on random testdata embeddings that
-    // keeps ~1/16 of the corpus as candidates; at real scale the
-    // plane count tunes bucket fan-out and `bucket` becomes the
-    // partition key.
-    val planes = hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+    val corpusSize = Tables.embeddings(spark, dir).count()
+    val planes = planesFor(corpusSize, dim = 64, seed = 42L)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
@@ -84,12 +102,23 @@ object Vectors extends QueryModule {
 
   override def queries: Map[String, Query] = Map(
     // Array feature assembly — SQL-friendly twin of VectorAssembler
-    // (`Code/flight_analysis.py:128-132`).
+    // (`Code/flight_analysis.py:128-132`). The assembled vector is
+    // surfaced as per-element scalars: the driver's oracle compare
+    // sorts result columns in pandas, which cannot hash raw arrays
+    // (CORRECTNESS_r01's one red row) — element extraction keeps the
+    // output driver-comparable while the array construction stays in
+    // the plan.
     "q_vec_assemble" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir).select(
         $"l_orderkey", $"l_linenumber",
         array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax").as("features"))
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          element_at($"features", 1).as("f0"),
+          element_at($"features", 2).as("f1"),
+          element_at($"features", 3).as("f2"),
+          element_at($"features", 4).as("f3"))
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
@@ -113,8 +142,11 @@ object Vectors extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_vec_assemble" ->
       """SELECT l_orderkey, l_linenumber,
-        |  [l_quantity, l_extendedprice, l_discount, l_tax] AS features
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  feats[1] AS f0, feats[2] AS f1, feats[3] AS f2, feats[4] AS f3
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        [l_quantity, l_extendedprice, l_discount, l_tax] AS feats
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_array_dot" ->
       """SELECT vec_id,
         |  ROUND(list_sum(list_transform(embedding,

@@ -2,6 +2,7 @@ package graft.ml
 
 import graft.QueryModule
 import graft.operators.Relational
+import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -151,14 +152,19 @@ object FlightPipeline extends QueryModule {
 
   val ClusterFeatures: Array[String] = Array("DayofWeek", "DepHour", "Month", "Distance")
 
-  /** Fit + predict on one conciliated table: the reference's
-    * clustering stage (`Code/flight_analysis.py:128-141`).
+  /** Fit once, return both the model and its predictions: the
+    * reference's clustering stage (`Code/flight_analysis.py:128-141`).
+    * Downstream scoring reuses the returned model — one KMeans fit per
+    * pipeline run, never a refit.
     */
-  def clusterPredictions(df: DataFrame): DataFrame = {
+  def fitOn(df: DataFrame): (KMeansModel, DataFrame) = {
     val feats = Clustering.assembler(ClusterFeatures)
       .transform(sanitize(df, ClusterFeatures.toSeq))
-    Clustering.fitKMeans(feats, K, Seed).transform(feats)
+    val model = Clustering.fitKMeans(feats, K, Seed)
+    (model, model.transform(feats))
   }
+
+  def clusterPredictions(df: DataFrame): DataFrame = fitOn(df)._2
 
   /** Top-K airlines by cancellation count
     * (`Code/flight_analysis.py:197-208`).
@@ -168,13 +174,11 @@ object FlightPipeline extends QueryModule {
 
   /** Score new rows restricted to the top airlines — broadcast
     * left-semi join replacing the reference's collect+isin
-    * (`Code/flight_analysis.py:219-224`).
+    * (`Code/flight_analysis.py:219-224`). Takes the already-fitted
+    * model (from `fitOn`) — scoring must never refit.
     */
   def scoreFuture(future: DataFrame, topAirlines: DataFrame,
-                  predictions: DataFrame): DataFrame = {
-    val model = Clustering.fitKMeans(
-      Clustering.assembler(ClusterFeatures).transform(
-        sanitize(predictions, ClusterFeatures.toSeq)), K, Seed)
+                  model: KMeansModel): DataFrame = {
     val filtered = future.join(
       broadcast(topAirlines.select(col("Airline"))), Seq("Airline"), "left_semi")
     val feats = Clustering.assembler(ClusterFeatures)

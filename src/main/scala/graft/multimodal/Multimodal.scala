@@ -49,33 +49,47 @@ object Multimodal extends QueryModule {
     StructField("height", IntegerType, nullable = false),
     StructField("histogram", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** STUB decode kernel: a real implementation would call an image
-    * codec here (per partition, batched). The stand-in derives a fake
-    * "decoded" frame deterministically from payload bytes: dimensions
-    * from the first bytes, a 16-bin byte histogram as the feature map.
+  /** STUB decode kernel over a BATCH of payloads: a real
+    * implementation would hand the whole batch to a native codec in
+    * one call (the amortization that makes per-image decode viable at
+    * scale). The stand-in derives a fake "decoded" frame
+    * deterministically from payload bytes: dimensions from the first
+    * bytes, a 16-bin byte histogram as the feature map.
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
-    val w = 64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0)
-    val h = 64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
-    val hist = new Array[Double](16)
-    payload.foreach(b => hist((b & 0xff) / 16) += 1.0)
-    val total = math.max(1.0, payload.length.toDouble)
-    (w, h, hist.map(_ / total))
-  }
+  private def decodeStubBatch(payloads: Array[Array[Byte]]): Array[(Int, Int, Array[Double])] =
+    payloads.map { payload =>
+      val w = 64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0)
+      val h = 64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
+      val hist = new Array[Double](16)
+      payload.foreach(b => hist((b & 0xff) / 16) += 1.0)
+      val total = math.max(1.0, payload.length.toDouble)
+      (w, h, hist.map(_ / total))
+    }
+
+  /** Rows per kernel invocation: large enough to amortize a native
+    * codec call, small enough to bound batch memory (payloads can be
+    * megabytes each at real scale).
+    */
+  val DecodeBatchSize = 256
 
   /** Partition-batched decode: binary payload → (width, height,
-    * histogram features). One iterator pass per partition — the batch
-    * shape a vectorized codec kernel needs.
+    * histogram features). Each partition's rows are fed to the codec
+    * kernel in `DecodeBatchSize` chunks — one kernel invocation per
+    * batch, not per row (the Scala equivalent of `mapInPandas` batch
+    * shape).
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = Encoders.row(decodedSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val (w, h, hist) = decodeStub(payload)
-          Row(id, w, h, hist.toSeq)
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val payloads = batch.map { r =>
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          }.toArray
+          ids.iterator.zip(decodeStubBatch(payloads).iterator).map {
+            case (id, (w, h, hist)) => Row(id, w, h, hist.toSeq)
+          }
         }
       }(enc)
   }
@@ -103,6 +117,18 @@ object Multimodal extends QueryModule {
         .orderBy($"media_id")
     }),
 
+    // Frame-offset sampling — pure arithmetic over payload length, so
+    // it is oracle-checkable (DuckDB generate_series twin). Offsets
+    // are exploded to scalar rows: the driver compare can't hash
+    // array columns.
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      sampleFrames(mediaTable(s, dir))
+        .select($"media_id", explode($"frame_offsets").as("off"))
+        .select($"media_id", $"off".cast("long").as("frame_offset"))
+        .orderBy($"media_id", $"frame_offset")
+    }),
+
     // Metadata projection never reads payload bytes (column pruning
     // through the struct) — oracle-checkable.
     "q_multimodal_meta" -> ((s, dir) => {
@@ -115,6 +141,15 @@ object Multimodal extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // payload = utf8 bytes of text, so lengths are octet lengths
+    // (Spark length(binary) counts bytes; DuckDB length(varchar)
+    // counts characters — encode() makes them agree on non-ASCII).
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(u * 32 AS BIGINT) AS frame_offset
+        |FROM (SELECT doc_id, unnest(range(0,
+        |    GREATEST(CAST(FLOOR(octet_length(encode(text)) / 32) AS INT) - 1, 0) + 1)) AS u
+        |  FROM documents)
+        |ORDER BY media_id, frame_offset""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS kind,
         |  CAST(length(text) AS BIGINT) AS n_bytes, source

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{Dedup, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Scale-path guarantees for the near-dup operators:
+  *
+  *   - the MinHash-band candidate generator must not lose real
+  *     near-dup pairs (banding proposes, exact Jaccard verifies — a
+  *     candidate set missing true pairs silently under-dedups);
+  *   - LSH bucket occupancy must stay bounded as the corpus grows
+  *     (fixed plane counts degrade to O(n²) within-bucket work).
+  */
+class DedupScaleSpec extends SparkSpec {
+
+  test("band candidates ⊇ brute-force pairs with jaccard ≥ 0.3 (sf0.001)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val bruteForce = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          greatest(size(array_union($"a.sh", $"b.sh")), lit(1))).as("j"))
+      .filter($"j" >= 0.3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"brute-force pairs j>=0.3: ${bruteForce.size}; candidates: ${cands.size}")
+    assert(bruteForce.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(bruteForce.subsetOf(cands),
+      s"banding missed ${bruteForce -- cands}")
+  }
+
+  test("candidate-verified jaccard pairs match brute force above threshold (sf0.001)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        round(size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          greatest(size(array_union($"a.sh", $"b.sh")), lit(1)), 4).as("j"))
+      .filter($"j" >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCandidates = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCandidates === brute)
+  }
+
+  test("shingles: whitespace runs produce no empty tokens; short texts no shingles") {
+    import spark.implicits._
+    val df = Seq(
+      ("a  b   c d", 0L), // runs of spaces
+      ("one two", 1L),    // shorter than n=3 tokens
+      ("  ", 2L)          // whitespace only
+    ).toDF("text", "id")
+    val out = df.select($"id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L) === Seq("a b c", "b c d"))
+    assert(out(1L) === Seq.empty)
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("simhash48 uses all 48 bits (high bits vary across docs)") {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sf)
+      .select(Dedup.simhash48($"text").as("sig"))
+      .collect().map(_.getLong(0))
+    // top 10 bits were near-constant before the 2^48 mask fix; now
+    // every bit position should vary across a diverse corpus
+    val high = sigs.map(_ >>> 38).toSet
+    assert(high.size > 1, s"high bits constant: ${high}")
+    assert(sigs.forall(s => s >= 0 && s < (1L << 48)))
+  }
+
+  test("LSH plane count scales with corpus size; bucket occupancy bounded (sf0.01)") {
+    import spark.implicits._
+    assert(Vectors.planeCount(100) === 4)
+    assert(Vectors.planeCount(10000) > Vectors.planeCount(500))
+    assert(Vectors.planeCount(1000L * 1000 * 1000) === 24) // clamped
+    val sfDir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val planes = Vectors.planesFor(n, dim = 64, seed = 42L)
+    val occ = emb.select(Vectors.lshBucket(
+        Vectors.asDouble($"embedding"), planes).as("bucket"))
+      .groupBy($"bucket").count()
+      .agg(max($"count")).collect().head.getLong(0)
+    val avg = n.toDouble / (1L << planes.length)
+    info(s"n=$n planes=${planes.length} maxOcc=$occ avg=$avg")
+    assert(occ <= math.max(8 * avg, 64.0), s"max occupancy $occ vs avg $avg")
+  }
+}

@@ -17,13 +17,23 @@ class MlSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("flight pipeline end-to-end: profile bounded, silhouette in (0,1]") {
+  test("flight pipeline end-to-end: profile bounded, silhouette matches BASELINE band") {
     val spark0 = spark
     val prepped = FlightPipeline.conciliated(
       FlightPipeline.clean2019(FlightPipeline.fixture2019(spark0)), "CancellationReason")
     val preds = FlightPipeline.clusterPredictions(prepped)
     val sil = Clustering.silhouette(preds)
-    assert(sil > 0.0 && sil <= 1.0, s"silhouette=$sil")
+    info(s"silhouette 2019 fixture = $sil")
+    val sil23 = Clustering.silhouette(FlightPipeline.clusterPredictions(
+      FlightPipeline.conciliated(
+        FlightPipeline.clean2023(FlightPipeline.fixture2023(spark0)), "DelayReason")))
+    info(s"silhouette 2023 fixture = $sil23")
+    // BASELINE.md publishes ≈0.74 (2019) / ≈0.72 (2023) for the
+    // reference's unscaled, distance-dominated clustering; the
+    // fixtures reproduce that regime (measured 0.737 / 0.718), so
+    // assert the published values within ±0.05 — not merely (0,1].
+    assert(math.abs(sil - 0.74) <= 0.05, s"silhouette 2019=$sil outside 0.74±0.05")
+    assert(math.abs(sil23 - 0.72) <= 0.05, s"silhouette 2023=$sil23 outside 0.72±0.05")
     val profile = Clustering.clusterProfile(preds, "Reason", 20).collect()
     assert(profile.length <= 20 && profile.nonEmpty)
     val cnts = profile.map(_.getAs[Long]("cnt"))
@@ -59,7 +69,8 @@ class MlSpec extends SparkSpec {
       (1, 10, 6, 500.0, topNames.head),
       (2, 14, 7, 800.0, "NoSuchAirline"))
       .toDF("DayofWeek", "DepHour", "Month", "Distance", "Airline")
-    val scored = FlightPipeline.scoreFuture(future, top, prepped)
+    val (model, _) = FlightPipeline.fitOn(prepped)
+    val scored = FlightPipeline.scoreFuture(future, top, model)
     val rows = scored.collect()
     assert(rows.length === 1) // NoSuchAirline filtered by the semi join
     assert(rows.head.getAs[Int]("prediction") >= 0)

@@ -9,18 +9,27 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def has_arrays(df: pd.DataFrame) -> list:
+    """Array-typed cells — the DRIVER's compare cannot sort these
+    (pandas sort_values raises on ndarray cells), so an oracle-declared
+    query emitting them is a guaranteed red row. Mirror that here
+    instead of silently tuple-converting (which made local PASS
+    meaningless for q_vec_assemble in round 1)."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and any(
+                isinstance(v, (list, np.ndarray)) for v in df[c].head(5)):
+            bad.append(c)
+    return bad
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize values: lists->tuples for sortability
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                              else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -41,7 +50,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            mine = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            mine_raw = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            arr_cols = has_arrays(mine_raw)
+            if arr_cols:
+                print(f"FAIL {key}: array-typed columns {arr_cols} — the driver "
+                      "compare cannot sort arrays; emit scalars or a string form")
+                n_fail += 1
+                continue
+            mine = norm(mine_raw)
             oracle = norm(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {key}: {type(e).__name__}: {e}")
@@ -59,7 +75,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in mine.columns:
             a, b = mine[c], oracle[c]
             try:
-                eq = (a == b) | (a.isna() & b.isna())
+                if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                    # tolerance: cross-engine rounding can differ in the
+                    # last ulp at the .5 boundary even after round(...,4)
+                    av, bv = a.astype(float), b.astype(float)
+                    eq = pd.Series(np.isclose(av, bv, rtol=0, atol=1e-6),
+                                   index=a.index) | (a.isna() & b.isna())
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():
