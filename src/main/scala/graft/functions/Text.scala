@@ -108,6 +108,24 @@ object Text extends QueryModule {
         .select($"doc_id", fingerprint($"text").as("fp"))
         .orderBy($"doc_id")
     }),
+
+    // Corpus-level bigram frequencies: per-row bigram arrays explode
+    // into a hash-partition count — the shuffle moves (bigram, partial
+    // count), map-side combined, so corpus size only grows the linear
+    // explode stage.
+    "q_top_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Dedup.robustTokens($"text")
+      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      Tables.documents(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bigram".asc)
+        .limit(20)
+    }),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -139,5 +157,15 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |                     t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i] || ' ' || tk[i+1] AS bigram
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
+        |SELECT bigram, COUNT(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
   )
 }

@@ -137,6 +137,21 @@ object Vectors extends QueryModule {
     // LSH-bucketed ANN — scale path, same output shape (no oracle:
     // bucketing is engine-specific).
     "q_ann_lsh" -> ((s, dir) => annLsh(s, dir, queryId = 0L, k = 10)),
+
+    // Per-label embedding centroids, element-wise: posexplode to
+    // (label, dim, value) rows, hash-aggregate the mean. The shuffle
+    // moves map-side-combined partials per (label, dim) — 64 × labels
+    // groups regardless of corpus size — which is how element-wise
+    // vector statistics stay linear at 100 TB (no array-valued
+    // aggregation state, no driver collection).
+    "q_centroids" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode(asDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"v"), 4).as("centroid"))
+        .orderBy($"label", $"pos")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -152,6 +167,11 @@ object Vectors extends QueryModule {
         |  ROUND(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS dot_self
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |scored AS (

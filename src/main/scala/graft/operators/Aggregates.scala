@@ -74,6 +74,71 @@ object Aggregates extends QueryModule {
         .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
+
+    // [EXT] cube: every grouping-set combination. Subtotal NULLs are
+    // labeled 'ALL' (the group keys are never null in the data), which
+    // keeps the output deterministic-sortable without engine-specific
+    // GROUPING() functions.
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 4).as("sum_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"cnt", $"sum_price")
+        .orderBy($"status", $"priority")
+    }),
+
+    // [EXT] pivot: long→wide with an EXPLICIT value list — without it
+    // Spark collects the distinct pivot values to the driver first (an
+    // extra job and a scale hazard). Count cells are coalesced to 0 so
+    // absent combinations are distinguishable from nulls.
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("f_cnt"),
+          coalesce($"O", lit(0L)).as("o_cnt"),
+          coalesce($"P", lit(0L)).as("p_cnt"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // [EXT] skew-safe salted aggregation: pre-aggregate on
+    // (key, salt) so one hot key spreads over 16 reducers, then
+    // combine partials per key. Same result as the direct groupBy —
+    // the oracle is the plain GROUP BY — but the shuffle is bounded
+    // per reducer even when 99% of rows share one key. l_quantity is
+    // integral, so the two-stage double sum is exact.
+    "q_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      val partials = Tables.lineitem(s, dir)
+        .withColumn("_salt", pmod(xxhash64($"l_orderkey"), lit(16)))
+        .groupBy($"l_returnflag", $"_salt")
+        .agg(sum($"l_quantity").as("psum"), count(lit(1)).as("pcnt"))
+      partials.groupBy($"l_returnflag")
+        .agg(round(sum($"psum"), 4).as("sum_qty"), sum($"pcnt").as("cnt"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // [EXT] exact percentiles (linear interpolation, matching
+    // ANSI/DuckDB quantile_cont) per group. At 100 TB prefer
+    // approx_percentile; the exact operator is the correctness anchor.
+    "q_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"l_quantity", lit(0.25)), 4).as("p25"),
+          round(percentile($"l_quantity", lit(0.5)), 4).as("p50"),
+          round(percentile($"l_quantity", lit(0.75)), 4).as("p75"),
+          round(percentile($"l_extendedprice", lit(0.5)), 4).as("median_price"))
+        .orderBy($"l_returnflag")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -104,5 +169,31 @@ object Aggregates extends QueryModule {
         |  ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

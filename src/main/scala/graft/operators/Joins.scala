@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Join surface (SURVEY §2.4). The reference has no `join` call —
@@ -17,6 +19,54 @@ import org.apache.spark.sql.functions._
   *     interval containment without a custom operator.
   */
 object Joins extends QueryModule {
+
+  /** As-of (point-in-time) join: for each probe row, the latest build
+    * row with build ts <= probe ts on the same key. Spark has no ASOF
+    * operator; the scale-correct composition is union + running
+    * `last(ignoreNulls)` window — ONE hash exchange on the key and a
+    * local sort, instead of a per-row range probe that degenerates to
+    * a nested-loop join. Build rows sort before probe rows at equal ts
+    * (`_probe` ascending), so the match is inclusive.
+    *
+    * `build` must carry (keyCol, tsCol, payloadCol); probe keeps all
+    * its columns and gains `payloadCol` = the as-of match (null if no
+    * build row precedes).
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame,
+               keyCol: String, tsCol: String, payloadCol: String): DataFrame = {
+    val tagged = probe.withColumn("_probe", lit(1))
+      .unionByName(
+        build.select(col(keyCol), col(tsCol), col(payloadCol))
+          .withColumn("_probe", lit(0)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_probe").asc, col(payloadCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(payloadCol, last(col(payloadCol), ignoreNulls = true).over(w))
+      .filter(col("_probe") === 1)
+      .drop("_probe")
+  }
+
+  /** Binned range join — the scale path for interval containment:
+    * each [lo, hi] range explodes to the fixed-width bins it covers,
+    * each point maps to its single bin, and the join becomes a plain
+    * equi-join on the bin key (hash shuffle or broadcast) with an
+    * exact BETWEEN re-check. A point's bin is unique, so no dedup is
+    * needed. Work is O(rows × bins-per-range) instead of the
+    * O(|points| × |ranges|) broadcast nested loop Spark plans for a
+    * raw BETWEEN condition.
+    */
+  def binnedRangeJoin(points: DataFrame, pointCol: Column,
+                      ranges: DataFrame, loCol: Column, hiCol: Column,
+                      binWidth: Int): DataFrame = {
+    val binnedRanges = ranges.withColumn("_bin",
+      explode(sequence(floor(loCol / binWidth), floor(hiCol / binWidth))))
+    val binnedPoints = points.withColumn("_bin", floor(pointCol / binWidth))
+    binnedPoints.join(binnedRanges, Seq("_bin"))
+      .filter(pointCol.between(loCol, hiCol))
+      .drop("_bin")
+  }
 
   override def queries: Map[String, Query] = Map(
     // Broadcast hash inner join: fact ⋈ small dim on partkey.
@@ -84,6 +134,31 @@ object Joins extends QueryModule {
         .select($"p_partkey", $"b_id")
         .orderBy($"p_partkey", $"b_id")
     }),
+
+    // Same semantics as q_join_range through the binned equi-join
+    // path — the strategy that survives when neither side broadcasts.
+    "q_join_range_binned" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Seq((1, 1, 10), (2, 11, 20), (3, 21, 35), (4, 36, 50))
+        .toDF("b_id", "lo", "hi")
+      binnedRangeJoin(Tables.part(s, dir), $"p_size", buckets, $"lo", $"hi", binWidth = 8)
+        .select($"p_partkey", $"b_id")
+        .orderBy($"p_partkey", $"b_id")
+    }),
+
+    // As-of join: each purchase event attributed to the user's most
+    // recent view at-or-before it (classic point-in-time attribution).
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"ts".as("view_ts"))
+      asofJoin(purchases, views, "user_id", "ts", "view_ts")
+        .select($"event_id", $"user_id", $"view_ts")
+        .orderBy($"event_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -115,5 +190,17 @@ object Joins extends QueryModule {
         |FROM part JOIN (VALUES (1, 1, 10), (2, 11, 20), (3, 21, 35), (4, 36, 50))
         |  AS b(b_id, lo, hi) ON p_size BETWEEN lo AND hi
         |ORDER BY p_partkey, b_id""".stripMargin,
+    "q_join_range_binned" ->
+      """SELECT p_partkey, b_id
+        |FROM part JOIN (VALUES (1, 1, 10), (2, 11, 20), (3, 21, 35), (4, 36, 50))
+        |  AS b(b_id, lo, hi) ON p_size BETWEEN lo AND hi
+        |ORDER BY p_partkey, b_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT max(v.ts) FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |     AND v.ts <= p.ts) AS view_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

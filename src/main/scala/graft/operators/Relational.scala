@@ -126,6 +126,22 @@ object Relational extends QueryModule {
         .select($"c_custkey", $"c_name", $"c_mktsegment")
         .orderBy($"c_custkey")
     }),
+
+    // [EXT] seeded stratified sampling — the training-data downsampler
+    // (per-language quotas when rebalancing a corpus). Bernoulli
+    // per-row with per-stratum fractions: one scan, no shuffle,
+    // deterministic under a fixed seed. No oracle (the kept set is
+    // sampler-specific — rows-only check; the spec asserts fractions
+    // and determinism).
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25),
+          seed = 42L)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(

@@ -49,6 +49,21 @@ object Windows extends QueryModule {
         .select($"user_id", $"event_id", $"value", $"prev_value", $"next_type")
         .orderBy($"user_id", $"event_id")
     }),
+
+    // Distribution window functions: quartile bucketing, percent_rank,
+    // cume_dist per group — unique orderkey tiebreak keeps every rank
+    // deterministic.
+    "q_window_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -71,5 +86,14 @@ object Windows extends QueryModule {
         |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
   )
 }

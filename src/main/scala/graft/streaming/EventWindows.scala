@@ -62,10 +62,35 @@ object EventWindows extends QueryModule {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("cnt"))
 
+  /** Streaming dedup by event id within the watermark horizon —
+    * exactly-once semantics over an at-least-once transport. State
+    * holds one key per event inside the watermark window and is
+    * GC'd as the watermark advances, so memory is bounded by event
+    * rate × horizon, not stream length.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of the dedup: double-delivered input collapses back to
+    * per-type counts of the original stream (the oracle-checkable
+    * statement of "dedup removes redelivery, nothing else").
+    */
+  def dedupDoubledCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    ev.unionAll(ev)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, Query] = Map(
     "q_window_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
     "q_window_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
+    "q_stream_dedup" -> ((s, dir) => dedupDoubledCounts(s, dir)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -86,5 +111,9 @@ object EventWindows extends QueryModule {
         |  WHERE epoch(e.ts) - (CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900 - g.o * 900) < 3600)
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

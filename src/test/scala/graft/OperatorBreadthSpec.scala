@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator breadth: as-of join, binned range join, pivot,
+  * salted aggregation, percentiles, cube, distribution windows,
+  * bigrams, centroids, stratified sampling.
+  */
+class OperatorBreadthSpec extends SparkSpec {
+
+  test("asofJoin picks the latest build row at-or-before each probe ts") {
+    import spark.implicits._
+    val probe = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L))
+      .toDF("event_id", "k", "t")
+    val build = Seq((1L, 3L, 30L), (1L, 10L, 100L), (1L, 12L, 120L), (2L, 9L, 90L))
+      .toDF("k", "t", "payload")
+    val out = Joins.asofJoin(probe, build, "k", "t", "payload")
+      .select($"event_id", $"payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) === 100L) // t=10 matches the build row AT 10 (inclusive)
+    assert(out(101L) === 30L)  // t=5 → latest build at 3
+    assert(out(102L) === -1L)  // t=7 precedes the only k=2 build row (9)
+  }
+
+  test("q_join_asof matches per-row max-subquery semantics") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+    val expected = purchases.join(views,
+        $"user_id" === $"v_user" && $"v_ts" <= $"ts", "left")
+      .groupBy($"event_id").agg(max($"v_ts").as("view_ts"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val got = run("q_join_asof").collect()
+      .map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(got === expected)
+  }
+
+  test("binned range join returns exactly the BNLJ range-join result") {
+    val a = run("q_join_range").collect().toSeq
+    val b = run("q_join_range_binned").collect().toSeq
+    assert(a === b)
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    import spark.implicits._
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(run("q_salted_agg").collect().toSeq === direct)
+  }
+
+  test("pivot counts per row sum to the group total") {
+    import spark.implicits._
+    val rows = run("q_pivot").collect()
+    val totals = Tables.orders(spark, sf).groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val s = r.getLong(1) + r.getLong(2) + r.getLong(3)
+      assert(s === totals(r.getString(0)))
+    }
+  }
+
+  test("cube contains group, both subtotal shapes, and the grand total") {
+    val rows = run("q_cube").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val grand = rows.filter(t => t._1 == "ALL" && t._2 == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head._3 === Tables.orders(spark, sf).count())
+    assert(rows.exists(t => t._1 == "ALL" && t._2 != "ALL"))
+    assert(rows.exists(t => t._1 != "ALL" && t._2 == "ALL"))
+  }
+
+  test("percentiles are ordered and within the value domain") {
+    val rows = run("q_percentiles").collect()
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 >= 1.0 && p75 <= 50.0)
+    }
+  }
+
+  test("ntile quartiles are 1..4 and cume_dist ends at 1") {
+    import spark.implicits._
+    val rows = run("q_window_ntile")
+    val qs = rows.select($"quartile").distinct().collect().map(_.getInt(0)).sorted
+    assert(qs.toSeq === Seq(1, 2, 3, 4))
+    assert(rows.agg(max($"cume")).collect().head.getDouble(0) === 1.0)
+  }
+
+  test("top bigrams come from the corpus and counts are descending") {
+    val rows = run("q_top_bigrams").collect()
+    assert(rows.length === 20)
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sorted.reverse))
+    assert(rows.forall(_.getString(0).split(" ").length >= 2))
+  }
+
+  test("centroids: 64 dims per label, values inside observed range") {
+    import spark.implicits._
+    val rows = run("q_centroids").collect()
+    val perLabel = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(perLabel.values.forall(_ === 64))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) < 10.0))
+  }
+
+  test("stratified sample is seed-deterministic and respects strata") {
+    import spark.implicits._
+    val a = run("q_sample_stratified").collect().map(_.getLong(0)).toSeq
+    val b = run("q_sample_stratified").collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sampleBy with fixed seed must be deterministic")
+    val byLang = run("q_sample_stratified").groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 0.5, others at 0.25 — allow generous Bernoulli noise
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.25 && enFrac < 0.75, s"en fraction $enFrac")
+    val deFrac = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(deFrac > 0.05 && deFrac < 0.5, s"de fraction $deFrac")
+  }
+}

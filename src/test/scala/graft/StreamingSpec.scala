@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String)
+case class DupEv(event_id: Long, ts: Timestamp, event_type: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -64,6 +65,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     // the 10:00 window emitted exactly 1 click — the late second click never counted
     assert(out.contains(("2024-01-01 10:00:00", "click", 1L)))
+  }
+
+  test("streaming dedup within watermark drops redelivered event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[DupEv]
+    val q = EventWindows.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DupEv(1L, t("2024-01-01 10:00:00"), "click"),
+        DupEv(2L, t("2024-01-01 10:01:00"), "view"),
+        DupEv(1L, t("2024-01-01 10:00:00"), "click")) // same-batch redelivery
+      q.processAllAvailable()
+      // cross-batch redelivery, still within the 10-min watermark
+      input.addData(DupEv(2L, t("2024-01-01 10:01:30"), "view"))
+      q.processAllAvailable()
+      input.addData(DupEv(3L, t("2024-01-01 10:02:00"), "purchase"))
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val ids = s.sql("SELECT event_id FROM dedup_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L), s"expected one row per id, got $ids")
   }
 
   test("batch session windows: per-user event totals are preserved") {
