@@ -109,6 +109,22 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Pairwise edit distance (codegen'd levenshtein built-in) over
+    // consecutive-id English docs — the string-similarity surface for
+    // near-dup verification. Restricted to 50-char prefixes so the
+    // O(m·n) DP stays bounded per pair; at scale the pairing comes
+    // from LSH candidates, not id-adjacency.
+    "q_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val en = Tables.documents(s, dir).filter($"lang" === "en")
+        .select($"doc_id", substring($"text", 1, 50).as("prefix"))
+      val a = en.select($"doc_id".as("id_a"), $"prefix".as("pa"))
+      val b = en.select(($"doc_id" - 1).as("id_a"), $"doc_id".as("id_b"), $"prefix".as("pb"))
+      a.join(b, Seq("id_a"))
+        .select($"id_a", $"id_b", levenshtein($"pa", $"pb").as("edit_dist"))
+        .orderBy($"id_a")
+    }),
+
     // Corpus-level bigram frequencies: per-row bigram arrays explode
     // into a hash-partition count — the shuffle moves (bigram, partial
     // count), map-side combined, so corpus size only grows the linear
@@ -157,6 +173,13 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 50), substr(b.text, 1, 50)) AS INT)
+        |    AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.lang = 'en' AND b.lang = 'en'
+        |ORDER BY id_a""".stripMargin,
     "q_top_bigrams" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'),

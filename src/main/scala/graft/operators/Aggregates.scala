@@ -56,12 +56,14 @@ object Aggregates extends QueryModule {
 
     // [EXT] approximate distinct via HLL++ — sketch internals differ
     // from DuckDB's, so no hash oracle (rows-only check); the exact
-    // twin q_count_distinct carries the oracle.
+    // twin q_count_distinct carries the oracle, and a spec bounds the
+    // relative error at 5% (rsd=0.02 sizes the sketch for that bound
+    // with margin; the 0.05 default missed it on small cardinalities).
     "q_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir).agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
+        approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
     }),
 
     // [EXT] rollup: per-(flag,status), per-flag subtotals, grand total.

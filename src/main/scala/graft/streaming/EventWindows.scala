@@ -115,5 +115,27 @@ object EventWindows extends QueryModule {
       """SELECT event_type, COUNT(*) AS cnt
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // DuckDB has no session_window, but session semantics ARE
+    // ANSI-expressible: a session break is a gap >= the 30-minute
+    // horizon (Spark extends a session while the next event is
+    // strictly inside last_ts + gap), sessions are numbered with a
+    // running sum of breaks, then grouped.
+    "q_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

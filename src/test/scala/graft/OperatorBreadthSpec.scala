@@ -107,6 +107,28 @@ class OperatorBreadthSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(2)) < 10.0))
   }
 
+  test("approx_count_distinct lands within 5% of the exact cardinality") {
+    import spark.implicits._
+    val approx = run("q_approx_distinct").collect().head
+    val exact = Tables.lineitem(spark, sf).agg(
+      countDistinct($"l_partkey"), countDistinct($"l_orderkey"))
+      .collect().head
+    Seq(0, 1).foreach { i =>
+      val (a, e) = (approx.getLong(i).toDouble, exact.getLong(i).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+    }
+  }
+
+  test("edit distance is 0 on identical prefixes and symmetric") {
+    import spark.implicits._
+    val df = Seq(("abc", "abc"), ("kitten", "sitting"), ("", "ab"))
+      .toDF("a", "b")
+      .select(levenshtein($"a", $"b").as("d"), levenshtein($"b", $"a").as("dr"))
+      .collect()
+    assert(df.map(_.getInt(0)).toSeq === Seq(0, 3, 2))
+    assert(df.forall(r => r.getInt(0) === r.getInt(1)))
+  }
+
   test("stratified sample is seed-deterministic and respects strata") {
     import spark.implicits._
     val a = run("q_sample_stratified").collect().map(_.getLong(0)).toSeq

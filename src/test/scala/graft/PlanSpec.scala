@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan shape assertions: the 100 TB posture is a property of
+  * the PLAN, not the sf0.001 result — these pin the shapes that matter
+  * (scan-level filter pushdown + column pruning, broadcast joins for
+  * dims, TakeOrderedAndProject for top-K, hash- not nested-loop joins
+  * for the binned range path) so a refactor that silently loses one
+  * fails the suite, not the next 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String): String =
+    run(key).queryExecution.executedPlan.toString
+
+  test("q_scan_project: filter is pushed to the parquet scan and columns pruned") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45"), p)
+    // only the 4 projected columns reach the reader
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("q_join_broadcast plans a broadcast hash join (no fact-side shuffle)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("binned range join is a hash join, not a nested loop") {
+    val p = plan("q_join_range_binned")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the raw BETWEEN version is the nested loop it replaces
+    assert(plan("q_join_range").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("top-K plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_filter_topk_count").contains("TakeOrderedAndProject"))
+    assert(plan("q_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_semi broadcasts the filtered build side") {
+    val p = plan("q_join_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan("q_agg_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_multimodal_meta never reads beyond the columns it needs") {
+    val p = plan("q_multimodal_meta")
+    // doc_id, text (for n_bytes), source — but never lang/n_chars
+    assert(!p.contains("lang"), p)
+  }
+}
