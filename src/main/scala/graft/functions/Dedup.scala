@@ -142,6 +142,15 @@ object Dedup extends QueryModule {
     // in bucket sizes, never quadratic in corpus size.
     "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // SimHash near-dup pairs via bit-band blocking: the 48-bit
+    // signature splits into 4 bands of 12 bits; by pigeonhole, any
+    // pair within hamming distance 3 agrees on at least one full band,
+    // so the band-bucket self-join has GUARANTEED recall at d<=3 while
+    // unrelated docs collide on a 12-bit match (~1/4096). No oracle —
+    // signatures are hash-specific; the spec asserts parity with a
+    // brute-force hamming scan.
+    "q_simhash_neardup" -> ((s, dir) => simhashNearDups(s, dir, maxHamming = 3)),
+
     // Embedding-cosine near-dup pairs via LSH blocking (no oracle).
     // Plane count scales with corpus size (Vectors.planeCount) so
     // within-bucket pair work stays O(n · bucket-target), not O(n²).
@@ -215,6 +224,35 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
+  }
+
+  /** SimHash band-blocked near-dup pairs: band b of a signature is
+    * bits [12b, 12b+12), extracted with the exact double-arithmetic
+    * path (sig < 2^48, every division is by a power of two). Pairs
+    * colliding on any band are verified with bit_count(a XOR b).
+    */
+  private[graft] def simhashNearDups(spark: SparkSession, dir: String,
+                                     maxHamming: Int,
+                                     cap: Int = 100): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash48(col("text")).as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          pmod(floor(col("sig") / pow(lit(2.0), col("band") * 12)).cast("long"),
+            lit(4096L))))
+    val a = banded.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+      .limit(cap)
   }
 
   /** MinHash banding pairs with estimated Jaccard from signature

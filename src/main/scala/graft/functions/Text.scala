@@ -109,6 +109,27 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // TF-IDF top terms: tf from an explode → (doc, term) hash count,
+    // document frequency from a term-level aggregate, idf join kept on
+    // the term key. Both shuffles move pre-aggregated (key, count)
+    // partials — corpus size only grows the linear tokenize stage, the
+    // agg state is bounded by vocabulary size.
+    "q_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      val terms = docs.select($"doc_id",
+          explode(graft.functions.Dedup.robustTokens(lower($"text"))).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .select($"doc_id", $"term",
+          round($"tf" * log((lit(nDocs) + 1.0) / ($"df" + 1.0)), 4).as("tfidf"))
+        .orderBy($"tfidf".desc, $"term".asc, $"doc_id".asc)
+        .limit(50)
+    }),
+
     // Pairwise edit distance (codegen'd levenshtein built-in) over
     // consecutive-id English docs — the string-similarity surface for
     // near-dup verification. Restricted to 50-char prefixes so the
@@ -173,6 +194,19 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |ORDER BY tfidf DESC, term, doc_id LIMIT 50""".stripMargin,
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(substr(a.text, 1, 50), substr(b.text, 1, 50)) AS INT)

@@ -75,6 +75,22 @@ class DedupScaleSpec extends SparkSpec {
     assert(sigs.forall(s => s >= 0 && s < (1L << 48)))
   }
 
+  test("simhash band blocking finds every pair within hamming 3 (pigeonhole)") {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.simhash48($"text").as("sig"))
+    val bruteForce = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("h"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDups(spark, sf, maxHamming = 3, cap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"brute-force pairs h<=3: ${bruteForce.size}")
+    assert(banded === bruteForce)
+  }
+
   test("LSH plane count scales with corpus size; bucket occupancy bounded (sf0.01)") {
     import spark.implicits._
     assert(Vectors.planeCount(100) === 4)
