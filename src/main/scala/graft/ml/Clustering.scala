@@ -3,7 +3,7 @@ package graft.ml
 import graft.{QueryModule, Tables}
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
-import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,19 @@ object Clustering extends QueryModule {
 
   def fitKMeans(df: DataFrame, k: Int = 5, seed: Long = 42L): KMeansModel =
     new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(df)
+
+  /** Standardize features before clustering — the improvement the
+    * reference needs (SURVEY §0 bug table: its raw features span
+    * DayofWeek 1–7 vs Distance to ~5000, so distance dominates every
+    * centroid). Two treeAggregate passes (fit stats + transform), no
+    * extra shuffle.
+    */
+  def scaled(assembled: DataFrame): DataFrame =
+    new StandardScaler()
+      .setInputCol("features").setOutputCol("features_std")
+      .setWithMean(true).setWithStd(true)
+      .fit(assembled).transform(assembled)
+      .drop("features").withColumnRenamed("features_std", "features")
 
   def silhouette(predictions: DataFrame): Double =
     new ClusteringEvaluator()
@@ -67,6 +80,19 @@ object Clustering extends QueryModule {
       import s.implicits._
       val feats = assembler().transform(
         Tables.lineitem(s, dir).select(FeatureCols.map(col): _*))
+      val model = fitKMeans(feats)
+      model.transform(feats)
+        .groupBy($"prediction").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"prediction".asc)
+    }),
+
+    // KMeans on STANDARDIZED features — the scale-corrected variant of
+    // q_kmeans_predict (same k/seed; cluster-size distribution output;
+    // no oracle: clustering is not SQL-expressible).
+    "q_kmeans_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val feats = scaled(assembler().transform(
+        Tables.lineitem(s, dir).select(FeatureCols.map(col): _*)))
       val model = fitKMeans(feats)
       model.transform(feats)
         .groupBy($"prediction").agg(count(lit(1)).as("cnt"))

@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L), s"expected one row per id, got $ids")
   }
 
+  test("flatMapGroupsWithState keeps a running per-user count across batches") {
+    import graft.streaming.{Stateful, UserEvent}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Stateful.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, t("2024-01-01 10:00:00")),
+        UserEvent(1L, t("2024-01-01 10:01:00")),
+        UserEvent(2L, t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, t("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+    } finally { q.stop() }
+    // latest emitted count per user reflects ALL batches (state carried)
+    val last = s.sql("SELECT user_id, max(n_events) FROM state_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("batch session windows: per-user event totals are preserved") {
     val sessions = run("q_window_session").collect()
     val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
