@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   *
   * All hashing uses Spark's codegen'd xxhash64 — deterministic across
   * runs and cluster layouts, no UDFs anywhere.
+  *
+  * Algorithms follow the published classics: MinHash resemblance
+  * estimation (Broder, "On the resemblance and containment of
+  * documents", 1997), banded LSH for near-neighbor candidate
+  * generation (Indyk & Motwani, STOC 1998; the b-band/r-row analysis
+  * popularized in Mining of Massive Datasets ch. 3), and SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) with the Manku et al. (WWW 2007) banded
+  * hamming search for the pair query.
   */
 object Dedup extends QueryModule {
 
