@@ -199,16 +199,53 @@ object FlightPipeline extends QueryModule {
     // KMeans labels are not SQL-expressible).
     "q_flight_pipeline" -> ((s, _) => run(s)),
 
-    // The cleaning/conciliation stages alone ARE relational — exercise
-    // them through the deterministic fixture, no ML (rows-only check;
-    // fixture lives in-memory, not in testdata parquet).
+    // The cleaning/conciliation stages alone ARE relational — and
+    // oracle-checkable: the fixture goes through a real headered CSV
+    // (the reference's exact ingest, all columns string), is read back
+    // and cast-filled-mapped, and DuckDB replicates the whole chain
+    // from the same CSV. This is the reference's core 80 lines
+    // (`Code/flight_analysis.py:15-16,44-66,100-126`) under a
+    // differential test.
     "q_flight_clean" -> ((s, _) => {
       import s.implicits._
-      conciliated(clean2019(fixture2019(s)), "CancellationReason")
+      val csvDir = "/root/repo/target/tmp/flight2019_csv"
+      graft.sources.Csv.writeCsv(fixture2019(s), csvDir)
+      conciliated(clean2019(graft.sources.Csv.readCsvAllString(s, csvDir)),
+        "CancellationReason")
         .orderBy($"Airline", $"DayofWeek", $"DepHour", $"Month", $"Distance",
           $"IsDelayed", $"Reason", $"Cancelled")
     }),
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = Map(
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 → +1.
+    // Cast-then-fill order matters (the reference filled strings with
+    // numeric defaults — a silent no-op this engine fixes).
+    "q_flight_clean" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv('/root/repo/target/tmp/flight2019_csv/*.csv',
+        |    header = true, all_varchar = true)),
+        |c AS (
+        |  SELECT CAST(FL_DATE AS DATE) AS fd,
+        |    COALESCE(CAST(DEP_TIME AS DOUBLE), 0.0) AS DepTime,
+        |    COALESCE(CAST(ARR_DELAY AS DOUBLE), 0.0) AS DelayMinutes,
+        |    COALESCE(CAST(CAST(CANCELLED AS INT) AS BOOLEAN), false) AS Cancelled,
+        |    COALESCE(CAST(DISTANCE AS DOUBLE), 0.0) AS Distance,
+        |    COALESCE(AIRLINE, 'Not Listed') AS Airline,
+        |    COALESCE(CANCELLATION_CODE, 'None') AS code
+        |  FROM raw)
+        |SELECT CAST(dayofweek(fd) + 1 AS INT) AS DayofWeek,
+        |  CAST(FLOOR(DepTime / 100) AS INT) AS DepHour,
+        |  CAST(month(fd) AS INT) AS Month,
+        |  Distance, Airline, Cancelled,
+        |  CASE WHEN code = 'A' THEN 'Carrier Caused'
+        |       WHEN code = 'B' THEN 'Weather'
+        |       WHEN code = 'C' THEN 'National Aviation System'
+        |       WHEN code = 'D' THEN 'Security'
+        |       ELSE 'No Cancellation' END AS Reason,
+        |  CASE WHEN DelayMinutes > 5 THEN 1 ELSE 0 END AS IsDelayed
+        |FROM c
+        |ORDER BY Airline, DayofWeek, DepHour, Month, Distance,
+        |  IsDelayed, Reason, Cancelled""".stripMargin,
+  )
 }
