@@ -83,29 +83,26 @@ object Dedup extends QueryModule {
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
-  /** Bit i of a hash, extracted arithmetically so the shift amount can
-    * be a lambda variable: bit = floor(h / 2^i) mod 2. The input MUST
-    * already be < 2^53 (exactly representable as a double) — dividing
-    * a raw 63-bit hash here would zero the low ~10 bits in the 53-bit
-    * mantissa and bias them to 0.
+  /** Bit i of a long, via the native integral `getbit` — a codegen'd
+    * shift-and-mask, unbiased for every bit position (the earlier
+    * double pow/floor path zeroed low bits of large magnitudes in the
+    * 53-bit mantissa, and cost ~5 FP ops per bit).
     */
   private def bitOf(h: Column, i: Column): Column =
-    pmod(floor(h / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L))
+    call_function("getbit", h, i)
 
-  /** SimHash over 48-bit token hashes. The 64-bit xxhash64 is masked
-    * into [0, 2^48) with pmod BEFORE the double-arithmetic bit path:
-    * every value below 2^53 is exact in the pow/floor division, so all
-    * 48 extracted bits are unbiased (and the packed signature still
-    * fits a long exactly).
+  /** SimHash packed from the LOW 48 bits of each token's xxhash64 —
+    * integer bit extraction end-to-end, so every bit is exact and the
+    * packed signature fits a long exactly (< 2^48).
     */
   def simhash48(text: Column): Column = {
     val toks = array_distinct(robustTokens(text))
     val idx = sequence(lit(0), lit(47))
     val zeros = transform(idx, _ => lit(0L))
     val counters = aggregate(toks, zeros, (acc, tok) => {
-      val h48 = pmod(xxhash64(tok), lit(1L << 48))
+      val h = xxhash64(tok)
       zip_with(acc, idx, (c, i) =>
-        c + when(bitOf(h48, i) === 1L, lit(1L)).otherwise(lit(-1L)))
+        c + when(bitOf(h, i) === 1, lit(1L)).otherwise(lit(-1L)))
     })
     aggregate(counters, lit(0L), (acc, c) => acc * 2 + when(c > 0, 1L).otherwise(0L))
   }
@@ -236,22 +233,21 @@ object Dedup extends QueryModule {
   }
 
   /** SimHash band-blocked near-dup pairs: band b of a signature is
-    * bits [12b, 12b+12), extracted with the exact double-arithmetic
-    * path (sig < 2^48, every division is by a power of two). Pairs
-    * colliding on any band are verified with bit_count(a XOR b).
+    * bits [12b, 12b+12), extracted with literal shifts + mask (pure
+    * integral codegen). Pairs colliding on any band are verified with
+    * bit_count(a XOR b).
     */
   private[graft] def simhashNearDups(spark: SparkSession, dir: String,
                                      maxHamming: Int,
                                      cap: Int = 100): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash48(col("text")).as("sig"))
+    val bandVals = (0 until 4).map(b =>
+      shiftright(col("sig"), 12 * b).bitwiseAND(lit(4095L)))
     val banded = sigs
       .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bucket",
-        xxhash64(col("band"),
-          pmod(floor(col("sig") / pow(lit(2.0), col("band") * 12)).cast("long"),
-            lit(4096L))))
+        posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
+      .withColumn("bucket", xxhash64(col("band"), col("bval")))
     val a = banded.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))
