@@ -45,6 +45,21 @@ object Scalars extends QueryModule {
         .orderBy($"event_id")
     }),
 
+    // Typed JSON parse with a DECLARED schema (from_json → struct) —
+    // the scale path for repeated extraction: one parse per row into a
+    // typed column instead of one tree-walk per get_json_object call,
+    // and malformed rows surface as nulls, not task failures.
+    "q_json_typed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, dir)
+        .select($"event_id", from_json($"props", propsSchema).as("p"))
+        .select($"event_id", $"p.k".as("k"),
+          ($"p.k" >= 50).as("k_high"))
+        .orderBy($"event_id")
+    }),
+
     // Generator/UDTF surface: explode of a split array (SURVEY §2.10).
     "q_explode" -> ((s, dir) => {
       import s.implicits._
@@ -71,6 +86,11 @@ object Scalars extends QueryModule {
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_typed" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) >= 50 AS k_high
         |FROM events ORDER BY event_id""".stripMargin,
     "q_explode" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
