@@ -66,6 +66,46 @@ class PropertiesSpec extends SparkSpec {
     assert(once.collect().toSeq === twice.collect().toSeq)
   }
 
+  test("prop: binned range join equals BNLJ result for any bin width") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val buckets = Seq((1, 1, 10), (2, 11, 20), (3, 21, 35), (4, 36, 50))
+      .toDF("b_id", "lo", "hi")
+    val expected = Tables.part(spark, sf)
+      .join(broadcast(buckets), $"p_size".between($"lo", $"hi"))
+      .select($"p_partkey", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    samples(Gen.chooseNum(1, 64), 6).foreach { w =>
+      val got = Joins.binnedRangeJoin(
+        Tables.part(spark, sf), $"p_size", buckets, $"lo", $"hi", binWidth = w)
+        .select($"p_partkey", $"b_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("prop: asofJoin matches a per-row max-subquery on random event data") {
+    import graft.operators.Joins
+    import spark.implicits._
+    val g = for {
+      k <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 100L)
+    } yield (k, t)
+    val probes = samples(g, 40).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val builds = samples(g, 40).map { case (k, t) => (k, t, t * 1000 + k) }
+    val probeDf = probes.toDF("event_id", "k", "t")
+    val buildDf = builds.toDF("k", "t", "payload")
+    val got = Joins.asofJoin(probeDf, buildDf, "k", "t", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString.toLong)).toMap
+    val expected = probes.map { case (id, k, t) =>
+      val cands = builds.filter(b => b._1 == k && b._2 <= t)
+      id -> (if (cands.isEmpty) None else Some(cands.map(_._3).max))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("prop: union count additivity over random splits") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)
