@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("file-source readStream matches the batch twin on a static directory") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/repo/target/tmp/stream_src"
+    Tables.events(s, sf).select($"ts", $"event_type")
+      .write.mode("overwrite").parquet(dir)
+    val static = s.read.parquet(dir)
+    val stream = s.readStream.schema(static.schema).parquet(dir)
+    val q = EventWindows.streamingTumbling(stream)
+      .writeStream.format("memory").queryName("file_src_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql("SELECT bucket, event_type, cnt FROM file_src_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = static
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss"), $"event_type", $"cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("batch session windows: per-user event totals are preserved") {
     val sessions = run("q_window_session").collect()
     val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
