@@ -1,0 +1,53 @@
+package graft
+
+/** Driver-contract guards: the correctness gate only checks queries
+  * that declare an oracle, so a forgotten `oracles` entry silently
+  * downgrades a query to a rows-only check. This spec makes the
+  * no-oracle set EXPLICIT — adding a query without an oracle fails
+  * here until it is either given one or consciously allowlisted.
+  */
+class ContractSpec extends SparkSpec {
+
+  /** Every key here has a reason an ANSI-SQL twin cannot exist. */
+  private val noOracleJustified: Map[String, String] = Map(
+    "q_ann_lsh" -> "LSH bucketing is hash-family specific",
+    "q_approx_distinct" -> "HLL sketch internals differ across engines (exact twin + error-bound spec)",
+    "q_dedup_minhash" -> "minhash signatures are hash-family specific",
+    "q_dedup_simhash" -> "simhash signatures are hash-family specific",
+    "q_simhash_neardup" -> "band blocking over hash-specific signatures (pigeonhole parity spec)",
+    "q_embed_neardup" -> "LSH blocking is hash-family specific (occupancy spec)",
+    "q_ngram_jaccard" -> "candidate set is hash-family specific (superset-parity spec)",
+    "q_flight_pipeline" -> "KMeans labels are not SQL-expressible",
+    "q_kmeans_predict" -> "KMeans is not SQL-expressible (stability spec)",
+    "q_kmeans_scaled" -> "KMeans is not SQL-expressible",
+    "q_multimodal_decode" -> "stub codec kernel is not SQL (determinism spec)",
+    "q_sample_stratified" -> "sampler RNG is engine-specific (fraction + determinism spec)")
+
+  test("every query has an oracle or a documented no-oracle justification") {
+    val keys = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(keys),
+      s"orphan oracles without queries: ${oracles -- keys}")
+    assert((keys -- oracles) === noOracleJustified.keySet,
+      s"unjustified no-oracle keys: ${keys -- oracles -- noOracleJustified.keySet}; " +
+        s"stale allowlist entries: ${noOracleJustified.keySet -- (keys -- oracles)}")
+  }
+
+  test("entry() smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query keys are unique across modules (no silent map collisions)") {
+    // SparkEntry.queries is a Map built with flatMap — a duplicate key
+    // in two modules would silently shadow one implementation.
+    val perModule = Seq(
+      operators.Relational, operators.Aggregates, operators.SetOps,
+      operators.Joins, operators.Windows, sources.Csv, functions.Scalars,
+      functions.Text, functions.Vectors, functions.Dedup, ml.Clustering,
+      ml.FlightPipeline, streaming.EventWindows, multimodal.Multimodal)
+      .flatMap(_.queries.keys)
+    val dups = perModule.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query keys: $dups")
+    assert(perModule.size === SparkEntry.queries.size)
+  }
+}
