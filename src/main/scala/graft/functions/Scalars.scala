@@ -26,6 +26,42 @@ object Scalars extends QueryModule {
         .orderBy($"o_orderkey")
     }),
 
+    // Date ARITHMETIC (the extraction ops above only read components):
+    // truncation to month, offset by interval, day difference — all
+    // codegen'd date math on the int-days representation.
+    "q_date_arith" -> ((s, dir) => {
+      import s.implicits._
+      val d = $"o_orderdate".cast("date")
+      // dates rendered as ISO strings: parquet DATE arrives in pandas
+      // as python date objects while DuckDB emits datetime64 — the
+      // string form keeps the driver compare type-stable.
+      Tables.orders(s, dir).select(
+        $"o_orderkey",
+        date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"),
+        date_format(add_months(d, 3), "yyyy-MM-dd").as("plus_3m"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+        datediff(to_date(lit("2025-01-01")), d).as("days_to_2025"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Map-typed column surface: parse props into map<string,int>, then
+    // key lookup / cardinality / merged literal map — the config-bag
+    // pattern of metadata columns at scale (keys prunable without
+    // schema evolution).
+    "q_map_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)).as("m"))
+        .select($"event_id",
+          element_at($"m", "k").as("k"),
+          size(map_keys($"m")).as("n_keys"),
+          element_at(map_concat($"m", map(lit("extra"), lit(1))), "extra").as("extra"))
+        .orderBy($"event_id")
+    }),
+
     // HHMM-style integer decode (`Code/flight_analysis.py:102`):
     // floor(x / 100) over a numeric code.
     "q_hhmm_decode" -> ((s, dir) => {
@@ -86,6 +122,20 @@ object Scalars extends QueryModule {
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_date_arith" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+        |  strftime(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  strftime(d + 30, '%Y-%m-%d') AS plus_30d,
+        |  CAST(datediff('day', d, DATE '2025-01-01') AS INT) AS days_to_2025
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q_map_ops" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  1 AS extra
         |FROM events ORDER BY event_id""".stripMargin,
     "q_json_typed" ->
       """SELECT event_id,
