@@ -26,6 +26,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC barrier between queries: heavy predecessors (KMeans,
+      // minhash shuffles) otherwise bill multi-second collections to
+      // whatever small query runs next — observed up to 6× outliers.
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
