@@ -16,6 +16,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Memoized table row count (a parquet-metadata-only job). Plan-
+    * sizing decisions made at query-construction time (LSH plane
+    * counts) need the corpus size on the driver; memoizing per
+    * (dir, table) keeps that to one job per session instead of one per
+    * query construction. Counts of the immutable testdata never go
+    * stale within a session.
+    */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate(s"$dir/$name", table(spark, dir, name).count())
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as a raw long (legacy nanosAsLong — the
     * session builders in Verify/Bench/SparkSpec set

@@ -16,8 +16,14 @@ object Text extends QueryModule {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
-  /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokens of a text column: split on runs of whitespace
+    * and drop empties. (Round 2 split on a single space, so whitespace
+    * runs inflated `n_tokens` and skewed `q_quality_score` — bug-
+    * compatible with its oracle but wrong; this is now the ONE
+    * tokenizer shared by the text metrics and the dedup suite.)
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -117,15 +123,20 @@ object Text extends QueryModule {
     "q_tfidf" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count()
-      val terms = docs.select($"doc_id",
-          explode(graft.functions.Dedup.robustTokens(lower($"text"))).as("term"))
+      // One job, no driver pre-pass: n_docs is a one-row aggregate
+      // broadcast-cross-joined into the scoring projection, and the
+      // tokenize stage (`terms`) is persisted so the tf and df branches
+      // read it once instead of exploding the corpus twice.
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val terms = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
       tf.join(df, Seq("term"))
+        .crossJoin(nDocs)
         .select($"doc_id", $"term",
-          round($"tf" * log((lit(nDocs) + 1.0) / ($"df" + 1.0)), 4).as("tfidf"))
+          round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 4).as("tfidf"))
         .orderBy($"tfidf".desc, $"term".asc, $"doc_id".asc)
         .limit(50)
     }),
@@ -152,7 +163,7 @@ object Text extends QueryModule {
     // explode stage.
     "q_top_bigrams" -> ((s, dir) => {
       import s.implicits._
-      val toks = Dedup.robustTokens($"text")
+      val toks = tokens($"text")
       val bigrams = when(size(toks) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -170,8 +181,8 @@ object Text extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id,
-         |  CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
-         |  CAST(length(list_filter(string_split(text, ' '), t -> t IN $stopList)) AS INT) AS n_stop,
+         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS INT) AS n_tokens,
+         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> t IN $stopList)) AS INT) AS n_stop,
          |  CAST(length(text) AS INT) AS len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
@@ -182,14 +193,18 @@ object Text extends QueryModule {
         |  lang
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
-      s"""SELECT doc_id, ROUND(
-         |    LEAST(CAST(length(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
+         |  FROM documents)
+         |SELECT doc_id, ROUND(
+         |    LEAST(CAST(length(tk) AS DOUBLE) / 100.0, 1.0)
          |    * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
          |        / GREATEST(CAST(length(text) AS DOUBLE), 1.0))
-         |    * LEAST(CAST(length(list_filter(string_split(text, ' '), t -> t IN $stopList)) AS DOUBLE)
-         |        / GREATEST(CAST(length(string_split(text, ' ')) AS DOUBLE), 1.0) * 5.0, 1.0),
+         |    * LEAST(CAST(length(list_filter(tk, t -> t IN $stopList)) AS DOUBLE)
+         |        / GREATEST(CAST(length(tk) AS DOUBLE), 1.0) * 5.0, 1.0),
          |  4) AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM toks ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

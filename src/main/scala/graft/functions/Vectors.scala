@@ -85,7 +85,7 @@ object Vectors extends QueryModule {
     * a probe touches one partition instead of the full corpus.
     */
   def annLsh(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
-    val corpusSize = Tables.embeddings(spark, dir).count()
+    val corpusSize = Tables.rowCount(spark, dir, "embeddings")
     val planes = planesFor(corpusSize, dim = 64, seed = 42L)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

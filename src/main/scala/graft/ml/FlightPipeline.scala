@@ -94,12 +94,13 @@ object FlightPipeline extends QueryModule {
       to_date(col("FL_DATE")).as("FlightDate"),
       col("DEP_TIME").cast("double").as("DepTime"),
       col("ARR_DELAY").cast("double").as("DelayMinutes"),
+      col("DEP_DELAY").cast("double").as("DepDelay"),
       col("CANCELLED").cast("int").cast("boolean").as("Cancelled"),
       col("DIVERTED").cast("int").cast("boolean").as("Diverted"),
       col("DISTANCE").cast("double").as("Distance"),
       col("AIRLINE").as("Airline"),
       col("CANCELLATION_CODE").as("code"))
-      .na.fill(Map("DepTime" -> 0.0, "DelayMinutes" -> 0.0,
+      .na.fill(Map("DepTime" -> 0.0, "DelayMinutes" -> 0.0, "DepDelay" -> 0.0,
         "Distance" -> 0.0, "Airline" -> "Not Listed", "code" -> "None"))
       .na.fill(Map("Cancelled" -> false, "Diverted" -> false))
       .withColumn("CancellationReason",
@@ -128,14 +129,22 @@ object FlightPipeline extends QueryModule {
 
   /** Conciliated logical shape shared by both years — the schema both
     * tables map into before one analysis pipeline runs
-    * (`union`-able; SURVEY §1).
+    * (`union`-able; SURVEY §1). `DepDelay` exists only in the 2019
+    * source (the reference casts and fills it,
+    * `Code/flight_analysis.py:47-48,59`; the 2023 Kaggle schema has no
+    * departure-delay column), so the conciliated schema carries it as
+    * a typed null for 2023 rows rather than dropping it for both.
     */
-  def conciliated(df: DataFrame, reasonCol: String): DataFrame =
+  def conciliated(df: DataFrame, reasonCol: String): DataFrame = {
+    val depDelay =
+      if (df.columns.contains("DepDelay")) col("DepDelay")
+      else lit(null).cast("double")
     df.select(
       col("DayofWeek"), col("DepHour"), col("Month"),
-      col("Distance"), col("Airline"), col("Cancelled"),
+      col("Distance"), depDelay.as("DepDelay"), col("Airline"), col("Cancelled"),
       col(reasonCol).as("Reason"),
       (when(col("DelayMinutes") > DelayThresholdMin, 1).otherwise(0)).as("IsDelayed"))
+  }
 
   /** Sanitize non-finite feature values (the reference's intent at
     * `Code/flight_analysis.py:129,132`; its `replace` on a VectorUDT
@@ -208,27 +217,37 @@ object FlightPipeline extends QueryModule {
     // differential test.
     "q_flight_clean" -> ((s, _) => {
       import s.implicits._
-      val csvDir = "/root/repo/target/tmp/flight2019_csv"
-      graft.sources.Csv.writeCsv(fixture2019(s), csvDir)
-      conciliated(clean2019(graft.sources.Csv.readCsvAllString(s, csvDir)),
+      graft.sources.Csv.writeCsv(fixture2019(s), flightCsvDir)
+      conciliated(clean2019(graft.sources.Csv.readCsvAllString(s, flightCsvDir)),
         "CancellationReason")
         .orderBy($"Airline", $"DayofWeek", $"DepHour", $"Month", $"Distance",
-          $"IsDelayed", $"Reason", $"Cancelled")
+          $"DepDelay", $"IsDelayed", $"Reason", $"Cancelled")
     }),
   )
+
+  /** Session-unique CSV scratch dir, shared by the q_flight_clean
+    * query AND its oracle SQL below — interpolating the ONE constant
+    * into both sides is what keeps the differential test honest (a
+    * hard-coded path let a stale or concurrent run's CSV be compared;
+    * round 2 ADVICE). Ordering: the CSV is written as a side effect at
+    * query-construction time, so the oracle (run after Verify
+    * finishes) always reads the artifact this session wrote.
+    */
+  private val flightCsvDir = graft.Scratch.dir("flight2019_csv")
 
   override def oracles: Map[String, String] = Map(
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 → +1.
     // Cast-then-fill order matters (the reference filled strings with
     // numeric defaults — a silent no-op this engine fixes).
     "q_flight_clean" ->
-      """WITH raw AS (
-        |  SELECT * FROM read_csv('/root/repo/target/tmp/flight2019_csv/*.csv',
+      s"""WITH raw AS (
+        |  SELECT * FROM read_csv('$flightCsvDir/*.csv',
         |    header = true, all_varchar = true)),
         |c AS (
         |  SELECT CAST(FL_DATE AS DATE) AS fd,
         |    COALESCE(CAST(DEP_TIME AS DOUBLE), 0.0) AS DepTime,
         |    COALESCE(CAST(ARR_DELAY AS DOUBLE), 0.0) AS DelayMinutes,
+        |    COALESCE(CAST(DEP_DELAY AS DOUBLE), 0.0) AS DepDelay,
         |    COALESCE(CAST(CAST(CANCELLED AS INT) AS BOOLEAN), false) AS Cancelled,
         |    COALESCE(CAST(DISTANCE AS DOUBLE), 0.0) AS Distance,
         |    COALESCE(AIRLINE, 'Not Listed') AS Airline,
@@ -237,7 +256,7 @@ object FlightPipeline extends QueryModule {
         |SELECT CAST(dayofweek(fd) + 1 AS INT) AS DayofWeek,
         |  CAST(FLOOR(DepTime / 100) AS INT) AS DepHour,
         |  CAST(month(fd) AS INT) AS Month,
-        |  Distance, Airline, Cancelled,
+        |  Distance, DepDelay, Airline, Cancelled,
         |  CASE WHEN code = 'A' THEN 'Carrier Caused'
         |       WHEN code = 'B' THEN 'Weather'
         |       WHEN code = 'C' THEN 'National Aviation System'
@@ -246,6 +265,6 @@ object FlightPipeline extends QueryModule {
         |  CASE WHEN DelayMinutes > 5 THEN 1 ELSE 0 END AS IsDelayed
         |FROM c
         |ORDER BY Airline, DayofWeek, DepHour, Month, Distance,
-        |  IsDelayed, Reason, Cancelled""".stripMargin,
+        |  DepDelay, IsDelayed, Reason, Cancelled""".stripMargin,
   )
 }

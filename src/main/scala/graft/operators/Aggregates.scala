@@ -129,7 +129,8 @@ object Aggregates extends QueryModule {
 
     // [EXT] exact percentiles (linear interpolation, matching
     // ANSI/DuckDB quantile_cont) per group. At 100 TB prefer
-    // approx_percentile; the exact operator is the correctness anchor.
+    // approx_percentile (below); the exact operator is the
+    // correctness anchor.
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -139,6 +140,24 @@ object Aggregates extends QueryModule {
           round(percentile($"l_quantity", lit(0.5)), 4).as("p50"),
           round(percentile($"l_quantity", lit(0.75)), 4).as("p75"),
           round(percentile($"l_extendedprice", lit(0.5)), 4).as("median_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // [EXT] approximate percentiles — the 100 TB scale path for
+    // q_percentiles: GK-sketch state is O(1/accuracy) per group and
+    // merges associatively (exact percentile buffers every value per
+    // group). accuracy=10000 bounds rank error at n/10000. No oracle —
+    // sketch internals are engine-specific, same contract as the HLL
+    // pattern: the exact query is the anchor, a spec bounds the error.
+    "q_approx_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(approx_percentile($"l_quantity", lit(0.25), lit(10000)), 4).as("p25"),
+          round(approx_percentile($"l_quantity", lit(0.5), lit(10000)), 4).as("p50"),
+          round(approx_percentile($"l_quantity", lit(0.75), lit(10000)), 4).as("p75"),
+          round(approx_percentile($"l_extendedprice", lit(0.5), lit(10000)), 4).as("median_price"))
         .orderBy($"l_returnflag")
     }),
   )

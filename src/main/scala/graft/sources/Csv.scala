@@ -31,8 +31,10 @@ object Csv extends QueryModule {
   def readCsvAllString(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
 
-  /** Scratch dir inside the repo (the harness may not write elsewhere). */
-  private def tmpDir(name: String): String = s"/root/repo/target/tmp/$name"
+  /** Session-unique scratch dir inside the repo (the harness may not
+    * write elsewhere; see [[graft.Scratch]] for the collision story).
+    */
+  private def tmpDir(name: String): String = graft.Scratch.dir(name)
 
   override def queries: Map[String, Query] = Map(
     "q_csv_roundtrip" -> ((s, dir) => {

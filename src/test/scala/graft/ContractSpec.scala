@@ -12,6 +12,7 @@ class ContractSpec extends SparkSpec {
   private val noOracleJustified: Map[String, String] = Map(
     "q_ann_lsh" -> "LSH bucketing is hash-family specific",
     "q_approx_distinct" -> "HLL sketch internals differ across engines (exact twin + error-bound spec)",
+    "q_approx_percentiles" -> "GK-sketch internals differ across engines (exact twin q_percentiles + error-bound spec)",
     "q_dedup_minhash" -> "minhash signatures are hash-family specific",
     "q_dedup_simhash" -> "simhash signatures are hash-family specific",
     "q_simhash_neardup" -> "band blocking over hash-specific signatures (pigeonhole parity spec)",

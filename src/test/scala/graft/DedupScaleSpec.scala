@@ -13,27 +13,40 @@ import org.apache.spark.sql.functions._
   */
 class DedupScaleSpec extends SparkSpec {
 
-  test("band candidates ⊇ brute-force pairs with jaccard ≥ 0.3 (sf0.001)") {
+  // Banding is PROBABILISTIC: a pair at jaccard j is a candidate with
+  // P = 1-(1-j^r)^b (16 bands × 2 rows here). Asserting strict
+  // containment at j >= 0.3 (P ≈ 0.78 per pair) held in round 2 only
+  // by fixture-plus-hash-family luck (round 2 ADVICE). These tests
+  // assert what the math guarantees: containment at j >= 0.8, where
+  // P[miss] = (1-0.64)^16 ≈ 8e-8 — effectively deterministic — and in
+  // this fixture every j >= 0.3 pair is also >= 0.8 (28 pairs, max j
+  // 0.989), so no coverage is lost; recall at lower j is only logged.
+
+  private val HighJ = 0.8
+
+  test(s"band candidates ⊇ brute-force pairs with jaccard ≥ $HighJ (sf0.001)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
     val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
-    val bruteForce = sh.as("a").crossJoin(sh.as("b"))
+    val scored = sh.as("a").crossJoin(sh.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
           greatest(size(array_union($"a.sh", $"b.sh")), lit(1))).as("j"))
       .filter($"j" >= 0.3)
-      .select($"id_a", $"id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mustHit = scored.filter(_._3 >= HighJ).map(t => (t._1, t._2)).toSet
+    val lowJ = scored.filter(_._3 < HighJ).map(t => (t._1, t._2)).toSet
     val cands = Dedup.candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    info(s"brute-force pairs j>=0.3: ${bruteForce.size}; candidates: ${cands.size}")
-    assert(bruteForce.nonEmpty, "fixture should contain at least one near-dup pair")
-    assert(bruteForce.subsetOf(cands),
-      s"banding missed ${bruteForce -- cands}")
+    info(s"pairs j>=$HighJ: ${mustHit.size} (all must be candidates); " +
+      s"0.3<=j<$HighJ: ${lowJ.size}, recall ${(lowJ & cands).size}; " +
+      s"candidates: ${cands.size}")
+    assert(mustHit.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(mustHit.subsetOf(cands), s"banding missed ${mustHit -- cands}")
   }
 
-  test("candidate-verified jaccard pairs match brute force above threshold (sf0.001)") {
+  test("candidate-verified jaccard pairs match brute force at high threshold (sf0.001)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
     val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
@@ -42,10 +55,11 @@ class DedupScaleSpec extends SparkSpec {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         round(size(array_intersect($"a.sh", $"b.sh")).cast("double") /
           greatest(size(array_union($"a.sh", $"b.sh")), lit(1)), 4).as("j"))
-      .filter($"j" >= 0.3)
+      .filter($"j" >= HighJ)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val viaCandidates = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.3)
+    val viaCandidates = Dedup.ngramJaccardPairs(spark, sf, threshold = HighJ)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
     assert(viaCandidates === brute)
   }
 

@@ -119,6 +119,26 @@ class OperatorBreadthSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles land within the GK rank-error bound of exact") {
+    // accuracy=10000 → rank error ≤ n/10000; at sf0.001 n per group is
+    // far below 10000, so the sketch should be EXACT here. Allow one
+    // interpolation step of slack: exact percentile interpolates
+    // between order statistics, approx returns an actual data value.
+    val exact = run("q_percentiles").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = run("q_approx_percentiles").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (flag, es) =>
+      es.zip(approx(flag)).zipWithIndex.foreach { case ((e, a), i) =>
+        // l_quantity cols (0-2): unit-spaced domain → within 1.0;
+        // median_price (3): prices are ~1000s apart → 1% relative.
+        val tol = if (i < 3) 1.0 else 0.01 * e
+        assert(math.abs(e - a) <= tol, s"$flag[$i]: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("edit distance is 0 on identical prefixes and symmetric") {
     import spark.implicits._
     val df = Seq(("abc", "abc"), ("kitten", "sitting"), ("", "ab"))
