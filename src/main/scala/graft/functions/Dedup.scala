@@ -57,16 +57,39 @@ object Dedup extends QueryModule {
   private def pinned(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Word n-gram shingles of a text column (distinct). Texts shorter
-    * than n tokens yield an empty shingle set, not a truncated one.
+  /** Word n-gram shingles from an already-materialized token-array
+    * column (distinct). Texts shorter than n tokens yield an empty
+    * shingle set, not a truncated one.
+    *
+    * PERFORMANCE: pass an ATTRIBUTE (a column projected in a prior
+    * select), not an inline tokenizer expression. Spark's higher-order
+    * lambdas re-evaluate captured sub-expressions once PER ELEMENT, so
+    * an inline `robustTokens` here re-runs the regex split once per
+    * shingle — measured 4.5 s vs 0.5 s for the shingle stage over 5 000
+    * docs at sf0.1. (Catalyst's CollapseProject keeps the producing
+    * projection separate because the token array is referenced more
+    * than once and is not cheap.)
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = robustTokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+
+  /** Inline-tokenizer convenience for one-shot/spec use — query paths
+    * should project tokens first and call [[shinglesFromTokens]] (see
+    * the per-element re-evaluation note there).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(robustTokens(text), n)
+
+  /** `(id, sh)` shingle table with the tokenizer materialized as its
+    * own projection — the shape every query path shares.
+    */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs.select(col(idCol), robustTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), shinglesFromTokens(col("_toks"), n).as("sh"))
 
   /** MinHash signatures, distributed shape: explode shingles to one
     * row each, then groupBy(doc) with k `min(hash_j)` aggregates.
@@ -83,9 +106,14 @@ object Dedup extends QueryModule {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame =
-    minhashFromShingles(
-      docs.select(col(idCol), shingles(col(textCol), 3).as("sh")),
-      idCol, numHashes)
+    // The shingle table is pinned even on this single-consumer path:
+    // `InferFiltersFromGenerate` adds `size(sh)>0 AND isnotnull(sh)`
+    // under the explode, and predicate pushdown then substitutes the
+    // whole shingle expression (with its per-element tokenizer) into a
+    // Filter at the scan — measured 12 s vs 2 s for q_dedup_minhash at
+    // sf0.1. The persist boundary keeps that inferred filter on the
+    // materialized `sh` attribute, where it is a cheap size check.
+    minhashFromShingles(pinned(shingleTable(docs, idCol, textCol, 3)), idCol, numHashes)
 
   /** MinHash signatures from a pre-computed `(id, sh: array<string>)`
     * shingle table — callers that also need the raw shingle sets (the
@@ -121,14 +149,17 @@ object Dedup extends QueryModule {
     * packed signature fits a long exactly (< 2^48).
     */
   def simhash48(text: Column): Column = {
-    val toks = array_distinct(robustTokens(text))
+    // Hash each distinct token ONCE in a transform; inside the
+    // fold the hash is a bound lambda variable. Hashing inside the
+    // zip_with lambda instead would re-run xxhash64 once per BIT —
+    // 48× the hashing work (per-element re-evaluation, see
+    // [[shinglesFromTokens]]).
+    val hashes = transform(array_distinct(robustTokens(text)), t => xxhash64(t))
     val idx = sequence(lit(0), lit(47))
     val zeros = transform(idx, _ => lit(0L))
-    val counters = aggregate(toks, zeros, (acc, tok) => {
-      val h = xxhash64(tok)
+    val counters = aggregate(hashes, zeros, (acc, h) =>
       zip_with(acc, idx, (c, i) =>
-        c + when(bitOf(h, i) === 1, lit(1L)).otherwise(lit(-1L)))
-    })
+        c + when(bitOf(h, i) === 1, lit(1L)).otherwise(lit(-1L))))
     aggregate(counters, lit(0L), (acc, c) => acc * 2 + when(c > 0, 1L).otherwise(0L))
   }
 
@@ -260,8 +291,7 @@ object Dedup extends QueryModule {
     // banding self-join) — pin each so the tokenize/hash stage runs
     // once per query, not 4× (round 2's PLANS.md showed the full
     // pipeline duplicated at steps 1-18, 26, 32).
-    val sh = pinned(Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh")))
+    val sh = pinned(shingleTable(Tables.documents(spark, dir), "doc_id", "text", 3))
     val banded = pinned(bandBuckets(
       minhashFromShingles(sh, "doc_id", numHashes), "doc_id", numHashes, bands = 16))
     bucketPairs(banded, "doc_id")

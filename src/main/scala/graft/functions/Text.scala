@@ -163,12 +163,18 @@ object Text extends QueryModule {
     // explode stage.
     "q_top_bigrams" -> ((s, dir) => {
       import s.implicits._
-      val toks = tokens($"text")
-      val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      // Tokens are projected to an attribute BEFORE the bigram lambda
+      // references them — a higher-order lambda re-evaluates captured
+      // sub-expressions per element, so an inline tokenizer would
+      // re-run the regex split twice per bigram (see
+      // Dedup.shinglesFromTokens; this was 8-9 s of the round 2 bench).
+      def bigrams(tk: Column): Column =
+        when(size(tk) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       Tables.documents(s, dir)
-        .select(explode(bigrams).as("bigram"))
+        .select(tokens($"text").as("tk"))
+        .select(explode(bigrams($"tk")).as("bigram"))
         .groupBy($"bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bigram".asc)
