@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The engine's SparkSessionExtensions entry point — enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (every
+  * session builder in this repo does: Verify, Bench, Plans, the test
+  * harness). Custom Catalyst surface lives behind this one hook so a
+  * user of the library turns on everything non-built-in with a single
+  * conf, the same way Delta/Iceberg register theirs.
+  *
+  * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    plans.MinHashSig.register(ext)
+}

@@ -107,34 +107,40 @@ object Dedup extends QueryModule {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame =
     // The shingle table is pinned even on this single-consumer path:
-    // `InferFiltersFromGenerate` adds `size(sh)>0 AND isnotnull(sh)`
-    // under the explode, and predicate pushdown then substitutes the
-    // whole shingle expression (with its per-element tokenizer) into a
-    // Filter at the scan — measured 12 s vs 2 s for q_dedup_minhash at
-    // sf0.1. The persist boundary keeps that inferred filter on the
-    // materialized `sh` attribute, where it is a cheap size check.
+    // predicate pushdown would otherwise substitute the whole shingle
+    // expression into the `size(sh) > 0` pre-filter (alias
+    // substitution ignores expression cost), computing the shingle
+    // stage twice per row. The persist boundary keeps the filter on
+    // the materialized `sh` attribute, where it is a cheap size check.
     minhashFromShingles(pinned(shingleTable(docs, idCol, textCol, 3)), idCol, numHashes)
 
   /** MinHash signatures from a pre-computed `(id, sh: array<string>)`
     * shingle table — callers that also need the raw shingle sets (the
     * exact-Jaccard verify stage) compute and persist that table ONCE
     * and feed it here, instead of re-tokenizing per reference.
+    *
+    * Shape: hash each shingle string ONCE (`transform` + xxhash64),
+    * then one `minhash_sig` call ([[graft.plans.MinHashSig]], a native
+    * codegen'd expression injected by [[graft.GraftExtensions]])
+    * derives all k family members per row. Signatures are a property
+    * of a single row, so this is a pure map — ZERO exchanges. The
+    * previous shape (explode → groupBy(id) with k min-aggregates)
+    * shuffled every (doc, shingle-hash) pair for the same answer; the
+    * hash family is bit-identical (ExpressionSpec pins it), only the
+    * plan changed. Shingle-less docs are dropped — exactly the rows
+    * the aggregate shape never produced — via a `size(sh) > 0` filter
+    * on the (persisted) shingle attribute BEFORE the signature
+    * projection: filtering on `sig IS NOT NULL` after it would be
+    * pushed down by alias substitution and compute the signature twice
+    * per row. Callers pass a pinned table, so the size check reads the
+    * cache, never recomputes shingles.
     */
   private[graft] def minhashFromShingles(sh: DataFrame, idCol: String,
-                                         numHashes: Int): DataFrame = {
-    // Hash each shingle string ONCE, then derive the k-member family
-    // by rehashing the 64-bit value with the member index — hashing
-    // (long, int) is far cheaper than re-hashing the full string k
-    // times, and equally deterministic.
-    val hashed = sh
-      .select(col(idCol), explode(col("sh")).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("h0"))
-    val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(col("h0"), lit(j))).as(s"h$j"))
-    hashed.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
-  }
+                                         numHashes: Int): DataFrame =
+    sh.filter(size(col("sh")) > 0)
+      .select(col(idCol), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col(idCol),
+        call_function(graft.plans.MinHashSig.FunctionName, col("hs"), lit(numHashes)).as("sig"))
 
   /** Bit i of a long, via the native integral `getbit` — a codegen'd
     * shift-and-mask, unbiased for every bit position (the earlier
