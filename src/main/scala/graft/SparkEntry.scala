@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Joins,
     operators.Windows,
     sources.Csv,
+    sources.Jsonl,
     functions.Scalars,
     functions.Text,
     functions.Vectors,

@@ -43,7 +43,8 @@ class ContractSpec extends SparkSpec {
     // in two modules would silently shadow one implementation.
     val perModule = Seq(
       operators.Relational, operators.Aggregates, operators.SetOps,
-      operators.Joins, operators.Windows, sources.Csv, functions.Scalars,
+      operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
+      functions.Scalars,
       functions.Text, functions.Vectors, functions.Dedup, ml.Clustering,
       ml.FlightPipeline, streaming.EventWindows, multimodal.Multimodal)
       .flatMap(_.queries.keys)
