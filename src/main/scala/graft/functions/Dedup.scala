@@ -195,6 +195,11 @@ object Dedup extends QueryModule {
       minhashPairs(s, dir)
     }),
 
+    // Near-dup group assignment: connected components of the candidate
+    // graph via distributed min-label propagation (no oracle — the
+    // graph is hash-family specific; union-find parity spec).
+    "q_dedup_groups" -> ((s, dir) => dedupGroups(s, dir)),
+
     // SimHash signatures (no oracle — hash-specific).
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -339,6 +344,51 @@ object Dedup extends QueryModule {
       .distinct()
       .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
       .limit(cap)
+  }
+
+  /** Near-dup GROUP assignment — the step after pair generation that
+    * actual corpus dedup needs: candidate pairs form a graph whose
+    * connected components are the dup groups (keep min doc_id per
+    * group, drop the rest). Components via bounded min-label
+    * propagation: each iteration every doc takes the minimum label
+    * among itself and its neighbors — one broadcast-or-shuffle join +
+    * one partial-aggregated groupBy per iteration, all distributed,
+    * nothing driver-side. `iterations` bounds the reachable graph
+    * diameter: banding-generated dup clusters are near-cliques (every
+    * member shares a band with the seed), so 3 hops is exhaustive in
+    * practice and DedupScaleSpec asserts exact parity with union-find
+    * on the same graph; a corpus with longer chains raises the
+    * constant or switches to the O(log n) large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — same join-shape, more rounds.
+    */
+  private[graft] def dedupGroups(spark: SparkSession, dir: String,
+                                 iterations: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+    // Undirected: propagate labels along both edge directions. Pinned:
+    // re-read every iteration.
+    val edges = pinned(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      // Pinned per iteration: `labels` is referenced twice below and
+      // its unpersisted lineage would double per round.
+      labels = pinned(labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+    }
+    labels.groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("group_id"))
+      .limit(200)
   }
 
   /** MinHash banding pairs with estimated Jaccard from signature

@@ -138,6 +138,34 @@ object Vectors extends QueryModule {
     // bucketing is engine-specific).
     "q_ann_lsh" -> ((s, dir) => annLsh(s, dir, queryId = 0L, k = 10)),
 
+    // [EXT] int8 symmetric quantization readiness check: per vector,
+    // the scale (amax) and the reconstruction error of quantizing to
+    // 127 levels — the decision metric for shipping int8 embeddings
+    // (4× smaller, 4× faster ANN scans). Pure per-row arithmetic from
+    // higher-order functions — no shuffle, scales with input splits.
+    // `v` and `step` are projected to attributes before any lambda
+    // references them (per-element re-evaluation, see
+    // Dedup.shinglesFromTokens); the error is reported ×1e6 at 4
+    // decimals so cross-engine last-ulp fold noise rounds away while
+    // ~4 significant digits survive.
+    "q_embed_quantize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", asDouble($"embedding").as("v"))
+        .select($"vec_id", $"v",
+          greatest(aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)).as("amax"))
+        .select($"vec_id", $"v", $"amax", ($"amax" / 127.0).as("step"))
+        .select($"vec_id",
+          round($"amax", 4).as("amax"),
+          round(aggregate(
+            transform($"v", x => {
+              val err = x - round(x / $"step") * $"step"
+              err * err
+            }),
+            lit(0.0), (a, e) => a + e) / size($"v") * 1e6, 4).as("mse_e6"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-label embedding centroids, element-wise: posexplode to
     // (label, dim, value) rows, hash-aggregate the mean. The shuffle
     // moves map-side-combined partials per (label, dim) — 64 × labels
@@ -167,6 +195,21 @@ object Vectors extends QueryModule {
         |  ROUND(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS dot_self
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12) AS amax,
+        |    GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS step
+        |  FROM t)
+        |SELECT vec_id, ROUND(amax, 4) AS amax,
+        |  ROUND(list_sum(list_transform(v,
+        |    x -> (x - round(x / step) * step) * (x - round(x / step) * step)))
+        |    / len(v) * 1e6, 4) AS mse_e6
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid

@@ -50,6 +50,23 @@ object Windows extends QueryModule {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Time-RANGE window frame: per user, rolling 1-hour sum of event
+    // values. A range frame bounds the window by ORDER-BY VALUE, not
+    // row count — the frame automatically includes every row within
+    // the trailing hour regardless of event density (rowsBetween would
+    // fix the row count and be wrong under bursts). Ordering is epoch
+    // MICROS on both engines: second-resolution unix_timestamp would
+    // silently merge sub-second neighbors into one frame boundary.
+    "q_window_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("hour_sum", round(sum($"value").over(w), 4))
+        .select($"user_id", $"event_id", $"hour_sum")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Distribution window functions: quartile bucketing, percent_rank,
     // cume_dist per group — unique orderkey tiebreak keeps every rank
     // deterministic.
@@ -85,6 +102,11 @@ object Windows extends QueryModule {
       """SELECT user_id, event_id, value,
         |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS hour_sum
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_window_ntile" ->
       """SELECT o_orderpriority, o_orderkey,

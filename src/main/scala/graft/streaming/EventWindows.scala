@@ -73,6 +73,36 @@ object EventWindows extends QueryModule {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Static enrichment dim: event_type → weight. The small reference
+    * table a stream joins against; in streaming mode Spark plans a
+    * stream-static BROADCAST join — the static side ships to every
+    * task once per batch, the stream side never shuffles and no join
+    * state accumulates (unlike stream-stream joins).
+    */
+  def typeWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0))
+      .toDF("event_type", "weight")
+  }
+
+  /** Stream-static enrichment: weight each event by its type and
+    * aggregate weighted value per user bucket. Used identically by the
+    * batch query (DuckDB oracle) and the streaming parity spec.
+    */
+  def enriched(events: DataFrame, weights: DataFrame): DataFrame =
+    events
+      .join(broadcast(weights), Seq("event_type"))
+      .withColumn("weighted", col("value") * col("weight"))
+
+  /** Batch twin for the oracle: per-type weighted totals. */
+  def enrichedTotals(spark: SparkSession, dir: String): DataFrame =
+    enriched(Tables.events(spark, dir), typeWeights(spark))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("weighted")), 4).as("sum_weighted"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
   /** Batch twin of the dedup: double-delivered input collapses back to
     * per-type counts of the original stream (the oracle-checkable
     * statement of "dedup removes redelivery, nothing else").
@@ -91,6 +121,7 @@ object EventWindows extends QueryModule {
     "q_window_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupDoubledCounts(s, dir)),
+    "q_stream_enrich" -> ((s, dir) => enrichedTotals(s, dir)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -115,6 +146,15 @@ object EventWindows extends QueryModule {
       """SELECT event_type, COUNT(*) AS cnt
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT e.event_type,
+        |  ROUND(SUM(e.value * w.weight), 4) AS sum_weighted,
+        |  COUNT(*) AS cnt
+        |FROM events e
+        |JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        |             ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+        |  ON e.event_type = w.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // DuckDB has no session_window, but session semantics ARE
     // ANSI-expressible: a session break is a gap >= the 30-minute
     // horizon (Spark extends a session while the next event is

@@ -14,6 +14,7 @@ class ContractSpec extends SparkSpec {
     "q_approx_distinct" -> "HLL sketch internals differ across engines (exact twin + error-bound spec)",
     "q_approx_percentiles" -> "GK-sketch internals differ across engines (exact twin q_percentiles + error-bound spec)",
     "q_dedup_minhash" -> "minhash signatures are hash-family specific",
+    "q_dedup_groups" -> "candidate graph is hash-family specific (union-find parity spec)",
     "q_dedup_simhash" -> "simhash signatures are hash-family specific",
     "q_simhash_neardup" -> "band blocking over hash-specific signatures (pigeonhole parity spec)",
     "q_embed_neardup" -> "LSH blocking is hash-family specific (occupancy spec)",

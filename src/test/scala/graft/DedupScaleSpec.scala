@@ -105,6 +105,34 @@ class DedupScaleSpec extends SparkSpec {
     assert(banded === bruteForce)
   }
 
+  test("dedup groups equal union-find components of the same candidate graph") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      val all = ms ++ ms.map(find)
+      (all.min, all.toSet.size)
+    }.filter(_._2 > 1).toMap
+    val got = Dedup.dedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    info(s"components with >1 member: expected ${expected.size}, got ${got.size}")
+    assert(expected.nonEmpty)
+    assert(got === expected,
+      "3-iteration label propagation must reach every member of the " +
+        "banding components (diameter > 3 would mean raise iterations)")
+  }
+
   test("LSH plane count scales with corpus size; bucket occupancy bounded (sf0.01)") {
     import spark.implicits._
     assert(Vectors.planeCount(100) === 4)

@@ -118,7 +118,7 @@ class StreamingSpec extends SparkSpec {
   test("file-source readStream matches the batch twin on a static directory") {
     val s = spark
     import s.implicits._
-    val dir = "/root/repo/target/tmp/stream_src"
+    val dir = Scratch.dir("stream_src")
     Tables.events(s, sf).select($"ts", $"event_type")
       .write.mode("overwrite").parquet(dir)
     val static = s.read.parquet(dir)
@@ -142,5 +142,29 @@ class StreamingSpec extends SparkSpec {
     val sessions = run("q_window_session").collect()
     val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
     assert(totalEvents === Tables.events(spark, sf).count())
+  }
+
+  test("stream-static enrichment join matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    val dir = Scratch.dir("stream_enrich_src")
+    Tables.events(s, sf).select($"ts", $"event_type", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val static = s.read.parquet(dir)
+    val stream = s.readStream.schema(static.schema).parquet(dir)
+    val q = EventWindows.enriched(stream, EventWindows.typeWeights(s))
+      .groupBy($"event_type")
+      .agg(round(sum($"weighted"), 4).as("sum_weighted"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql("SELECT event_type, sum_weighted FROM enrich_out")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = EventWindows.enriched(static, EventWindows.typeWeights(s))
+      .groupBy($"event_type")
+      .agg(round(sum($"weighted"), 4).as("sum_weighted"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set("click", "view", "purchase", "signup", "error"))
   }
 }
