@@ -66,6 +66,61 @@ object Vectors extends QueryModule {
     bits.reduce((acc, b) => acc * 2 + b)
   }
 
+  /** Fixed deterministic IVF coarse-quantizer centroids (seeded, 2-dp
+    * values so the literals round-trip exactly through SQL text). A
+    * production IVF trains these with KMeans; fixing them keeps the
+    * whole IVF path DETERMINISTIC and therefore DuckDB-oracle
+    * checkable end-to-end — the one ANN variant where even the
+    * candidate set is cross-engine verified (LSH buckets are
+    * hash-family specific, so q_ann_lsh only gets a spec).
+    */
+  private[graft] def ivfCentroids(k: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    // σ≈0.12 matches the testdata embedding element distribution
+    // (elements span ≈±0.5) — centroids outside the data range would
+    // degenerate every vector into one cell.
+    Array.fill(k, dim)((rnd.nextGaussian() * 120).round / 1000.0)
+  }
+
+  private val IvfK = 8
+  private val IvfSeed = 11L
+  private[graft] lazy val ivfCells: Array[Array[Double]] = ivfCentroids(IvfK, 64, IvfSeed)
+
+  /** Squared L2 distance to a constant centroid (sequential fold). */
+  private def sqDist(v: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(v, array(centroid.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `(…, cell)` — each vector assigned to its nearest centroid (the
+    * IVF coarse quantization). `dists` is projected to an attribute
+    * before argmin references it twice (per-element re-evaluation
+    * rule, see Dedup.shinglesFromTokens). First-occurrence argmin on
+    * ties, same as SQL list_position.
+    */
+  private[graft] def ivfAssigned(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("dists", array(ivfCells.map(c => sqDist(col("v"), c)): _*))
+      .withColumn("cell",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .drop("dists")
+
+  /** IVF-probed ANN: score only the query's cell — at scale `cell` is
+    * the partition key, so a probe reads one partition (`nprobe`
+    * generalizes to the n nearest cells; 1 here keeps the oracle
+    * one-to-one). Recall vs brute force is the classic IVF tradeoff;
+    * the candidate set itself is deterministic and oracle-verified.
+    */
+  def annIvf(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    val assigned = ivfAssigned(
+      Tables.embeddings(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    val query = broadcast(assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("cell").as("qcell")))
+    assigned.join(query, col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -138,6 +193,22 @@ object Vectors extends QueryModule {
     // bucketing is engine-specific).
     "q_ann_lsh" -> ((s, dir) => annLsh(s, dir, queryId = 0L, k = 10)),
 
+    // IVF cell histogram: coarse-quantizer assignment of the whole
+    // corpus (cells become partition keys at scale). Oracle-checked —
+    // centroids are fixed literals shared with the SQL twin.
+    "q_ivf_assign" -> ((s, dir) => {
+      import s.implicits._
+      ivfAssigned(Tables.embeddings(s, dir)
+        .select($"vec_id", asDouble($"embedding").as("v")))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cell")
+    }),
+
+    // IVF-probed ANN — same output shape as the LSH probe but fully
+    // deterministic, so even the candidate set is oracle-verified.
+    "q_ann_ivf" -> ((s, dir) => annIvf(s, dir, queryId = 0L, k = 10)),
+
     // [EXT] int8 symmetric quantization readiness check: per vector,
     // the scale (amax) and the reconstruction error of quantizing to
     // 127 levels — the decision metric for shipping int8 embeddings
@@ -182,7 +253,47 @@ object Vectors extends QueryModule {
     }),
   )
 
+  /** The IVF centroids as a DuckDB VALUES list — generated from the
+    * SAME `ivfCells` array the Spark queries use, so the two engines
+    * can never drift.
+    */
+  private lazy val ivfCentsSql: String = ivfCells.zipWithIndex
+    .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+    .mkString(",\n        ")
+
+  /** Shared assignment CTEs: per-vector nearest cell, first-occurrence
+    * (= lowest cell id) on distance ties to match Spark's
+    * array_position argmin.
+    */
+  private lazy val ivfAssignCte: String =
+    s"""WITH cents(cell, c) AS (VALUES
+       |        $ivfCentsSql),
+       |v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |      FROM embeddings),
+       |d AS (SELECT vec_id, vv, cell,
+       |        list_sum(list_transform(list_zip(vv, c),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |      FROM v, cents),
+       |a AS (SELECT vec_id, vv, cell FROM d
+       |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) = 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q_ivf_assign" ->
+      s"""$ivfAssignCte
+         |SELECT CAST(cell AS INT) AS cell, COUNT(*) AS cnt
+         |FROM a GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_ann_ivf" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vv AS qv, cell AS qcell FROM a WHERE vec_id = 0)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, sim FROM (
+         |  SELECT a.vec_id, a.cell, ROUND(
+         |    list_sum(list_transform(list_zip(a.vv, q.qv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+         |  FROM a, q WHERE a.cell = q.qcell)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_assemble" ->
       """SELECT l_orderkey, l_linenumber,
         |  feats[1] AS f0, feats[2] AS f1, feats[3] AS f2, feats[4] AS f3

@@ -133,6 +133,17 @@ class DedupScaleSpec extends SparkSpec {
         "banding components (diameter > 3 would mean raise iterations)")
   }
 
+  test("IVF: partition of the corpus, single-cell probe, self ranks first") {
+    val hist = run("q_ivf_assign").collect()
+    assert(hist.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count(),
+      "cell histogram must partition the corpus (every vector in exactly one cell)")
+    assert(hist.length > 1, "centroids must split the data, not degenerate to one cell")
+    val probe = run("q_ann_ivf").collect()
+    assert(probe.map(_.getInt(1)).distinct.length === 1, "probe touches exactly one cell")
+    assert(probe.head.getLong(0) === 0L && probe.head.getDouble(2) === 1.0,
+      "the query vector ranks itself first at sim 1")
+  }
+
   test("LSH plane count scales with corpus size; bucket occupancy bounded (sf0.01)") {
     import spark.implicits._
     assert(Vectors.planeCount(100) === 4)
