@@ -180,6 +180,23 @@ object Dedup extends QueryModule {
         .orderBy($"keep_id")
     }),
 
+    // Survivorship-policy dedup: keep the LONGEST doc per fingerprint
+    // group (min-id is q_dedup_exact's policy; real pipelines keep the
+    // best representative). row_number over the group triggers Spark's
+    // WindowGroupLimit rewrite — only 1 row per (fp) per mapper
+    // crosses the shuffle, not the whole corpus.
+    "q_dedup_survivor" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy(length($"text").desc, $"doc_id".asc)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text", Text.fingerprint($"text").as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"fp", length($"text").cast("int").as("len"))
+        .orderBy($"doc_id")
+    }),
+
     // dropDuplicates surface: distinct (lang, source) combinations.
     "q_distinct_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -424,5 +441,13 @@ object Dedup extends QueryModule {
     "q_distinct_pairs" ->
       """SELECT DISTINCT lang, source FROM documents
         |ORDER BY lang, source""".stripMargin,
+    "q_dedup_survivor" ->
+      """SELECT doc_id, fp, CAST(length(text) AS INT) AS len
+        |FROM (SELECT doc_id, text,
+        |        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |      FROM documents)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+        |  ORDER BY length(text) DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
   )
 }

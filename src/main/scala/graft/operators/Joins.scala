@@ -163,6 +163,31 @@ object Joins extends QueryModule {
         .orderBy($"p_partkey", $"b_id")
     }),
 
+    // [EXT] skew-salted equi-join: a hot join key sends every matching
+    // row to ONE reducer in a plain shuffle join; salting splits the
+    // probe side over R sub-keys (hash of the full row key, so each
+    // row gets one salt) and replicates the build side R times, so the
+    // hot key's rows spread over R reducers. Same result as the plain
+    // join by construction — the oracle IS the plain join. Merge-
+    // hinted so the demonstrated salted-SMJ shape is what actually
+    // runs (AQE would broadcast at test scale). AQE's skew-join
+    // handling covers sort-merge cases adaptively; explicit salting is
+    // the portable fallback when the build side must also stay
+    // shuffled (e.g. both sides too big to broadcast).
+    "q_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val R = 8
+      val probe = Tables.lineitem(s, dir)
+        .withColumn("_salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(R)))
+      val build = Tables.orders(s, dir)
+        .withColumn("_salt", explode(sequence(lit(0L), lit(R - 1L))))
+      probe.hint("merge")
+        .join(build, $"l_orderkey" === $"o_orderkey" && probe("_salt") === build("_salt"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_extendedprice"), 4).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // As-of join: each purchase event attributed to the user's most
     // recent view at-or-before it (classic point-in-time attribution).
     "q_join_asof" -> ((s, dir) => {
@@ -212,6 +237,11 @@ object Joins extends QueryModule {
         |FROM part JOIN (VALUES (1, 1, 10), (2, 11, 20), (3, 21, 35), (4, 36, 50))
         |  AS b(b_id, lo, hi) ON p_size BETWEEN lo AND hi
         |ORDER BY p_partkey, b_id""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id,
         |  (SELECT max(v.ts) FROM events v

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("per-group top-K rank plans Partial+Final WindowGroupLimit") {
+    // `rank() <= k` over a window must trigger Spark's WindowGroupLimit
+    // rewrite: a PARTIAL group-limit below the exchange keeps only k
+    // rows per key per mapper, so the shuffle moves O(keys × k) rows
+    // instead of the whole table — the difference between a bounded and
+    // an unbounded exchange for every per-group top-K at 100 TB.
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, s"Partial pass missing: $p")
+  }
+
   test("q_join_semi broadcasts the filtered build side") {
     val p = plan("q_join_semi")
     assert(p.contains("LeftSemi"), p)
