@@ -38,6 +38,35 @@ class JsonlSpec extends SparkSpec {
     assert(back.collect().toSeq === Seq(Row(1L, 2)))
   }
 
+  test("corrupt lines: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    import spark.implicits._
+    val path = Scratch.dir("jsonl_corrupt")
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/part-0.json"),
+      """{"id": 1, "text": "good"}
+        |this line is not json
+        |{"id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, text STRING, _corrupt_record STRING")
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    // caching first: Spark refuses a bare query over only the corrupt
+    // column of an un-materialized JSON scan
+    permissive.cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() === 1)
+    assert(permissive.filter($"id".isNotNull).count() === 2)
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, text STRING"))
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.count() === 2)
+  }
+
   test("q_jsonl_roundtrip equals the source table including timestamps") {
     import spark.implicits._
     val out = run("q_jsonl_roundtrip")
