@@ -103,6 +103,40 @@ object EventWindows extends QueryModule {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** Batch interval join: views in the trailing hour before each
+    * purchase, every purchase kept (left join; `n_views` = 0 when no
+    * view preceded). The equi-key (user) carries the shuffle; the time
+    * range is the post-join predicate — same shape the streaming twin
+    * runs.
+    */
+  def purchaseViewCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts").between(col("ts") - expr("INTERVAL 1 HOUR"), col("ts")),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("view_ts")).as("n_views"))
+      .orderBy(col("event_id"))
+  }
+
+  /** STREAM-STREAM interval join — the streaming twin of
+    * `purchaseViewCounts`'s core. Both sides carry a watermark and the
+    * join condition bounds event-time distance, which is what makes
+    * state finite: each side buffers only rows within
+    * watermark + interval horizon, and rows age out as the watermark
+    * advances. Without the time-range condition Spark would have to
+    * buffer both streams forever.
+    */
+  def streamingViewsBeforePurchase(purchases: DataFrame, views: DataFrame): DataFrame =
+    purchases.withWatermark("ts", "1 hour")
+      .join(views.withWatermark("view_ts", "1 hour"),
+        expr("user_id = v_user AND view_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+
   /** Batch twin of the dedup: double-delivered input collapses back to
     * per-type counts of the original stream (the oracle-checkable
     * statement of "dedup removes redelivery, nothing else").
@@ -122,6 +156,7 @@ object EventWindows extends QueryModule {
     "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupDoubledCounts(s, dir)),
     "q_stream_enrich" -> ((s, dir) => enrichedTotals(s, dir)),
+    "q_stream_join" -> ((s, dir) => purchaseViewCounts(s, dir)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -146,6 +181,14 @@ object EventWindows extends QueryModule {
       """SELECT event_type, COUNT(*) AS cnt
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id, COUNT(v.ts) AS n_views
+        |FROM events p
+        |LEFT JOIN events v ON v.event_type = 'view'
+        |  AND v.user_id = p.user_id
+        |  AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_type,
         |  ROUND(SUM(e.value * w.weight), 4) AS sum_weighted,

@@ -144,6 +144,35 @@ class StreamingSpec extends SparkSpec {
     assert(totalEvents === Tables.events(spark, sf).count())
   }
 
+  test("stream-stream interval join matches the batch inner join") {
+    val s = spark
+    import s.implicits._
+    val dir = Scratch.dir("stream_join_src")
+    Tables.events(s, sf).select($"event_id", $"ts", $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(dir)
+    val static = s.read.parquet(dir)
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("view_ts"))
+    val q = EventWindows.streamingViewsBeforePurchase(
+        purchases(s.readStream.schema(static.schema).parquet(dir)),
+        views(s.readStream.schema(static.schema).parquet(dir)))
+      .select($"event_id", $"view_ts")
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql("SELECT event_id, view_ts FROM ss_join_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val batch = purchases(static).join(views(static),
+        expr("user_id = v_user AND view_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+      .select($"event_id", $"view_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join matches the batch twin") {
     val s = spark
     import s.implicits._
