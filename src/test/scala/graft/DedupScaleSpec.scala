@@ -63,6 +63,15 @@ class DedupScaleSpec extends SparkSpec {
     assert(viaCandidates === brute)
   }
 
+  test("empty input: signature/text operators return zero rows, never crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(empty, "doc_id", "text", 8).count() === 0)
+    assert(Dedup.candidatePairs(empty, "doc_id", "text", 8, 4).count() === 0)
+    assert(empty.select(Dedup.simhash48($"text")).count() === 0)
+    assert(empty.select(graft.functions.Text.tokens($"text")).count() === 0)
+  }
+
   test("shingles: whitespace runs produce no empty tokens; short texts no shingles") {
     import spark.implicits._
     val df = Seq(

@@ -88,6 +88,42 @@ class ExpressionSpec extends SparkSpec {
     assert(err2.getMessage.contains("minhash_sig"), err2.getMessage)
   }
 
+  test("minhash signature agreement estimates true jaccard (k=32 error bound)") {
+    import spark.implicits._
+    // MinHash theory: E[agreement] = jaccard, sd = sqrt(j(1-j)/k) ≈
+    // 0.09 at k=32. Assert every estimate within 4 sd and the mean
+    // absolute error within 2 sd — loose enough to be deterministic
+    // for this fixed hash family, tight enough to catch a broken
+    // family (e.g. correlated members would push agreement to 0 or 1).
+    val k = 32
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k)
+    val joined = sh.join(sigs, "doc_id")
+    val pairs = joined.as("a").crossJoin(joined.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select(
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          greatest(size(array_union($"a.sh", $"b.sh")), lit(1))).as("j"),
+        (aggregate(zip_with($"a.sig", $"b.sig",
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / k).as("est"))
+      .filter($"j" >= 0.2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pairs.nonEmpty)
+    val sd = math.sqrt(0.25 / k) // worst case j=0.5
+    val errs = pairs.map { case (j, est) => math.abs(j - est) }
+    assert(errs.max <= 4 * sd, s"worst estimate off by ${errs.max}")
+    assert(errs.sum / errs.length <= 2 * sd, s"mean error ${errs.sum / errs.length}")
+  }
+
+  test("minhash_sig resolves from plain SQL text through the extension registry") {
+    Tables.documents(spark, sf).createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(xxhash64(text)), 4) AS sig FROM documents_v LIMIT 5")
+    assert(viaSql.collect().forall(_.getSeq[Long](0).length === 4))
+  }
+
   test("signature stage plans as a pure map: no exchange before banding") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf), "doc_id", "text", 16)
