@@ -104,6 +104,25 @@ object Scalars extends QueryModule {
         .select($"doc_id", explode(split($"text", " ")).as("token"))
         .orderBy($"doc_id", $"token")
     }),
+
+    // [EXT] regex capture-group extraction: split the structured
+    // "<n>-<label>" priority code into typed parts — the
+    // schema-on-read workhorse for semi-structured string columns.
+    // Codegen'd regexp_extract; the pattern compiles once per task.
+    // No-match yields "" from regexp_extract, which ANSI cast rejects
+    // — nullif makes non-conforming rows typed NULLs on both engines
+    // (labels like "NOT SPECIFIED" contain spaces, hence `.+`).
+    "q_regex_extract" -> ((s, dir) => {
+      import s.implicits._
+      val re = "^(\\d+)-(.+)$"
+      Tables.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          nullif(regexp_extract($"o_orderpriority", re, 1), lit(""))
+            .cast("int").as("prio_num"),
+          nullif(regexp_extract($"o_orderpriority", re, 2), lit("")).as("prio_word"))
+        .orderBy($"o_orderkey")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -146,5 +165,10 @@ object Scalars extends QueryModule {
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 50
         |ORDER BY doc_id, token""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(nullif(regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 1), '') AS INT) AS prio_num,
+        |  nullif(regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 2), '') AS prio_word
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -143,6 +143,53 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // [EXT] ordered group concatenation (LISTAGG/string_agg):
+    // collect_list → array_sort → array_join keeps the result
+    // deterministic regardless of partition arrival order (an
+    // unordered listagg is not oracle-comparable). Agg state is
+    // bounded by group CONTENT size — fine for enum-like values,
+    // a scale hazard for unbounded strings (then prefer top-K or
+    // sketches).
+    "q_group_concat" -> ((s, dir) => {
+      import s.implicits._
+      Tables.nation(s, dir)
+        .groupBy($"n_regionkey")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // [EXT] numeric histogram via closed-form binning (floor
+    // arithmetic, not width_bucket — identical across engines): the
+    // shuffle moves (bin, partial count), i.e. O(bins), regardless of
+    // input size.
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val lo = 900.0
+      val hi = 105000.0
+      val bins = 20
+      Tables.orders(s, dir)
+        .select(least(
+          floor(($"o_totalprice" - lo) / ((hi - lo) / bins)).cast("int"),
+          lit(bins - 1)).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"bin")
+    }),
+
+    // [EXT] second-moment statistics per group: sample stddev,
+    // covariance, Pearson correlation — single-pass partial+final
+    // aggregation of (n, Σx, Σy, Σxy, Σx², Σy²) moments.
+    "q_corr_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("cov_qty_price"),
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // [EXT] approximate percentiles — the 100 TB scale path for
     // q_percentiles: GK-sketch state is O(1/accuracy) per group and
     // merges associatively (exact percentile buffers every value per
@@ -206,6 +253,22 @@ object Aggregates extends QueryModule {
     "q_salted_agg" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
         |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_group_concat" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(LEAST(FLOOR((o_totalprice - 900.0) / ((105000.0 - 900.0) / 20)), 19) AS INT) AS bin,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
