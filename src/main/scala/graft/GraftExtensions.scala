@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * user of the library turns on everything non-built-in with a single
   * conf, the same way Delta/Iceberg register theirs.
   *
-  * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]).
+  * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]) and
+  * `simhash_sig` ([[graft.plans.SimHashSig]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     plans.MinHashSig.register(ext)
+    plans.SimHashSig.register(ext)
+  }
 }

@@ -154,12 +154,23 @@ object Dedup extends QueryModule {
     * integer bit extraction end-to-end, so every bit is exact and the
     * packed signature fits a long exactly (< 2^48).
     */
-  def simhash48(text: Column): Column = {
-    // Hash each distinct token ONCE in a transform; inside the
-    // fold the hash is a bound lambda variable. Hashing inside the
-    // zip_with lambda instead would re-run xxhash64 once per BIT —
-    // 48× the hashing work (per-element re-evaluation, see
-    // [[shinglesFromTokens]]).
+  def simhash48(text: Column): Column =
+    // Hash each distinct token ONCE in a transform (hashing inside a
+    // nested lambda would re-run xxhash64 once per BIT — per-element
+    // re-evaluation, see [[shinglesFromTokens]]), then one codegen'd
+    // simhash_sig loop ([[graft.plans.SimHashSig]]) sign-sums the 48
+    // bit positions — bit-identical to the higher-order `aggregate` +
+    // `zip_with` + getbit chain it replaced (ExpressionSpec pins the
+    // parity) but a two-instruction inner loop instead of 48
+    // interpreted lambda frames per token.
+    call_function(graft.plans.SimHashSig.FunctionName,
+      transform(array_distinct(robustTokens(text)), t => xxhash64(t)))
+
+  /** The pre-expression higher-order-function formulation — retained
+    * as the independent reference implementation the ExpressionSpec
+    * parity test checks `simhash_sig` against.
+    */
+  private[graft] def simhash48Hof(text: Column): Column = {
     val hashes = transform(array_distinct(robustTokens(text)), t => xxhash64(t))
     val idx = sequence(lit(0), lit(47))
     val zeros = transform(idx, _ => lit(0L))

@@ -124,6 +124,24 @@ class ExpressionSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getSeq[Long](0).length === 4))
   }
 
+  test("simhash_sig is bit-identical to the higher-order-function formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(100)
+    val rows = docs.select(
+        Dedup.simhash48($"text").as("expr_sig"),
+        Dedup.simhash48Hof($"text").as("hof_sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) === r.getLong(1)))
+    // empty input packs to 0L (all counters at 0), null stays null
+    val edge = Seq((1L, Some("")), (2L, None: Option[String]))
+      .toDF("id", "text")
+      .select($"id", Dedup.simhash48($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(1L) === 0L)
+    assert(edge(2L) === null)
+  }
+
   test("signature stage plans as a pure map: no exchange before banding") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf), "doc_id", "text", 16)
