@@ -9,12 +9,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * user of the library turns on everything non-built-in with a single
   * conf, the same way Delta/Iceberg register theirs.
   *
-  * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]) and
-  * `simhash_sig` ([[graft.plans.SimHashSig]]).
+  * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]),
+  * `simhash_sig` ([[graft.plans.SimHashSig]]), and `vec_dot`
+  * ([[graft.plans.VecDot]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     plans.MinHashSig.register(ext)
     plans.SimHashSig.register(ext)
+    plans.VecDot.register(ext)
   }
 }

@@ -27,8 +27,19 @@ object Vectors extends QueryModule {
   /** Element-wise double cast (embeddings arrive as float32). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length arrays. */
+  /** Dot product of two equal-length double arrays — the codegen'd
+    * `vec_dot` expression ([[graft.plans.VecDot]]), bit-identical to
+    * the sequential-fold HOF chain it replaced (ExpressionSpec pins
+    * parity; DuckDB oracles keep matching because the accumulation
+    * order is unchanged).
+    */
   def dot(a: Column, b: Column): Column =
+    call_function(graft.plans.VecDot.FunctionName, a, b)
+
+  /** The pre-expression higher-order formulation — retained as the
+    * reference implementation for the ExpressionSpec parity test.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

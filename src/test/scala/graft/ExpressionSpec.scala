@@ -142,6 +142,29 @@ class ExpressionSpec extends SparkSpec {
     assert(edge(2L) === null)
   }
 
+  test("vec_dot is bit-identical to the HOF fold; null/mismatch semantics match") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select(graft.functions.Vectors.asDouble($"embedding").as("v"))
+    val rows = emb.select(
+        graft.functions.Vectors.dot($"v", $"v").as("expr_dot"),
+        graft.functions.Vectors.dotHof($"v", $"v").as("hof_dot"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) === r.getDouble(1)),
+      "accumulation order must be bit-identical to the left fold")
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
+      (2L, Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // length mismatch → null
+      (3L, None: Option[Seq[Double]], Some(Seq(1.0))))  // null array → null
+      .toDF("id", "a", "b")
+      .select($"id", graft.functions.Vectors.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(edge(1L) === 11.0)
+    assert(edge(2L) === null)
+    assert(edge(3L) === null)
+  }
+
   test("signature stage plans as a pure map: no exchange before banding") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf), "doc_id", "text", 16)
