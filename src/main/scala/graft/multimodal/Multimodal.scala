@@ -94,6 +94,31 @@ object Multimodal extends QueryModule {
       }(enc)
   }
 
+  /** Resize planning: target dimensions for a max-side-224 downscale
+    * preserving aspect ratio — the arithmetic every image-resize stage
+    * runs before touching pixels (the pixel resample itself would live
+    * in the decode kernel; planning is pure column math, so it is
+    * oracle-checkable). Dimensions derive deterministically from
+    * payload length (the dims stub), `floor(x*scale + 0.5)` instead of
+    * `round` so tie behavior is engine-independent, and images already
+    * within budget pass through unscaled.
+    */
+  def resizePlan(media: DataFrame, maxSide: Int = 224): DataFrame = {
+    val n = col("meta.n_bytes")
+    media
+      .select(col("media_id"),
+        (lit(64) + n % 128).cast("int").as("w"),
+        // shiftright, not `/`: Column./ on longs is DOUBLE division
+        (lit(64) + shiftright(n, 1) % 128).cast("int").as("h"))
+      .withColumn("scale",
+        when(greatest(col("w"), col("h")) <= maxSide, lit(1.0))
+          .otherwise(lit(maxSide.toDouble) / greatest(col("w"), col("h"))))
+      .select(col("media_id"), col("w"), col("h"),
+        floor(col("w") * col("scale") + 0.5).cast("int").as("out_w"),
+        floor(col("h") * col("scale") + 0.5).cast("int").as("out_h"),
+        round(col("scale"), 4).as("scale"))
+  }
+
   /** Deterministic frame-sampling stub: pick every k-th byte-block
     * "frame" index from the payload — the plumbing for video frame
     * extraction (indices only; a codec would slice real frames).
@@ -129,6 +154,13 @@ object Multimodal extends QueryModule {
         .orderBy($"media_id", $"frame_offset")
     }),
 
+    // Resize planning — pure arithmetic, oracle-checkable; payload
+    // bytes never read (dims derive from metadata).
+    "q_mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      resizePlan(mediaTable(s, dir)).orderBy($"media_id")
+    }),
+
     // Metadata projection never reads payload bytes (column pruning
     // through the struct) — oracle-checkable.
     "q_multimodal_meta" -> ((s, dir) => {
@@ -154,5 +186,21 @@ object Multimodal extends QueryModule {
       """SELECT doc_id AS media_id, 'image/fake' AS kind,
         |  CAST(length(text) AS BIGINT) AS n_bytes, source
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + length(text) % 128 AS INT) AS w,
+        |    CAST(64 + (length(text) // 2) % 128 AS INT) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN GREATEST(w, h) <= 224 THEN 1.0
+        |         ELSE 224.0 / GREATEST(w, h) END AS scale
+        |  FROM d)
+        |SELECT media_id, w, h,
+        |  CAST(FLOOR(w * scale + 0.5) AS INT) AS out_w,
+        |  CAST(FLOOR(h * scale + 0.5) AS INT) AS out_h,
+        |  ROUND(scale, 4) AS scale
+        |FROM s ORDER BY media_id""".stripMargin,
   )
 }
