@@ -16,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   *     candidate pairs are a self-join on (band, band signature) —
   *     only colliding docs ever meet, so the join is linear in bucket
   *     sizes, never quadratic in corpus size.
-  *   - SimHash: 64-bit signature via sign-summed token-hash bits;
+  *   - SimHash: 48-bit signature via sign-summed token-hash bits;
   *     near-dups differ in few bits (compare with bit_count(a XOR b)).
   *   - n-gram Jaccard: exact set overlap on shingles, computed only
   *     for MinHash-band candidate pairs — banding proposes (linear in
@@ -91,18 +91,12 @@ object Dedup extends QueryModule {
     docs.select(col(idCol), robustTokens(col(textCol)).as("_toks"))
       .select(col(idCol), shinglesFromTokens(col("_toks"), n).as("sh"))
 
-  /** MinHash signatures, distributed shape: explode shingles to one
-    * row each, then groupBy(doc) with k `min(hash_j)` aggregates.
-    *
-    * The inline alternative (k × `array_min(transform(shingles…))`
-    * in one projection) duplicates the shingle expression k times in
-    * the plan — 17s for 500 docs at k=32. This shape computes shingles
-    * once, hash-aggregates with map-side combine, and scales linearly:
-    * the only shuffle is pre-aggregated (doc, k mins) rows.
-    *
-    * Seeding is by a distinct per-hash suffix — xxhash64's seed is
-    * fixed in the functions API; the suffix varies the hash family
-    * deterministically.
+  /** MinHash signatures of a document table: tokenize → shingle →
+    * hash → one `minhash_sig` per row (see [[minhashFromShingles]] for
+    * the zero-exchange shape). The k-member family derives from each
+    * shingle's 64-bit hash by re-hashing with the member index —
+    * hashing (long, int) is far cheaper than re-hashing the full
+    * string k times, and equally deterministic.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame =
