@@ -84,13 +84,19 @@ object Text extends QueryModule {
   }
 
   override def queries: Map[String, Query] = Map(
+    // Tokens are projected ONCE to an attribute, then both counts read
+    // it — the inline helpers would re-run the regex split per metric
+    // (2-3× per row; same family as the per-element trap, see
+    // Dedup.shinglesFromTokens).
     "q_text_tokens" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).select(
-        $"doc_id",
-        tokenCount($"text").as("n_tokens"),
-        stopwordCount($"text").as("n_stop"),
-        length($"text").cast("int").as("len"))
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tk"),
+          length($"text").cast("int").as("len"))
+        .select($"doc_id",
+          size($"tk").as("n_tokens"),
+          size(filter($"tk", t => t.isin(Stopwords.map(lit): _*))).as("n_stop"),
+          $"len")
         .orderBy($"doc_id")
     }),
 
@@ -101,10 +107,22 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Same projected-tokens shape; the quality formula reads the token
+    // array three times, the raw text twice — all attribute reads.
     "q_quality_score" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select($"doc_id", qualityScore($"text").as("quality"))
+        .select($"doc_id", $"text", tokens($"text").as("tk"))
+        .select($"doc_id", {
+          val nTok = size($"tk").cast("double")
+          val lenScore = least(nTok / 100.0, lit(1.0))
+          val stopRatio = size(filter($"tk", t => t.isin(Stopwords.map(lit): _*)))
+            .cast("double") / greatest(nTok, lit(1.0))
+          val punctRatio = punctCount($"text").cast("double") /
+            greatest(length($"text").cast("double"), lit(1.0))
+          round(lenScore * (lit(1.0) - punctRatio) *
+            least(stopRatio * 5.0, lit(1.0)), 4).as("quality")
+        })
         .orderBy($"doc_id")
     }),
 
