@@ -159,6 +159,24 @@ object Text extends QueryModule {
         .limit(50)
     }),
 
+    // [EXT] sketch-based frequent terms — the 100 TB twin of exact
+    // term counting (q_top_bigrams / q_tfidf's tf stage): approx_top_k
+    // keeps a bounded sketch per partition and merges, so agg state is
+    // O(maxItemsTracked) regardless of vocabulary size. With the
+    // tracker sized above this corpus's vocabulary the counts are
+    // exact (the spec pins that against the exact groupBy); at real
+    // scale the tracker bounds memory and counts become approximate.
+    // No oracle — sketch internals and tie order are engine-specific.
+    "q_approx_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(tokens(lower($"text"))).as("term"))
+        .agg(expr("approx_top_k(term, 20, 10000)").as("top"))
+        .select(explode($"top").as("t"))
+        .select($"t.item".as("term"), $"t.count".cast("long").as("cnt"))
+        .orderBy($"cnt".desc, $"term")
+    }),
+
     // Pairwise edit distance (codegen'd levenshtein built-in) over
     // consecutive-id English docs — the string-similarity surface for
     // near-dup verification. Restricted to 50-char prefixes so the

@@ -139,6 +139,27 @@ class OperatorBreadthSpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k counts equal exact counts when the tracker covers the vocab") {
+    import spark.implicits._
+    val sketch = run("q_approx_top_terms").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(lower($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.nonEmpty)
+    // every sketched term's count must be the exact count (tracker
+    // sized above this corpus's vocabulary → zero approximation here)
+    sketch.foreach { case (t, c) =>
+      assert(exact(t) === c, s"term '$t': sketch $c vs exact ${exact(t)}")
+    }
+    // and the sketch's minimum count must dominate every unreported
+    // term (it really is a top-k set, not an arbitrary sample)
+    val floor = sketch.values.min
+    val unreported = exact.filterNot { case (t, _) => sketch.contains(t) }
+    assert(unreported.values.forall(_ <= floor))
+  }
+
   test("edit distance is 0 on identical prefixes and symmetric") {
     import spark.implicits._
     val df = Seq(("abc", "abc"), ("kitten", "sitting"), ("", "ab"))
