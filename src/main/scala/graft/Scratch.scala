@@ -10,7 +10,27 @@ package graft
   * (or a stale) CSV as long as runs aren't manually cross-wired.
   */
 object Scratch {
-  val root: String =
-    s"/root/repo/target/tmp/run-${java.util.UUID.randomUUID().toString.take(8)}"
+  private val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+
+  val root: String = {
+    // Prune abandoned run-* dirs from PREVIOUS sessions (mtime > 1 h —
+    // old enough that no live session owns them; a concurrent session's
+    // fresh dir is untouched). Without this, every JVM leaves a full
+    // CSV/JSONL copy of its table slices behind forever.
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    if (java.nio.file.Files.isDirectory(base)) {
+      val old = base.toFile.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("run-") && f.lastModified < cutoff)
+      if (old != null) old.foreach(deleteRecursively)
+    }
+    s"$base/run-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
   def dir(name: String): String = s"$root/$name"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
 }

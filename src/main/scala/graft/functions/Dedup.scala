@@ -51,8 +51,14 @@ object Dedup extends QueryModule {
     * twice (and ngram-Jaccard paid it 4×, round 2's top verdict item).
     * MEMORY_AND_DISK is the single-job equivalent of the honest 100 TB
     * shape — materialize signatures once (there: to parquet), then
-    * join. The harness calls `spark.catalog.clearCache()` between
-    * queries, so pinned blocks never outlive their query.
+    * join.
+    *
+    * LIFECYCLE is caller-owned: Verify and Bench call
+    * `spark.catalog.clearCache()` after every query and the spec
+    * harness clears per suite, so pinned blocks never outlive their
+    * query/suite there; a long-lived embedding session should do the
+    * same (or unpersist the returned frames) — nothing here
+    * unpersists automatically.
     */
   private def pinned(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -374,20 +380,26 @@ object Dedup extends QueryModule {
     * group, drop the rest). Components via bounded min-label
     * propagation: each iteration every doc takes the minimum label
     * among itself and its neighbors — one broadcast-or-shuffle join +
-    * one partial-aggregated groupBy per iteration, all distributed,
-    * nothing driver-side. `iterations` bounds the reachable graph
-    * diameter: banding-generated dup clusters are near-cliques (every
-    * member shares a band with the seed), so 3 hops is exhaustive in
-    * practice and DedupScaleSpec asserts exact parity with union-find
-    * on the same graph; a corpus with longer chains raises the
-    * constant or switches to the O(log n) large-star/small-star
-    * alternation (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC 2014) — same join-shape, more rounds.
+    * one partial-aggregated groupBy per round, all distributed,
+    * nothing driver-side. Rounds run to FIXPOINT (verified by a cheap
+    * changed-label count per round), bounded by `maxIterations` hops;
+    * exceeding the bound THROWS instead of silently reporting split
+    * components. Banding-generated dup clusters are near-cliques
+    * (every member shares a band with the seed), so convergence takes
+    * 1–2 rounds in practice and DedupScaleSpec asserts exact parity
+    * with union-find on the same graph; a corpus with adversarially
+    * long chains raises the bound or switches to the O(log n)
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — same
+    * join-shape, fewer rounds.
     */
   private[graft] def dedupGroups(spark: SparkSession, dir: String,
-                                 iterations: Int = 3): DataFrame = {
+                                 maxIterations: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+    // Pinned: both edge directions read `pairs` — unpinned, the bucket
+    // self-join + distinct would execute once per direction.
+    val pairs = pinned(
+      candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16))
     // Undirected: propagate labels along both edge directions. Pinned:
     // re-read every iteration.
     val edges = pinned(
@@ -398,20 +410,36 @@ object Dedup extends QueryModule {
     // work — near-dup graphs are sparse, and this shrinks the
     // iteration input from |corpus| to |touched docs| (~25× here).
     // Both directions are in `edges`, so `src` covers every node.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
+    var labels = pinned(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIterations) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
-      // Pinned per iteration: `labels` is referenced twice below and
-      // its unpersisted lineage would double per round.
-      labels = pinned(labels
+      // Pinned per iteration: `labels` is referenced twice below (and
+      // again by the convergence count); unpersisted lineage would
+      // double per round.
+      val next = pinned(labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+      // Fixpoint check: one cheap count over the (tiny, cached) label
+      // table per round. Min-label propagation advances one hop per
+      // round, so converging within the bound PROVES every component
+      // was labeled exhaustively — a fixed round count could silently
+      // split a long-chain component into wrong groups.
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
     }
+    require(changed == 0,
+      s"dedupGroups: label propagation did not converge within $maxIterations " +
+        "hops — the candidate graph has a longer chain than the bound; raise " +
+        "maxIterations or switch to large-star/small-star rounds")
     // Every remaining node has ≥1 edge, but a node whose neighbors all
     // carry higher ids keeps its own label AND seeds its component —
     // the n>1 filter is still what separates real groups.

@@ -77,8 +77,14 @@ object Vectors extends QueryModule {
     bits.reduce((acc, b) => acc * 2 + b)
   }
 
-  /** Fixed deterministic IVF coarse-quantizer centroids (seeded, 2-dp
-    * values so the literals round-trip exactly through SQL text). A
+  /** Fixed deterministic IVF coarse-quantizer centroids (seeded, 3-dp
+    * values; the cross-engine invariant is that Scala's shortest-repr
+    * Double printing parses back to the IDENTICAL double in DuckDB —
+    * 0.123 is not an exact binary double, but both engines resolve the
+    * same text to the same nearest double, so distances and argmin
+    * tie-breaks agree bit-for-bit. Do NOT reformat the literals, e.g.
+    * with %.2f — that changes the parsed doubles and breaks the
+    * q_ivf_assign / q_ann_ivf oracles). A
     * production IVF trains these with KMeans; fixing them keeps the
     * whole IVF path DETERMINISTIC and therefore DuckDB-oracle
     * checkable end-to-end — the one ANN variant where even the

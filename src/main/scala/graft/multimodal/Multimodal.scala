@@ -94,16 +94,20 @@ object Multimodal extends QueryModule {
       }(enc)
   }
 
-  /** Resize planning: target dimensions for a max-side-224 downscale
+  /** Resize planning: target dimensions for a max-side downscale
     * preserving aspect ratio — the arithmetic every image-resize stage
     * runs before touching pixels (the pixel resample itself would live
     * in the decode kernel; planning is pure column math, so it is
     * oracle-checkable). Dimensions derive deterministically from
-    * payload length (the dims stub), `floor(x*scale + 0.5)` instead of
-    * `round` so tie behavior is engine-independent, and images already
-    * within budget pass through unscaled.
+    * payload length (the dims stub, range 64..191), `floor(x*scale +
+    * 0.5)` instead of `round` so tie behavior is engine-independent,
+    * and images already within budget pass through unscaled. The
+    * default budget of 128 sits INSIDE the stub's dim range so both
+    * branches — passthrough and actual downscale — execute on real
+    * rows and are oracle-verified (a 224 budget exceeded every stub
+    * dim, leaving the scaling arithmetic dead and its check vacuous).
     */
-  def resizePlan(media: DataFrame, maxSide: Int = 224): DataFrame = {
+  def resizePlan(media: DataFrame, maxSide: Int = 128): DataFrame = {
     val n = col("meta.n_bytes")
     media
       .select(col("media_id"),
@@ -194,8 +198,8 @@ object Multimodal extends QueryModule {
         |  FROM documents),
         |s AS (
         |  SELECT media_id, w, h,
-        |    CASE WHEN GREATEST(w, h) <= 224 THEN 1.0
-        |         ELSE 224.0 / GREATEST(w, h) END AS scale
+        |    CASE WHEN GREATEST(w, h) <= 128 THEN 1.0
+        |         ELSE 128.0 / GREATEST(w, h) END AS scale
         |  FROM d)
         |SELECT media_id, w, h,
         |  CAST(FLOOR(w * scale + 0.5) AS INT) AS out_w,

@@ -168,9 +168,9 @@ object Aggregates extends QueryModule {
       val hi = 105000.0
       val bins = 20
       Tables.orders(s, dir)
-        .select(least(
+        .select(greatest(least(
           floor(($"o_totalprice" - lo) / ((hi - lo) / bins)).cast("int"),
-          lit(bins - 1)).as("bin"))
+          lit(bins - 1)), lit(0)).as("bin"))
         .groupBy($"bin")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"bin")
@@ -261,7 +261,7 @@ object Aggregates extends QueryModule {
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
     "q_histogram" ->
-      """SELECT CAST(LEAST(FLOOR((o_totalprice - 900.0) / ((105000.0 - 900.0) / 20)), 19) AS INT) AS bin,
+      """SELECT CAST(GREATEST(LEAST(FLOOR((o_totalprice - 900.0) / ((105000.0 - 900.0) / 20)), 19), 0) AS INT) AS bin,
         |  COUNT(*) AS cnt
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
     "q_corr_stats" ->

@@ -24,9 +24,18 @@ object SparkSpec {
   val Sf: String = "/root/testdata/sf0.001"
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.Sf
   def run(key: String): org.apache.spark.sql.DataFrame =
     SparkEntry.queries(key)(spark, sf)
+
+  // The dedup/self-join operators pin subtrees (persist) and leave
+  // unpersist to the caller — drop them per suite so cached blocks
+  // don't accumulate across the shared session for the whole sbt run.
+  override protected def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }

@@ -76,15 +76,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             a, b = mine[c], oracle[c]
             try:
                 if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-                    # tolerance absorbs representation noise ONLY (last-ulp
-                    # differences from distinct evaluation orders): rtol covers
-                    # large magnitudes where a fixed atol is below one ulp, atol
-                    # covers values near 0 where rtol vanishes. A genuine
-                    # half-rounding disagreement after round(..., 4) differs by
-                    # 1e-4 and SHOULD fail here — the driver's hash compare is
-                    # exact, so locally masking it would fake a PASS.
+                    # tolerance contract: rtol=1e-12 absorbs accumulated
+                    # float noise (a few thousand ulps — shuffle-order sums
+                    # differ by ~sqrt(n)*eps relative) while still failing a
+                    # genuine half-rounding disagreement of 1e-4 for any
+                    # magnitude below ~1e8; atol covers values near 0 where
+                    # rtol vanishes. Above ~1e8 (large SUM columns) this
+                    # check is weaker than the driver's EXACT hash compare —
+                    # that compare is the authority, this is pre-flight.
                     av, bv = a.astype(float), b.astype(float)
-                    eq = pd.Series(np.isclose(av, bv, rtol=1e-9, atol=1e-6),
+                    eq = pd.Series(np.isclose(av, bv, rtol=1e-12, atol=1e-6),
                                    index=a.index) | (a.isna() & b.isna())
                 else:
                     eq = (a == b) | (a.isna() & b.isna())
