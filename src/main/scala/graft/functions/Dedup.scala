@@ -410,8 +410,18 @@ object Dedup extends QueryModule {
     // work — near-dup graphs are sparse, and this shrinks the
     // iteration input from |corpus| to |touched docs| (~25× here).
     // Both directions are in `edges`, so `src` covers every node.
-    var labels = pinned(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    //
+    // Per-round LINEAGE TRUNCATION is localCheckpoint, not persist:
+    // persist caches data but the LOGICAL plan still references both
+    // uses of the previous round's labels, doubling the tree per round
+    // — Catalyst analysis on the exponential plan took minutes by
+    // round 8 at sf0.1 while execution was milliseconds. An eager
+    // localCheckpoint rebases each round on a LogicalRDD, keeping the
+    // plan constant-size (at 100 TB use reliable `checkpoint` to a
+    // cluster store — same shape, fault-tolerant).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIterations) {
@@ -419,18 +429,16 @@ object Dedup extends QueryModule {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
-      // Pinned per iteration: `labels` is referenced twice below (and
-      // again by the convergence count); unpersisted lineage would
-      // double per round.
-      val next = pinned(labels
+      val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-      // Fixpoint check: one cheap count over the (tiny, cached) label
-      // table per round. Min-label propagation advances one hop per
-      // round, so converging within the bound PROVES every component
-      // was labeled exhaustively — a fixed round count could silently
-      // split a long-chain component into wrong groups.
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // Fixpoint check: one cheap count over the (tiny, checkpointed)
+      // label table per round. Min-label propagation advances one hop
+      // per round, so converging within the bound PROVES every
+      // component was labeled exhaustively — a fixed round count could
+      // silently split a long-chain component into wrong groups.
       changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).count()
       labels = next
