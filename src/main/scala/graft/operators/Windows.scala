@@ -50,6 +50,32 @@ object Windows extends QueryModule {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Gaps & islands: runs of CONSECUTIVE order days per customer —
+    // the classic row_number difference trick: within a customer,
+    // consecutive days share (day - row_number) as a constant group
+    // key, so islands fall out of one window pass + one groupBy (no
+    // self-join, no iteration). Distinct days first: same-day repeat
+    // orders would break the consecutiveness arithmetic.
+    "q_window_islands" -> ((s, dir) => {
+      import s.implicits._
+      val days = Tables.orders(s, dir)
+        .select($"o_custkey", to_date($"o_orderdate").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      days
+        .withColumn("grp", date_sub($"day", row_number().over(w)))
+        .groupBy($"o_custkey", $"grp")
+        .agg(min($"day").as("start_day"), count(lit(1)).as("island_days"))
+        .filter($"island_days" >= 2)
+        // rendered as a string: a DATE column round-trips as python
+        // `object` in the driver's pandas compare while DuckDB yields
+        // datetime64 — a schema-mismatch risk even with equal values
+        .select($"o_custkey",
+          date_format($"start_day", "yyyy-MM-dd").as("island_start"),
+          $"island_days")
+        .orderBy($"o_custkey", $"island_start")
+    }),
+
     // Time-RANGE window frame: per user, rolling 1-hour sum of event
     // values. A range frame bounds the window by ORDER-BY VALUE, not
     // row count — the frame automatically includes every row within
@@ -103,6 +129,20 @@ object Windows extends QueryModule {
         |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day) AS INT) AS grp
+        |  FROM days)
+        |SELECT o_custkey,
+        |  strftime(MIN(day), '%Y-%m-%d') AS island_start,
+        |  COUNT(*) AS island_days
+        |FROM g GROUP BY o_custkey, grp
+        |HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey, island_start""".stripMargin,
     "q_window_range_frame" ->
       """SELECT user_id, event_id,
         |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
