@@ -13,11 +13,14 @@ object Scratch {
   private val base = java.nio.file.Paths.get("/root/repo/target/tmp")
 
   val root: String = {
-    // Prune abandoned run-* dirs from PREVIOUS sessions (mtime > 1 h —
-    // old enough that no live session owns them; a concurrent session's
-    // fresh dir is untouched). Without this, every JVM leaves a full
-    // CSV/JSONL copy of its table slices behind forever.
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    // Prune abandoned run-* dirs from previous sessions. Deleting our
+    // OWN dir at exit is not an option: the driver's DuckDB compare
+    // reads the CSV path baked into oracle_sql.json AFTER the Verify
+    // JVM exits. So cleanup is deferred: 24 h old AND not touched
+    // since — `dir()` refreshes the root's mtime on every use, so a
+    // long-lived session's dir reads as live, while a finished run's
+    // artifacts stay available for post-hoc compares for a day.
+    val cutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000
     if (java.nio.file.Files.isDirectory(base)) {
       val old = base.toFile.listFiles((f: java.io.File) =>
         f.isDirectory && f.getName.startsWith("run-") && f.lastModified < cutoff)
@@ -26,7 +29,11 @@ object Scratch {
     s"$base/run-${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
-  def dir(name: String): String = s"$root/$name"
+  def dir(name: String): String = {
+    val f = new java.io.File(root)
+    if (f.isDirectory) f.setLastModified(System.currentTimeMillis())
+    s"$root/$name"
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()

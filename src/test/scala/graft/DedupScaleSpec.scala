@@ -138,8 +138,10 @@ class DedupScaleSpec extends SparkSpec {
     info(s"components with >1 member: expected ${expected.size}, got ${got.size}")
     assert(expected.nonEmpty)
     assert(got === expected,
-      "3-iteration label propagation must reach every member of the " +
-        "banding components (diameter > 3 would mean raise iterations)")
+      "fixpoint label propagation disagrees with union-find on the same " +
+        "candidate graph — a diameter overrun now throws before this " +
+        "point, so a mismatch here means the propagation logic itself " +
+        "diverged (check the min-label join or the n>1 group filter)")
   }
 
   test("IVF: partition of the corpus, single-cell probe, self ranks first") {
