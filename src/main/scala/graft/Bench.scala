@@ -40,10 +40,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout (observed: last
+    // 2000 chars) and parses the JSON it finds there. At 89 queries
+    // the full line above exceeds that window, so its head is cut and
+    // nothing parses (BENCH_r01..r03 all have "parsed": null). Emit a
+    // LAST line that is complete within any plausible tail window:
+    // same contract shape, with the per-query map limited to the
+    // slowest entries and the full count recorded alongside.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"queries_n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
