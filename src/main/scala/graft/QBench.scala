@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query bench for iteration: times one registered query N
+  * times in a warm session (same config as [[Bench]]), so a hot spot
+  * can be profiled without paying the full 89-query sweep.
+  *
+  * Usage: runMain graft.QBench <query_key> [sfDir] [repeats]
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QBench <query_key> [sfDir] [repeats]")
+    val key = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val repeats = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    val fn = SparkEntry.queries.getOrElse(key,
+      sys.error(s"unknown query '$key'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    for (i <- 1 to repeats) {
+      System.gc()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[qbench] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Windows,
     sources.Csv,
     sources.Jsonl,
+    sources.Orc,
     functions.Scalars,
     functions.Text,
     functions.Vectors,

@@ -429,19 +429,23 @@ object Dedup extends QueryModule {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
+      // Labels only ever DECREASE (least of self and neighbors), so
+      // "changed this round" ≡ "strictly decreased" — carried as a
+      // flag column instead of a separate next-vs-prev join per round.
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
       // Fixpoint check: one cheap count over the (tiny, checkpointed)
-      // label table per round. Min-label propagation advances one hop
-      // per round, so converging within the bound PROVES every
-      // component was labeled exhaustively — a fixed round count could
-      // silently split a long-chain component into wrong groups.
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      // label table per round — reads the cached blocks, no recompute.
+      // Min-label propagation advances one hop per round, so converging
+      // within the bound PROVES every component was labeled
+      // exhaustively — a fixed round count could silently split a
+      // long-chain component into wrong groups.
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     require(changed == 0,

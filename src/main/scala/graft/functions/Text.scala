@@ -216,6 +216,54 @@ object Text extends QueryModule {
         .orderBy($"cnt".desc, $"bigram".asc)
         .limit(20)
     }),
+
+    // [EXT] Context-window chunking — the step that turns a cleaned
+    // corpus into training rows: fixed-size token windows (50 tokens)
+    // with overlap (stride 40 → 10-token overlap) so no span is lost
+    // at a chunk boundary. Pure per-row generate + slice over the
+    // projected token attribute: no shuffle, output rows ∝ tokens /
+    // stride, linear at any corpus size. Empty docs yield one empty
+    // chunk (sequence(0,0) = [0]) — deterministic, and the oracle
+    // reproduces it.
+    "q_doc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunkLen = 50
+      val stride = 40
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tk"))
+        .select($"doc_id", $"tk",
+          posexplode(sequence(lit(0), greatest(size($"tk") - 1, lit(0)), lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .select($"doc_id", $"chunk_id",
+          size(slice($"tk", $"start" + 1, lit(chunkLen))).as("n_chunk_tokens"),
+          array_join(slice($"tk", $"start" + 1, lit(chunkLen)), " ").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // [EXT] PII redaction — scrub emails/phone numbers before a corpus
+    // ships to training. The synthetic docs carry no PII, so each doc
+    // is salted with a deterministic email + phone built from doc_id
+    // (identically in the oracle) — the redaction is then verified on
+    // text that genuinely contains matches. Per-row regex only
+    // (codegen'd), no shuffle; counts come from regexp_extract_all and
+    // the scrubbed text is fingerprinted for the compare.
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          concat($"text", lit(" Contact user"), $"doc_id".cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" now.")).as("salted"))
+        .select($"doc_id",
+          size(regexp_extract_all($"salted", lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"salted", lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace($"salted", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"))
+        .orderBy($"doc_id")
+    }),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -281,5 +329,33 @@ object Text extends QueryModule {
         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
         |SELECT bigram, COUNT(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk), 1), 40)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |  CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(tk, start + 1, start + 50), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM salted ORDER BY doc_id""".stripMargin,
   )
 }

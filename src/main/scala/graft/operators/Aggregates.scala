@@ -93,6 +93,27 @@ object Aggregates extends QueryModule {
         .orderBy($"status", $"priority")
     }),
 
+    // [EXT] arbitrary grouping sets — the general form rollup/cube are
+    // sugar for: an asymmetric set list ((flag,status), (status), ())
+    // that neither rollup nor cube produces. One shuffle computes all
+    // three granularities (Catalyst expands the sets into a single
+    // Expand + hash aggregate, not one pass per set). Subtotal NULLs
+    // are labeled 'ALL' as in q_cube, keeping the oracle free of
+    // engine-specific GROUPING() forms.
+    "q_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"cnt", $"sum_qty")
+        .orderBy($"flag", $"status")
+    }),
+
     // [EXT] pivot: long→wide with an EXPLICIT value list — without it
     // Spark collects the distinct pivot values to the driver first (an
     // extra job and a scale hazard). Count cells are coalesced to 0 so
@@ -232,6 +253,13 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty

@@ -188,6 +188,51 @@ object Joins extends QueryModule {
         .orderBy($"o_orderpriority")
     }),
 
+    // Full outer: one third of the customers against the per-customer
+    // order counts — unmatched rows survive from BOTH sides (customers
+    // outside the filter appear with a null name, filtered customers
+    // without orders with n_orders 0), which no combination of
+    // left/semi/anti expresses. Planned as a shuffle join (full outer
+    // can't broadcast either side — both must see all keys).
+    "q_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val custSub = Tables.customer(s, dir).filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", $"c_name")
+      val perCust = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      custSub.join(perCust, $"c_custkey" === $"o_custkey", "full")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_name", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"custkey")
+    }),
+
+    // Multi-way star join (TPC-H Q3 shape): selective dimension filter
+    // (customer segment) broadcast into the orders fact, the result
+    // joined to the bigger lineitem fact on the order key, then a
+    // grouped revenue top-K. The headline pattern for 100 TB: the
+    // segment filter prunes ~4/5 of customers BEFORE any fact shuffle,
+    // AQE picks broadcast for the pruned dimension side, and the final
+    // TakeOrderedAndProject keeps only K rows per partition. Revenue is
+    // rounded to cents BEFORE the top-K ordering so the K-th-row
+    // selection can't flip on last-ulp float disagreement with the
+    // oracle's summation order.
+    "q_star_join" -> ((s, dir) => {
+      import s.implicits._
+      val cut = to_timestamp(lit("1998-03-15"))
+      val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = Tables.orders(s, dir).filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val li = Tables.lineitem(s, dir).filter($"l_shipdate" > cut)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      cust.join(ord, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
     // As-of join: each purchase event attributed to the user's most
     // recent view at-or-before it (classic point-in-time attribution).
     "q_join_asof" -> ((s, dir) => {
@@ -242,6 +287,26 @@ object Joins extends QueryModule {
         |  ROUND(SUM(l_extendedprice), 4) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name AS c_name,
+        |  COALESCE(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_star_join" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id,
         |  (SELECT max(v.ts) FROM events v

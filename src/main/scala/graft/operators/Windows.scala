@@ -27,6 +27,23 @@ object Windows extends QueryModule {
         .orderBy($"o_orderpriority", $"rk", $"o_orderkey")
     }),
 
+    // Latest row per key — the "current version of each record"
+    // pattern every CDC/snapshot/training-data pipeline needs:
+    // row_number() = 1 over (key, ts desc). Catalyst rewrites the
+    // rank-filter into WindowGroupLimit, so each shuffle partition
+    // keeps ONE row per key before the window sort — the shuffle moves
+    // the full table but per-key state is O(1) at any scale.
+    "q_window_latest" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .orderBy($"o_custkey")
+    }),
+
     // Running sum per customer over order history.
     "q_window_runsum" -> ((s, dir) => {
       import s.implicits._
@@ -118,6 +135,14 @@ object Windows extends QueryModule {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+    "q_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "q_window_runsum" ->
       """SELECT o_custkey, o_orderkey,
         |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey

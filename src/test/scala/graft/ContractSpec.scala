@@ -46,6 +46,7 @@ class ContractSpec extends SparkSpec {
     val perModule = Seq(
       operators.Relational, operators.Aggregates, operators.SetOps,
       operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
+      sources.Orc,
       functions.Scalars,
       functions.Text, functions.Vectors, functions.Dedup, ml.Clustering,
       ml.FlightPipeline, streaming.EventWindows, multimodal.Multimodal)

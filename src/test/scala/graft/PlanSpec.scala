@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.sum
+
 /** Physical-plan shape assertions: the 100 TB posture is a property of
   * the PLAN, not the sf0.001 result — these pin the shapes that matter
   * (scan-level filter pushdown + column pruning, broadcast joins for
@@ -68,6 +70,61 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_agg_summary")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_window_latest: row_number()=1 rewrites to Partial+Final WindowGroupLimit") {
+    val p = plan("q_window_latest")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_star_join: dimension broadcast + top-K without a global sort") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_join_full plans a genuine full-outer join (not broadcastable)") {
+    val p = plan("q_join_full")
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("runtime bloom filter prunes the fact scan under a selective shuffle join") {
+    // At 100 TB the single biggest scan saver after static pushdown:
+    // a selective dimension filter turns into a bloom filter evaluated
+    // AT the fact scan, so rows that can't join are dropped before the
+    // exchange. Off by default at test scale (thresholds target real
+    // clusters) — this pins that the engine's plans are eligible: with
+    // the feature on, Catalyst injects bloom_filter_might_contain into
+    // the fact side of the star-join shape.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // The injection rule also requires the application side to
+      // already contain a shuffle (a bare scan is judged not worth
+      // filtering) — the per-order pre-aggregate supplies one, which is
+      // exactly the fact-side shape of the engine's star queries.
+      val selective = Tables.orders(spark, sf).filter($"o_totalprice" > 400000)
+      val factAgg = Tables.lineitem(spark, sf)
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("qty"))
+      val joined = factAgg
+        .join(selective, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(sum($"qty").as("qty"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
   }
 
   test("q_multimodal_meta never reads beyond the columns it needs") {
