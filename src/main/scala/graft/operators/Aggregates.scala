@@ -114,6 +114,60 @@ object Aggregates extends QueryModule {
         .orderBy($"flag", $"status")
     }),
 
+    // [EXT] ordered funnel: users who viewed, then clicked AFTER their
+    // first view, then purchased AFTER that first qualifying click.
+    // Each stage is a per-user min-timestamp aggregate joined to the
+    // previous stage — the stage tables shrink monotonically, every
+    // join is on the user key (one co-partitioned exchange chain), and
+    // nothing is ever ordered globally. The event-sequencing question
+    // every product/conversion pipeline asks, without a sessionize +
+    // sort pass.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val viewed = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val clicked = ev.filter($"event_type" === "click")
+        .join(viewed, Seq("user_id"))
+        .filter($"ts" >= $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val purchased = ev.filter($"event_type" === "purchase")
+        .join(clicked, Seq("user_id"))
+        .filter($"ts" >= $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      viewed.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(clicked.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(purchased.agg(count(lit(1)).as("n_purchased")))
+    }),
+
+    // [EXT] retention cohorts: customers grouped by first-order month,
+    // counted as active in each later month — the classic cohort
+    // retention matrix. First-order month is one per-key aggregate,
+    // joined back on the customer key, then a two-key distinct count;
+    // shuffles move (custkey) and (cohort, month, custkey) — never
+    // order rows, never a self-join of the fact table.
+    "q_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        // month rendered as ISO string — parquet DATE arrives in pandas
+        // as python date objects while DuckDB emits datetime64; the
+        // string form keeps the driver compare type-stable (same
+        // convention as q_date_arith).
+        .select($"o_custkey",
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("order_month"))
+      val firstMonth = o.groupBy($"o_custkey")
+        .agg(min($"order_month").as("cohort_month"))
+      o.join(firstMonth, Seq("o_custkey"))
+        .groupBy($"cohort_month", $"order_month")
+        .agg(countDistinct($"o_custkey").as("n_customers"))
+        .withColumn("month_index",
+          (($"order_month".substr(1, 4).cast("int") * 12 +
+            $"order_month".substr(6, 2).cast("int")) -
+           ($"cohort_month".substr(1, 4).cast("int") * 12 +
+            $"cohort_month".substr(6, 2).cast("int"))).as("month_index"))
+        .orderBy($"cohort_month", $"order_month")
+    }),
+
     // [EXT] pivot: long→wide with an EXPLICIT value list — without it
     // Spark collects the distinct pivot values to the driver first (an
     // extra job and a scale hazard). Count cells are coalesced to 0 so
@@ -253,6 +307,38 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+    "q_funnel" ->
+      """WITH viewed AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |clicked AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN viewed v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        |  GROUP BY e.user_id),
+        |purchased AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN clicked c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM viewed) AS n_viewed,
+        |  (SELECT COUNT(*) FROM clicked) AS n_clicked,
+        |  (SELECT COUNT(*) FROM purchased) AS n_purchased""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month
+        |  FROM orders),
+        |fm AS (
+        |  SELECT o_custkey, MIN(order_month) AS cohort_month
+        |  FROM o GROUP BY o_custkey)
+        |SELECT cohort_month, order_month,
+        |  COUNT(DISTINCT o.o_custkey) AS n_customers,
+        |  CAST((CAST(order_month[1:4] AS INT) * 12 + CAST(order_month[6:7] AS INT))
+        |     - (CAST(cohort_month[1:4] AS INT) * 12 + CAST(cohort_month[6:7] AS INT))
+        |    AS INT) AS month_index
+        |FROM o JOIN fm ON o.o_custkey = fm.o_custkey
+        |GROUP BY cohort_month, order_month
+        |ORDER BY cohort_month, order_month""".stripMargin,
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,

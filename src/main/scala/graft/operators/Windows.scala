@@ -44,6 +44,23 @@ object Windows extends QueryModule {
         .orderBy($"o_custkey")
     }),
 
+    // SCD2 interval derivation — turn a change-event stream into
+    // [valid_from, valid_to) versioned rows (the slowly-changing-
+    // dimension shape every warehouse load needs): valid_to is the
+    // NEXT change's timestamp via lead(), null marks the current
+    // version. One window pass per key, no self-join.
+    "q_scd2_intervals" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          $"o_orderdate".as("valid_from"),
+          lead($"o_orderdate", 1).over(w).as("valid_to"),
+          (lead($"o_orderdate", 1).over(w).isNull).as("is_current"))
+        .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+    }),
+
     // Running sum per customer over order history.
     "q_window_runsum" -> ((s, dir) => {
       import s.implicits._
@@ -143,6 +160,13 @@ object Windows extends QueryModule {
         |  FROM orders) t
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "q_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  LEAD(o_orderdate, 1) OVER w AS valid_to,
+        |  (LEAD(o_orderdate, 1) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "q_window_runsum" ->
       """SELECT o_custkey, o_orderkey,
         |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
