@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every SparkEntry query executed end-to-end.
   *
@@ -12,20 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, scheduler, shuffle machinery) so the
-    // first measured query doesn't absorb JVM start-up cost.
-    spark.range(1000000).selectExpr("sum(id) as s")
-      .write.format("noop").mode("overwrite").save()
+    val spark = GraftSession.local()
+    GraftSession.warm(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       // GC barrier between queries: heavy predecessors (KMeans,
       // minhash shuffles) otherwise bill multi-second collections to
@@ -40,7 +27,11 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-pinned formatting: the f-interpolator uses the JVM default
+    // locale, and a comma decimal separator would make every line
+    // unparseable JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,9 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Single-query bench for iteration: times one registered query N
-  * times in a warm session (same config as [[Bench]]), so a hot spot
-  * can be profiled without paying the full 89-query sweep.
+  * times in a warm session (same [[GraftSession]] config as [[Bench]],
+  * including the SPARK_GRAFT_CPUS default), so a hot spot can be
+  * profiled without paying the full sweep.
   *
   * Usage: runMain graft.QBench <query_key> [sfDir] [repeats]
   */
@@ -13,18 +13,8 @@ object QBench {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val repeats = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id) as s")
-      .write.format("noop").mode("overwrite").save()
+    val spark = GraftSession.local()
+    GraftSession.warm(spark)
     val fn = SparkEntry.queries.getOrElse(key,
       sys.error(s"unknown query '$key'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     for (i <- 1 to repeats) {

@@ -225,14 +225,23 @@ object Text extends QueryModule {
     // stride, linear at any corpus size. Empty docs yield one empty
     // chunk (sequence(0,0) = [0]) — deterministic, and the oracle
     // reproduces it.
+    //
+    // The last window start is bounded by size - overlap - 1, not
+    // size - 1: a start within the final `overlap` tokens would emit a
+    // chunk that is a strict SUBSET of the previous one (the previous
+    // chunk already reached the end of the doc) — wholly duplicated
+    // training rows for every doc whose length mod stride lands in the
+    // overlap.
     "q_doc_chunks" -> ((s, dir) => {
       import s.implicits._
       val chunkLen = 50
       val stride = 40
+      val overlap = chunkLen - stride
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("tk"))
         .select($"doc_id", $"tk",
-          posexplode(sequence(lit(0), greatest(size($"tk") - 1, lit(0)), lit(stride)))
+          posexplode(sequence(lit(0),
+            greatest(size($"tk") - overlap - 1, lit(0)), lit(stride)))
             .as(Seq("chunk_id", "start")))
         .select($"doc_id", $"chunk_id",
           size(slice($"tk", $"start" + 1, lit(chunkLen))).as("n_chunk_tokens"),
@@ -336,7 +345,7 @@ object Text extends QueryModule {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, tk,
-        |    unnest(range(0, greatest(len(tk), 1), 40)) AS start
+        |    unnest(range(0, greatest(len(tk) - 10, 1), 40)) AS start
         |  FROM t)
         |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
         |  CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens,

@@ -125,12 +125,18 @@ object Aggregates extends QueryModule {
     "q_funnel" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
+      // viewed/clicked each feed TWO consumers (the next stage's join
+      // and their own count) — pinned so the stage aggregate runs once,
+      // not once per consumer (self-join re-execution trap; harnesses
+      // clearCache per query).
       val viewed = ev.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clicked = ev.filter($"event_type" === "click")
         .join(viewed, Seq("user_id"))
         .filter($"ts" >= $"v_ts")
         .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val purchased = ev.filter($"event_type" === "purchase")
         .join(clicked, Seq("user_id"))
         .filter($"ts" >= $"c_ts")
@@ -148,13 +154,16 @@ object Aggregates extends QueryModule {
     // order rows, never a self-join of the fact table.
     "q_retention_cohorts" -> ((s, dir) => {
       import s.implicits._
+      // month rendered as ISO string — parquet DATE arrives in pandas
+      // as python date objects while DuckDB emits datetime64; the
+      // string form keeps the driver compare type-stable (same
+      // convention as q_date_arith). Pinned: `o` feeds both the
+      // first-month aggregate and the probe side of the join — without
+      // the persist the orders scan + month formatting run twice.
       val o = Tables.orders(s, dir)
-        // month rendered as ISO string — parquet DATE arrives in pandas
-        // as python date objects while DuckDB emits datetime64; the
-        // string form keeps the driver compare type-stable (same
-        // convention as q_date_arith).
         .select($"o_custkey",
           date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("order_month"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val firstMonth = o.groupBy($"o_custkey")
         .agg(min($"order_month").as("cohort_month"))
       o.join(firstMonth, Seq("o_custkey"))
