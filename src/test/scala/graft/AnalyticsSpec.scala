@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the event/corpus analytics operators — the
+  * invariants the DuckDB oracle can't express (it would just replay
+  * the same computation): chunk coverage, funnel monotonicity, SCD2
+  * interval tiling.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q_doc_chunks covers every token exactly; no chunk is a subset of its predecessor") {
+    import spark.implicits._
+    val chunks = run("q_doc_chunks")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", functions.Text.tokenCount($"text").as("n_tok"))
+    // Coverage: per doc, the last chunk must reach the final token —
+    // chunk i spans [i*40, i*40 + n_chunk_tokens); the max end must
+    // equal the doc's token count (or 0 tokens → one empty chunk).
+    val ends = chunks
+      .groupBy($"doc_id")
+      .agg(max($"chunk_id" * 40 + $"n_chunk_tokens").as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, Seq("doc_id"))
+      .collect()
+    assert(ends.nonEmpty)
+    ends.foreach { r =>
+      val (covered, nTok) = (r.getAs[Int]("covered"), r.getAs[Int]("n_tok"))
+      assert(covered == nTok, s"doc ${r.getAs[Long]("doc_id")}: covered $covered of $nTok tokens")
+    }
+    // No-subset: every chunk after the first must extend past the
+    // previous chunk's end, i.e. have more than overlap=10 tokens.
+    val subset = chunks.filter($"chunk_id" > 0 && $"n_chunk_tokens" <= 10).count()
+    assert(subset == 0, s"$subset wholly-overlapped tail chunks")
+  }
+
+  test("q_funnel stages are monotone and consistent with raw event counts") {
+    import spark.implicits._
+    val r = run("q_funnel").collect().head
+    val (v, c, p) = (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_clicked"),
+      r.getAs[Long]("n_purchased"))
+    assert(v >= c && c >= p, s"funnel not monotone: $v >= $c >= $p")
+    assert(v > 0 && p > 0, s"degenerate funnel fixture: ($v, $c, $p)")
+    // Stage 1 must equal the plain distinct-viewer count; later stages
+    // are strictly ordered subsets so only the bound applies.
+    val viewers = Tables.events(spark, sf)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(v == viewers, s"n_viewed $v != distinct viewers $viewers")
+  }
+
+  test("q_scd2_intervals tiles each key's history: no gaps, no overlaps, one current row") {
+    import spark.implicits._
+    val iv = run("q_scd2_intervals")
+    // Exactly one open (current) interval per key.
+    val open = iv.groupBy($"o_custkey")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_open"))
+      .filter($"n_open" =!= 1).count()
+    assert(open == 0, s"$open keys without exactly one current interval")
+    // Each closed interval's valid_to equals the next interval's
+    // valid_from (tiling) and is never before its valid_from.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"valid_from".asc, $"o_orderkey".asc)
+    val bad = iv
+      .withColumn("next_from", lead($"valid_from", 1).over(w))
+      .filter(
+        ($"valid_to".isNotNull && $"valid_to" =!= $"next_from") ||
+        ($"valid_to".isNotNull && $"valid_to" < $"valid_from"))
+      .count()
+    assert(bad == 0, s"$bad intervals break the tiling invariant")
+  }
+
+  test("q_retention_cohorts: month 0 equals cohort size; active counts never exceed it") {
+    import spark.implicits._
+    val m = run("q_retention_cohorts")
+    // Every cohort has a month_index-0 row (the month of first order).
+    val cohorts = m.select($"cohort_month").distinct().count()
+    val zeroRows = m.filter($"month_index" === 0).count()
+    assert(cohorts == zeroRows, s"$cohorts cohorts but $zeroRows month-0 rows")
+    // No later month can have more active customers than month 0.
+    val m0 = m.filter($"month_index" === 0)
+      .select($"cohort_month", $"n_customers".as("cohort_size"))
+    val over = m.join(m0, Seq("cohort_month"))
+      .filter($"n_customers" > $"cohort_size").count()
+    assert(over == 0, s"$over cohort cells exceed their cohort size")
+  }
+}
