@@ -99,6 +99,32 @@ object Clustering extends QueryModule {
         .orderBy($"cnt".desc, $"prediction".asc)
     }),
 
+    // [EXT] PCA projection of the embedding corpus — dimensionality
+    // reduction before ANN/clustering, the standard embedding-pipeline
+    // step. PCA.fit is one treeAggregate of the Gram matrix (64×64
+    // partials merged on the driver, independent of row count) + a
+    // local SVD; transform is a broadcast matrix multiply per row —
+    // both the right distributed shape at any corpus size. No oracle
+    // (SVD is not SQL-expressible); PcaSpec pins orthonormal
+    // components and the explained-variance contract.
+    "q_pca_project" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          array_to_vector($"embedding".cast("array<double>")).as("features"))
+      val model = new org.apache.spark.ml.feature.PCA()
+        .setInputCol("features").setOutputCol("pc").setK(8).fit(emb)
+      model.transform(emb)
+        .select($"vec_id", $"label", vector_to_array($"pc").as("pc"))
+        .select($"vec_id", $"label",
+          round(element_at($"pc", 1), 4).as("pc1"),
+          round(element_at($"pc", 2), 4).as("pc2"),
+          round(sqrt(aggregate($"pc", lit(0.0), (acc, x) => acc + x * x)), 4)
+            .as("pc_norm"))
+        .orderBy($"vec_id")
+    }),
+
     // Vector stringification, UDF-free (`Code/flight_analysis.py:227-241`).
     "q_udf_vec_str" -> ((s, dir) => {
       import s.implicits._

@@ -177,6 +177,28 @@ object Aggregates extends QueryModule {
         .orderBy($"cohort_month", $"order_month")
     }),
 
+    // [EXT] IQR outlier clipping — the standard numeric-cleaning step
+    // before stats/training: rows outside [p25 - 1.5·IQR, p75 + 1.5·IQR]
+    // are dropped. The quantiles are ONE tiny aggregate broadcast into
+    // the filter (scalar cross-join, no driver pre-pass, no second
+    // scan ordering anything); exact percentile keeps the oracle, at
+    // 100 TB swap in approx_percentile (same plan shape — the
+    // q_approx_percentiles pattern).
+    "q_outlier_clip" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val q = o.agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      val iqr = $"p75" - $"p25"
+      o.crossJoin(broadcast(q))
+        .filter($"o_totalprice".between($"p25" - iqr * 1.5, $"p75" + iqr * 1.5))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg($"o_totalprice"), 4).as("avg_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // [EXT] pivot: long→wide with an EXPLICIT value list — without it
     // Spark collects the distinct pivot values to the driver first (an
     // extra job and a scale hazard). Count cells are coalesced to 0 so
@@ -316,6 +338,17 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+    "q_outlier_clip" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+        |         quantile_cont(o_totalprice, 0.75) AS p75
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_kept,
+        |  ROUND(AVG(o_totalprice), 4) AS avg_price
+        |FROM orders, q
+        |WHERE o_totalprice BETWEEN p25 - 1.5 * (p75 - p25)
+        |                       AND p75 + 1.5 * (p75 - p25)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_funnel" ->
       """WITH viewed AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -24,6 +24,7 @@ class ContractSpec extends SparkSpec {
     "q_kmeans_predict" -> "KMeans is not SQL-expressible (stability spec)",
     "q_kmeans_scaled" -> "KMeans is not SQL-expressible",
     "q_multimodal_decode" -> "stub codec kernel is not SQL (determinism spec)",
+    "q_pca_project" -> "SVD is not SQL-expressible (orthonormality + variance spec)",
     "q_sample_stratified" -> "sampler RNG is engine-specific (fraction + determinism spec)")
 
   test("every query has an oracle or a documented no-oracle justification") {
