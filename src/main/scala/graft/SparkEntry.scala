@@ -27,9 +27,13 @@ object SparkEntry {
     multimodal.Multimodal,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The TPC-H-Q3-shape star join is the engine's headline
+    * plan: pushed filters at all three scans, pruned dim broadcast,
+    * fact-fact shuffle join, TakeOrdered top-K (10 rows at sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_filter_topk_count")(spark, "/root/testdata/sf0.001")
+    queries("q_star_join")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
