@@ -232,22 +232,9 @@ object Text extends QueryModule {
     // chunk already reached the end of the doc) — wholly duplicated
     // training rows for every doc whose length mod stride lands in the
     // overlap.
-    "q_doc_chunks" -> ((s, dir) => {
-      import s.implicits._
-      val chunkLen = 50
-      val stride = 40
-      val overlap = chunkLen - stride
-      Tables.documents(s, dir)
-        .select($"doc_id", tokens($"text").as("tk"))
-        .select($"doc_id", $"tk",
-          posexplode(sequence(lit(0),
-            greatest(size($"tk") - overlap - 1, lit(0)), lit(stride)))
-            .as(Seq("chunk_id", "start")))
-        .select($"doc_id", $"chunk_id",
-          size(slice($"tk", $"start" + 1, lit(chunkLen))).as("n_chunk_tokens"),
-          array_join(slice($"tk", $"start" + 1, lit(chunkLen)), " ").as("chunk_text"))
-        .orderBy($"doc_id", $"chunk_id")
-    }),
+    "q_doc_chunks" -> ((s, dir) =>
+      chunked(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // [EXT] PII redaction — scrub emails/phone numbers before a corpus
     // ships to training. The synthetic docs carry no PII, so each doc
@@ -256,24 +243,46 @@ object Text extends QueryModule {
     // text that genuinely contains matches. Per-row regex only
     // (codegen'd), no shuffle; counts come from regexp_extract_all and
     // the scrubbed text is fingerprinted for the compare.
-    "q_pii_redact" -> ((s, dir) => {
-      import s.implicits._
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+1-555-[0-9]{4}"
-      Tables.documents(s, dir)
-        .select($"doc_id",
-          concat($"text", lit(" Contact user"), $"doc_id".cast("string"),
-            lit("@example.com or +1-555-"),
-            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
-            lit(" now.")).as("salted"))
-        .select($"doc_id",
-          size(regexp_extract_all($"salted", lit(emailRe), lit(0))).as("n_emails"),
-          size(regexp_extract_all($"salted", lit(phoneRe), lit(0))).as("n_phones"),
-          md5(regexp_replace(regexp_replace($"salted", emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"))
-        .orderBy($"doc_id")
-    }),
+    "q_pii_redact" -> ((s, dir) =>
+      piiRedacted(Tables.documents(s, dir)).orderBy(col("doc_id"))),
   )
+
+  /** Context-window chunking as a reusable `DataFrame => DataFrame`
+    * transform (stateless, per-row) — the same function runs under
+    * `readStream` unchanged; StreamingTextSpec pins the parity.
+    */
+  def chunked(docs: DataFrame, chunkLen: Int = 50, stride: Int = 40): DataFrame = {
+    val overlap = chunkLen - stride
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("tk")) - overlap - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("tk"), col("start") + 1, lit(chunkLen))).as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("start") + 1, lit(chunkLen)), " ").as("chunk_text"))
+  }
+
+  /** PII redaction as a reusable stateless transform (see [[chunked]]
+    * for the streaming-parity story). Docs are salted with
+    * deterministic doc_id-derived PII so the scrub verifiably fires.
+    */
+  def piiRedacted(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    docs
+      .select(col("doc_id"),
+        concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" now.")).as("salted"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("salted"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("salted"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("salted"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"))
+  }
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 

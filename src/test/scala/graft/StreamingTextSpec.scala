@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The corpus-prep transforms (chunking, PII redaction) are stateless
+  * per-row functions — the whole point of expressing them as
+  * `DataFrame => DataFrame` is that the SAME function body runs under
+  * Structured Streaming for incremental corpus ingestion. These tests
+  * pin that: a file-source readStream through the transform yields
+  * exactly the batch result.
+  */
+class StreamingTextSpec extends SparkSpec {
+
+  private def docsDirAndStatic() = {
+    val s = spark
+    import s.implicits._
+    val dir = Scratch.dir("stream_docs_src")
+    Tables.documents(s, sf).select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(dir)
+    (dir, s.read.parquet(dir))
+  }
+
+  test("chunking under readStream matches the batch transform") {
+    val s = spark
+    val (dir, static) = docsDirAndStatic()
+    val q = functions.Text.chunked(
+        s.readStream.schema(static.schema).parquet(dir))
+      .writeStream.format("memory").queryName("chunk_stream_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql(
+        "SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text FROM chunk_stream_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val batch = functions.Text.chunked(static)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("PII redaction under readStream matches the batch transform") {
+    val s = spark
+    val (dir, static) = docsDirAndStatic()
+    val q = functions.Text.piiRedacted(
+        s.readStream.schema(static.schema).parquet(dir))
+      .writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql(
+        "SELECT doc_id, n_emails, n_phones, redacted_fp FROM pii_stream_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val batch = functions.Text.piiRedacted(static)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(streamed === batch)
+    // every doc carries the salted email+phone, so the scrub must fire
+    assert(streamed.forall { case (_, e, p, _) => e >= 1 && p >= 1 })
+  }
+}
