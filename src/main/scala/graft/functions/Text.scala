@@ -245,6 +245,29 @@ object Text extends QueryModule {
     // the scrubbed text is fingerprinted for the compare.
     "q_pii_redact" -> ((s, dir) =>
       piiRedacted(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // [EXT] polynomial rolling-hash fingerprint — the incremental-
+    // update cousin of the md5 fingerprint (q_fingerprint): h_i =
+    // (h_{i-1}·31 + c_i) mod p, foldable per row with no shuffle and
+    // extendable to windowed substring hashes (Rabin–Karp). Text is
+    // canonicalized to printable ASCII first so both engines fold the
+    // identical code-point sequence (Java split("") iterates UTF-16
+    // code units, DuckDB slices characters — they diverge outside
+    // ASCII). The modulus keeps every intermediate below 2^35:
+    // Spark longs would wrap silently on overflow where DuckDB BIGINTs
+    // raise — staying small keeps the twins exactly comparable.
+    "q_rolling_hash" -> ((s, dir) => {
+      import s.implicits._
+      val canon = regexp_replace($"text", "[^\\x20-\\x7E]", "")
+      Tables.documents(s, dir)
+        .select($"doc_id", canon.as("s"))
+        .select($"doc_id",
+          aggregate(
+            transform(split($"s", ""), ch => ascii(ch).cast("long")),
+            lit(0L),
+            (h, c) => (h * 31 + c) % 1000000007L).as("rhash"))
+        .orderBy($"doc_id")
+    }),
   )
 
   /** Context-window chunking as a reusable `DataFrame => DataFrame`
@@ -360,6 +383,16 @@ object Text extends QueryModule {
         |  CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens,
         |  array_to_string(list_slice(tk, start + 1, start + 50), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_rolling_hash" ->
+      """WITH c AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS s
+        |  FROM documents)
+        |SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(s) + 1),
+        |                   i -> CAST(ord(s[i:i]) AS BIGINT))),
+        |  (a, x) -> (a * 31 + x) % 1000000007) AS rhash
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH salted AS (
         |  SELECT doc_id,
