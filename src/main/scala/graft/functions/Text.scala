@@ -275,6 +275,9 @@ object Text extends QueryModule {
     * `readStream` unchanged; StreamingTextSpec pins the parity.
     */
   def chunked(docs: DataFrame, chunkLen: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && stride <= chunkLen,
+      s"stride must be in (0, chunkLen=$chunkLen]; got $stride — a larger " +
+        "stride would silently drop the tokens between chunk end and next start")
     val overlap = chunkLen - stride
     docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))

@@ -48,6 +48,22 @@ object Clustering extends QueryModule {
       .fit(assembled).transform(assembled)
       .drop("features").withColumnRenamed("features_std", "features")
 
+  /** Embedding table → (vec_id, label, features) with the ml-Vector
+    * bridge — shared by q_pca_project and PcaSpec so the spec pins the
+    * SAME assembly the query runs, not a parallel copy.
+    */
+  def embeddingFeatures(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"))
+
+  /** PCA fit shared by q_pca_project and PcaSpec (k, column names in
+    * one place).
+    */
+  def fitPca(df: DataFrame, k: Int = 8): org.apache.spark.ml.feature.PCAModel =
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(k).fit(df)
+
   def silhouette(predictions: DataFrame): Double =
     new ClusteringEvaluator()
       .setMetricName("silhouette")
@@ -109,13 +125,9 @@ object Clustering extends QueryModule {
     // components and the explained-variance contract.
     "q_pca_project" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-      val emb = Tables.embeddings(s, dir)
-        .select($"vec_id", $"label",
-          array_to_vector($"embedding".cast("array<double>")).as("features"))
-      val model = new org.apache.spark.ml.feature.PCA()
-        .setInputCol("features").setOutputCol("pc").setK(8).fit(emb)
-      model.transform(emb)
+      import org.apache.spark.ml.functions.vector_to_array
+      val emb = embeddingFeatures(Tables.embeddings(s, dir))
+      fitPca(emb).transform(emb)
         .select($"vec_id", $"label", vector_to_array($"pc").as("pc"))
         .select($"vec_id", $"label",
           round(element_at($"pc", 1), 4).as("pc1"),

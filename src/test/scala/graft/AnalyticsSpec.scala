@@ -63,6 +63,7 @@ class AnalyticsSpec extends SparkSpec {
     val bad = iv
       .withColumn("next_from", lead($"valid_from", 1).over(w))
       .filter(
+        ($"valid_to".isNotNull && $"next_from".isNull) ||  // closed row with no successor
         ($"valid_to".isNotNull && $"valid_to" =!= $"next_from") ||
         ($"valid_to".isNotNull && $"valid_to" < $"valid_from"))
       .count()

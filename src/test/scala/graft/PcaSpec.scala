@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.ml.feature.PCA
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 
 /** PCA contract (no SQL oracle exists for an SVD): the fitted basis
@@ -11,15 +9,12 @@ import org.apache.spark.sql.functions._
   */
 class PcaSpec extends SparkSpec {
 
-  private lazy val emb = {
-    import spark.implicits._
-    Tables.embeddings(spark, sf)
-      .select($"vec_id",
-        array_to_vector($"embedding".cast("array<double>")).as("features"))
-  }
+  // The SAME assembly + fit the query runs (shared helpers), so the
+  // spec pins the production model, not a parallel copy.
+  private lazy val emb =
+    ml.Clustering.embeddingFeatures(Tables.embeddings(spark, sf))
 
-  private lazy val model =
-    new PCA().setInputCol("features").setOutputCol("pc").setK(8).fit(emb)
+  private lazy val model = ml.Clustering.fitPca(emb)
 
   test("principal components are orthonormal") {
     val m = model.pc // 64×8 column-major

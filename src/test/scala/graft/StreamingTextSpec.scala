@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   */
 class StreamingTextSpec extends SparkSpec {
 
-  private def docsDirAndStatic() = {
+  // One snapshot shared by both tests: written once per suite (lazy),
+  // so the tests neither duplicate the I/O nor race on overwriting the
+  // directory a stream is reading.
+  private lazy val docsDirAndStaticShared: (String, org.apache.spark.sql.DataFrame) = {
     val s = spark
     import s.implicits._
     val dir = Scratch.dir("stream_docs_src")
@@ -19,6 +22,7 @@ class StreamingTextSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     (dir, s.read.parquet(dir))
   }
+  private def docsDirAndStatic() = docsDirAndStaticShared
 
   test("chunking under readStream matches the batch transform") {
     val s = spark
