@@ -10,13 +10,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   * conf, the same way Delta/Iceberg register theirs.
   *
   * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]),
-  * `simhash_sig` ([[graft.plans.SimHashSig]]), and `vec_dot`
-  * ([[graft.plans.VecDot]]).
+  * `simhash_sig` ([[graft.plans.SimHashSig]]), `vec_dot`
+  * ([[graft.plans.VecDot]]), and `rolling_hash`
+  * ([[graft.plans.RollingHash]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     plans.MinHashSig.register(ext)
     plans.SimHashSig.register(ext)
     plans.VecDot.register(ext)
+    plans.RollingHash.register(ext)
   }
 }

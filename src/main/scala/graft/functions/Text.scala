@@ -258,14 +258,13 @@ object Text extends QueryModule {
     // raise — staying small keeps the twins exactly comparable.
     "q_rolling_hash" -> ((s, dir) => {
       import s.implicits._
+      // codegen'd byte-fold (graft.plans.RollingHash); ExpressionSpec
+      // pins exact agreement with the per-character HOF formulation on
+      // the ASCII-canonicalized input.
       val canon = regexp_replace($"text", "[^\\x20-\\x7E]", "")
       Tables.documents(s, dir)
         .select($"doc_id", canon.as("s"))
-        .select($"doc_id",
-          aggregate(
-            transform(split($"s", ""), ch => ascii(ch).cast("long")),
-            lit(0L),
-            (h, c) => (h * 31 + c) % 1000000007L).as("rhash"))
+        .select($"doc_id", call_function("rolling_hash", $"s").as("rhash"))
         .orderBy($"doc_id")
     }),
   )

@@ -142,6 +142,32 @@ class ExpressionSpec extends SparkSpec {
     assert(edge(2L) === null)
   }
 
+  test("rolling_hash is exactly the per-character HOF fold on ASCII-canonicalized text") {
+    import spark.implicits._
+    def hofRolling(s: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(split(s, ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31 + c) % 1000000007L)
+    val canon = regexp_replace($"text", "[^\\x20-\\x7E]", "")
+    val rows = Tables.documents(spark, sf).limit(200)
+      .select(canon.as("s"))
+      .select(
+        call_function("rolling_hash", $"s").as("expr_h"),
+        hofRolling($"s").as("hof_h"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) === r.getLong(1)))
+    // empty string folds to 0, null stays null, known value checks out
+    val edge = Seq((1L, Some("")), (2L, None: Option[String]), (3L, Some("abc")))
+      .toDF("id", "s")
+      .select($"id", call_function("rolling_hash", $"s").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(1L) === 0L)
+    assert(edge(2L) === null)
+    assert(edge(3L) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
   test("vec_dot is bit-identical to the HOF fold; null/mismatch semantics match") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(200)
