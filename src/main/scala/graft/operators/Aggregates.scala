@@ -177,6 +177,40 @@ object Aggregates extends QueryModule {
         .orderBy($"cohort_month", $"order_month")
     }),
 
+    // [EXT] HAVING — filter on aggregate outputs: customers with more
+    // than 12 orders. In the DataFrame API this is just a filter above
+    // the agg; Catalyst keeps it after the final HashAggregate, so the
+    // predicate sees finished groups and nothing extra shuffles.
+    "q_having" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 4).as("total_spend"))
+        .filter($"n_orders" > 12)
+        .orderBy($"o_custkey")
+    }),
+
+    // [EXT] share-of-total — each group's fraction of the corpus-wide
+    // sum. The tempting formulation `sum(x).over(Window.partitionBy())`
+    // funnels EVERY row through one partition (an unpartitioned window
+    // is a single-reducer global sort) — the scale-correct shape is a
+    // one-row aggregate broadcast-cross-joined into the per-group
+    // results: two map-side-combined aggregates, zero single-partition
+    // stages, same answer.
+    "q_share_of_total" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val total = broadcast(li.agg(sum($"l_extendedprice").as("grand_total")))
+      li.groupBy($"l_returnflag")
+        .agg(sum($"l_extendedprice").as("flag_total"))
+        .crossJoin(total)
+        .select($"l_returnflag",
+          round($"flag_total", 4).as("flag_total"),
+          round($"flag_total" / $"grand_total", 6).as("share"))
+        .orderBy($"l_returnflag")
+    }),
+
     // [EXT] IQR outlier clipping — the standard numeric-cleaning step
     // before stats/training: rows outside [p25 - 1.5·IQR, p75 + 1.5·IQR]
     // are dropped. The quantiles are ONE tiny aggregate broadcast into
@@ -338,6 +372,20 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) > 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q_share_of_total" ->
+      """WITH t AS (SELECT SUM(l_extendedprice) AS grand_total FROM lineitem)
+        |SELECT l_returnflag,
+        |  ROUND(SUM(l_extendedprice), 4) AS flag_total,
+        |  ROUND(SUM(l_extendedprice) / grand_total, 6) AS share
+        |FROM lineitem, t
+        |GROUP BY l_returnflag, grand_total
+        |ORDER BY l_returnflag""".stripMargin,
     "q_outlier_clip" ->
       """WITH q AS (
         |  SELECT quantile_cont(o_totalprice, 0.25) AS p25,
