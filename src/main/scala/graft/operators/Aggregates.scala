@@ -177,6 +177,25 @@ object Aggregates extends QueryModule {
         .orderBy($"cohort_month", $"order_month")
     }),
 
+    // [EXT] argmax/argmin aggregates — "which row holds the extreme",
+    // as a single map-side-combined aggregate instead of the window
+    // (rn = 1) formulation (q_window_latest): no per-group sort, agg
+    // state is one (value, arg) pair per group. Tie caveat: max_by is
+    // nondeterministic under tied extremes — checked: no per-group
+    // ties exist in this data at sf0.01 or sf0.1; for tie-prone data
+    // use the window form with an explicit tiebreaker.
+    "q_argmax" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          max_by($"o_orderkey", $"o_totalprice").as("top_orderkey"),
+          max_by($"o_custkey", $"o_totalprice").as("top_custkey"),
+          max($"o_totalprice").as("top_price"),
+          min_by($"o_orderkey", $"o_totalprice").as("bottom_orderkey"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // [EXT] HAVING — filter on aggregate outputs: customers with more
     // than 12 orders. In the DataFrame API this is just a filter above
     // the agg; Catalyst keeps it after the final HashAggregate, so the
@@ -372,6 +391,14 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+        |  arg_max(o_custkey, o_totalprice) AS top_custkey,
+        |  MAX(o_totalprice) AS top_price,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_orderkey
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS total_spend
