@@ -264,7 +264,7 @@ object Text extends QueryModule {
       val canon = regexp_replace($"text", "[^\\x20-\\x7E]", "")
       Tables.documents(s, dir)
         .select($"doc_id", canon.as("s"))
-        .select($"doc_id", call_function("rolling_hash", $"s").as("rhash"))
+        .select($"doc_id", call_function(graft.plans.RollingHash.FunctionName, $"s").as("rhash"))
         .orderBy($"doc_id")
     }),
   )

@@ -70,6 +70,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad == 0, s"$bad intervals break the tiling invariant")
   }
 
+  test("q_argmax's tie-freedom precondition holds: one row at each group extreme") {
+    import spark.implicits._
+    // max_by/arg_max are nondeterministic under tied extremes — the
+    // query is only oracle-comparable because the fixture has exactly
+    // one row at each group's max and min. Pin that property so a
+    // regenerated fixture that breaks it fails HERE with a message,
+    // not in the driver compare with a flaky hash mismatch.
+    val o = Tables.orders(spark, sf)
+    val ties = o.groupBy($"o_orderpriority")
+      .agg(max($"o_totalprice").as("mx"), min($"o_totalprice").as("mn"))
+      .join(o, Seq("o_orderpriority"))
+      .filter($"o_totalprice" === $"mx" || $"o_totalprice" === $"mn")
+      .groupBy($"o_orderpriority", $"o_totalprice")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .count()
+    assert(ties == 0,
+      "tied group extremes: q_argmax needs the window-rn1 form with a tiebreaker")
+  }
+
   test("q_retention_cohorts: month 0 equals cohort size; active counts never exceed it") {
     import spark.implicits._
     val m = run("q_retention_cohorts")

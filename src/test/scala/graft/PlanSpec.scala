@@ -127,6 +127,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_share_of_total: no single-partition window stage, total arrives by broadcast") {
+    // The documented point of the query: share-of-total via an
+    // unpartitioned window would plan Exchange SinglePartition + a
+    // global sort; the broadcast-scalar formulation must keep every
+    // exchange hash-partitioned.
+    val p = plan("q_share_of_total")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q_multimodal_meta never reads beyond the columns it needs") {
     val p = plan("q_multimodal_meta")
     // doc_id, text (for n_bytes), source — but never lang/n_chars
