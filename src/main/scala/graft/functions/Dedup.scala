@@ -191,6 +191,27 @@ object Dedup extends QueryModule {
         .orderBy($"keep_id")
     }),
 
+    // [EXT] incremental dedup — the shape every continuously-ingesting
+    // corpus actually runs: dedup a NEW batch against the HISTORICAL
+    // corpus, not all-against-all. One left-anti join on the 16-byte
+    // fingerprint: the shuffle moves fingerprints, never documents,
+    // and the historical side is a distinct fingerprint set (at 100 TB
+    // that set is a maintained table, not a rescan — the join shape is
+    // identical). Batches derive from the source column (src0-9 =
+    // history, src10+ = new).
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("batch_idx", substring($"source", 4, 10).cast("int"))
+      val historicalFps = docs.filter($"batch_idx" < 10)
+        .select(Text.fingerprint($"text").as("fp")).distinct()
+      docs.filter($"batch_idx" >= 10)
+        .select($"doc_id", Text.fingerprint($"text").as("fp"))
+        .join(historicalFps, Seq("fp"), "left_anti")
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
     // Survivorship-policy dedup: keep the LONGEST doc per fingerprint
     // group (min-id is q_dedup_exact's policy; real pipelines keep the
     // best representative). row_number over the group triggers Spark's
@@ -495,6 +516,15 @@ object Dedup extends QueryModule {
     "q_distinct_pairs" ->
       """SELECT DISTINCT lang, source FROM documents
         |ORDER BY lang, source""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS bi,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM d n
+        |WHERE bi >= 10 AND NOT EXISTS (
+        |  SELECT 1 FROM d h WHERE h.bi < 10 AND h.fp = n.fp)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_survivor" ->
       """SELECT doc_id, fp, CAST(length(text) AS INT) AS len
         |FROM (SELECT doc_id, text,

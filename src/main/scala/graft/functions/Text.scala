@@ -256,6 +256,26 @@ object Text extends QueryModule {
     // ASCII). The modulus keeps every intermediate below 2^35:
     // Spark longs would wrap silently on overflow where DuckDB BIGINTs
     // raise — staying small keeps the twins exactly comparable.
+    // [EXT] sequence packing — assign each chunk to a fixed-budget
+    // training sequence (512 tokens) by exclusive running token count
+    // per doc: seq_id = floor(tokens_before_this_chunk / 512). The
+    // distributed-friendly approximation of greedy bin packing (greedy
+    // is inherently sequential; per-doc running sums are one window
+    // pass, partitioned by doc — no cross-doc coordination, which is
+    // also why it scales: packing decisions never leave a partition).
+    "q_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"chunk_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      chunked(Tables.documents(s, dir))
+        .select($"doc_id", $"chunk_id", $"n_chunk_tokens")
+        .withColumn("cum_before",
+          coalesce(sum($"n_chunk_tokens").over(w), lit(0L)).cast("long"))
+        .withColumn("seq_id", floor($"cum_before" / 512.0).cast("int"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     "q_rolling_hash" -> ((s, dir) => {
       import s.implicits._
       // codegen'd byte-fold (graft.plans.RollingHash); ExpressionSpec
@@ -385,6 +405,27 @@ object Text extends QueryModule {
         |  CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens,
         |  array_to_string(list_slice(tk, start + 1, start + 50), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk) - 10, 1), 40)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |    CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens
+        |  FROM s)
+        |SELECT doc_id, chunk_id, n_chunk_tokens,
+        |  CAST(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
+        |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS cum_before,
+        |  CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
+        |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 512.0) AS INT) AS seq_id
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS s

@@ -142,9 +142,38 @@ object Relational extends QueryModule {
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
     }),
+
+    // [EXT] deterministic train/val/test split — hash-bucket
+    // assignment (98/1/1) from md5 of the key, so the split is stable
+    // across runs, machines, and engines (unlike RNG-based sampling):
+    // a doc's destination is a pure function of its id, which is what
+    // makes incremental corpus refreshes keep historical membership.
+    // Pure per-row projection, no shuffle.
+    "q_train_split" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when($"bucket" < 98, "train")
+            .when($"bucket" < 99, "val")
+            .otherwise("test"))
+        .orderBy($"doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_train_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |         % 100 < 98 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |         % 100 < 99 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45
