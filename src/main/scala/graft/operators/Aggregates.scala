@@ -180,19 +180,23 @@ object Aggregates extends QueryModule {
     // [EXT] argmax/argmin aggregates — "which row holds the extreme",
     // as a single map-side-combined aggregate instead of the window
     // (rn = 1) formulation (q_window_latest): no per-group sort, agg
-    // state is one (value, arg) pair per group. Tie caveat: max_by is
-    // nondeterministic under tied extremes — checked: no per-group
-    // ties exist in this data at sf0.01 or sf0.1; for tie-prone data
-    // use the window form with an explicit tiebreaker.
+    // state is one (value, arg) pair per group. The ordering value is
+    // a (price, orderkey) STRUCT — Spark compares structs
+    // lexicographically, so tied extremes resolve to the max/min
+    // orderkey deterministically on ANY data, independent of partition
+    // arrival order (round-4 ADVICE: bare max_by was only tie-free by
+    // fixture luck). DuckDB's arg_max cannot order by a ROW, so the
+    // oracle is the equivalent tiebroken window form.
     "q_argmax" -> ((s, dir) => {
       import s.implicits._
+      val ord = struct($"o_totalprice", $"o_orderkey")
       Tables.orders(s, dir)
         .groupBy($"o_orderpriority")
         .agg(
-          max_by($"o_orderkey", $"o_totalprice").as("top_orderkey"),
-          max_by($"o_custkey", $"o_totalprice").as("top_custkey"),
+          max_by($"o_orderkey", ord).as("top_orderkey"),
+          max_by($"o_custkey", ord).as("top_custkey"),
           max($"o_totalprice").as("top_price"),
-          min_by($"o_orderkey", $"o_totalprice").as("bottom_orderkey"))
+          min_by($"o_orderkey", ord).as("bottom_orderkey"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -240,9 +244,15 @@ object Aggregates extends QueryModule {
     "q_outlier_clip" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.orders(s, dir)
+      // Quantiles rounded to cents BEFORE the bounds arithmetic:
+      // Spark percentile() and DuckDB quantile_cont are both type-7
+      // interpolation but can differ in the last ulp, and a row landing
+      // exactly on an unrounded clip bound could flip membership
+      // between engines (round-4 ADVICE). From cent-rounded inputs both
+      // engines compute bit-identical doubles for the BETWEEN bounds.
       val q = o.agg(
-        expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"))
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
       val iqr = $"p75" - $"p25"
       o.crossJoin(broadcast(q))
         .filter($"o_totalprice".between($"p25" - iqr * 1.5, $"p75" + iqr * 1.5))
@@ -392,13 +402,21 @@ object Aggregates extends QueryModule {
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem""".stripMargin,
     "q_argmax" ->
-      """SELECT o_orderpriority,
-        |  arg_max(o_orderkey, o_totalprice) AS top_orderkey,
-        |  arg_max(o_custkey, o_totalprice) AS top_custkey,
-        |  MAX(o_totalprice) AS top_price,
-        |  arg_min(o_orderkey, o_totalprice) AS bottom_orderkey
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+      """WITH top AS (
+        |  SELECT o_orderpriority, o_orderkey AS top_orderkey,
+        |         o_custkey AS top_custkey, o_totalprice AS top_price
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) = 1),
+        |bot AS (
+        |  SELECT o_orderpriority, o_orderkey AS bottom_orderkey
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) = 1)
+        |SELECT t.o_orderpriority, top_orderkey, top_custkey, top_price,
+        |       bottom_orderkey
+        |FROM top t JOIN bot b ON t.o_orderpriority = b.o_orderpriority
+        |ORDER BY t.o_orderpriority""".stripMargin,
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS total_spend
@@ -415,8 +433,8 @@ object Aggregates extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     "q_outlier_clip" ->
       """WITH q AS (
-        |  SELECT quantile_cont(o_totalprice, 0.25) AS p25,
-        |         quantile_cont(o_totalprice, 0.75) AS p75
+        |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |         ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
         |  FROM orders)
         |SELECT o_orderstatus, COUNT(*) AS n_kept,
         |  ROUND(AVG(o_totalprice), 4) AS avg_price

@@ -70,24 +70,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad == 0, s"$bad intervals break the tiling invariant")
   }
 
-  test("q_argmax's tie-freedom precondition holds: one row at each group extreme") {
+  test("q_argmax's struct tiebreak is deterministic under tied extremes") {
     import spark.implicits._
-    // max_by/arg_max are nondeterministic under tied extremes — the
-    // query is only oracle-comparable because the fixture has exactly
-    // one row at each group's max and min. Pin that property so a
-    // regenerated fixture that breaks it fails HERE with a message,
-    // not in the driver compare with a flaky hash mismatch.
-    val o = Tables.orders(spark, sf)
-    val ties = o.groupBy($"o_orderpriority")
-      .agg(max($"o_totalprice").as("mx"), min($"o_totalprice").as("mn"))
-      .join(o, Seq("o_orderpriority"))
-      .filter($"o_totalprice" === $"mx" || $"o_totalprice" === $"mn")
-      .groupBy($"o_orderpriority", $"o_totalprice")
-      .agg(count(lit(1)).as("n"))
-      .filter($"n" > 1)
-      .count()
-    assert(ties == 0,
-      "tied group extremes: q_argmax needs the window-rn1 form with a tiebreaker")
+    // Round-4 ADVICE: the bare max_by form was only oracle-comparable
+    // because the fixture happened to be tie-free — a data-dependent
+    // precondition. The struct-ordered form resolves ties by orderkey
+    // on ANY data; prove it on a frame that is ALL ties: both groups
+    // share one price across every row, so an untiebroken max_by could
+    // return any member, while the struct form must return the
+    // max/min orderkey regardless of partition arrival order.
+    val tied = Seq(
+      ("a", 10L, 5.0), ("a", 11L, 5.0), ("a", 12L, 5.0),
+      ("b", 20L, 7.0), ("b", 21L, 7.0))
+      .toDF("g", "k", "v").repartition(8)
+    val got = tied.groupBy($"g")
+      .agg(
+        max_by($"k", struct($"v", $"k")).as("top_k"),
+        min_by($"k", struct($"v", $"k")).as("bottom_k"))
+      .orderBy($"g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 12L, 10L), ("b", 21L, 20L)), got.toString)
   }
 
   test("q_retention_cohorts: month 0 equals cohort size; active counts never exceed it") {

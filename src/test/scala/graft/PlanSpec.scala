@@ -134,8 +134,17 @@ class PlanSpec extends SparkSpec {
     // exchange hash-partitioned.
     val p = plan("q_share_of_total")
     assert(!p.contains("Window"), p)
-    assert(!p.contains("SinglePartition") || p.contains("BroadcastExchange"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // The ONLY single-partition exchange allowed is the one feeding the
+    // one-row grand-total aggregate; the per-group branch must stay
+    // hash-partitioned end to end. (The former
+    // `!SinglePartition || BroadcastExchange` disjunction was vacuous —
+    // the broadcast side always exists — so it could never catch a
+    // single-reducer regression; round-4 ADVICE.)
+    val singleParts = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singleParts <= 1, s"expected at most the grand-total SinglePartition exchange, got $singleParts:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"per-group aggregate lost its hash exchange:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"grand total must arrive by broadcast:\n$p")
   }
 
   test("q_multimodal_meta never reads beyond the columns it needs") {
