@@ -20,6 +20,7 @@ object SparkEntry {
     functions.Scalars,
     functions.Text,
     functions.Vectors,
+    functions.Retrieval,
     functions.Dedup,
     ml.Clustering,
     ml.FlightPipeline,

@@ -1,0 +1,138 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** [EXT] Retrieval-side operators for LLM-data pipelines over
+  * `documents`: BM25 keyword scoring (the lexical-retrieval baseline
+  * every RAG/eval stack needs next to the embedding ANN paths in
+  * [[Vectors]]) and train/eval n-gram decontamination (the overlap
+  * check run before any benchmark number is trusted — an eval document
+  * whose n-grams appear in training data is contaminated).
+  *
+  * Both are explode → bounded hash-aggregate pipelines: the shuffles
+  * move (key, partial count) pairs, never documents, so corpus size
+  * only grows the linear tokenize/explode stage — the same 100 TB
+  * shape as q_tfidf / q_top_bigrams.
+  */
+object Retrieval extends QueryModule {
+
+  /** BM25 query terms — fixed so the whole score is deterministic and
+    * the DuckDB twin can reproduce it literally.
+    */
+  val QueryTerms: Seq[String] = Seq("spark", "hash", "window")
+
+  /** Decontamination shingle width. 4 tokens on this corpus's ~50-token
+    * docs plays the role 13-grams play on real web text (the classic
+    * overlap width): wide enough that a hit means real shared phrasing,
+    * narrow enough that hits exist to verify the plumbing.
+    */
+  val ContamN = 4
+
+  /** Every 25th doc_id plays the held-out eval set. */
+  val EvalMod = 25
+
+  override def queries: Map[String, Query] = Map(
+    // BM25 (Okapi, k1=1.2 b=0.75) of a fixed 3-term query against the
+    // corpus. Plan shape: the per-doc length table is computed ONCE and
+    // persisted (it feeds both the corpus-stats aggregate and the tf
+    // explode — an unpinned second consumer would re-tokenize the
+    // corpus, the round-3 self-join trap); the term explode is filtered
+    // to the query terms BEFORE any aggregation, so the tf/df
+    // aggregates see only matching postings (at 100 TB this is the
+    // difference between aggregating the full posting list and the
+    // query's slice of it). N and avgdl arrive as a broadcast one-row
+    // aggregate, df as a broadcast |query-terms|-row join — nothing
+    // larger than the match set ever shuffles. Constants are written as
+    // the same literals in both engines (1.2, 2.2, 0.25, 0.75): deriving
+    // 2.2 as 1.2+1 at runtime could differ from the literal 2.2 in the
+    // last ulp and flip a rounded score.
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val dld = Tables.documents(s, dir)
+        .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
+        .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stats = broadcast(dld.agg(
+        count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
+      val tf = dld.select($"doc_id", $"dl", explode($"tk").as("term"))
+        .filter($"term".isin(QueryTerms: _*))
+        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(stats)
+        .withColumn("idf", log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+        .withColumn("score_t", $"idf" * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs"))))
+        .groupBy($"doc_id").agg(round(sum($"score_t"), 4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id".asc)
+        .limit(25)
+    }),
+
+    // Train/eval decontamination: which training docs share a 4-gram
+    // with the held-out eval slice. The eval side is DISTINCT n-grams
+    // broadcast to the train side (eval sets are small by nature; at a
+    // large eval set the same plan shuffles on the n-gram key instead —
+    // one-line change, same semantics); the train side explodes each
+    // doc's distinct n-grams linearly. The broadcast hash join filters
+    // non-colliding n-grams at the mapper, so the only shuffle is the
+    // map-side-combined per-doc hit count. The n-gram frame is built
+    // once and persisted — its eval and train branches would otherwise
+    // each re-run the tokenize+shingle stage.
+    "q_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", Text.tokens($"text").as("tk"))
+        .select($"doc_id",
+          when(size($"tk") < ContamN, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size($"tk") - (ContamN - 1)),
+              i => concat_ws(" ", (0 until ContamN).map(o => element_at($"tk", i + o)): _*)))
+            .as("gs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val evalGrams = grams.filter($"doc_id" % EvalMod === 0)
+        .select(explode($"gs").as("g")).distinct()
+      val trainGrams = grams.filter($"doc_id" % EvalMod =!= 0)
+        .select($"doc_id", explode(array_distinct($"gs")).as("g"))
+      trainGrams.join(broadcast(evalGrams), Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  override def oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dl),
+         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |       FROM t WHERE term IN $termList GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, ROUND(SUM(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))), 4) AS bm25
+         |FROM tf JOIN df USING (term), stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "q_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(1, len(tk) - ${ContamN - 2}),
+         |    i -> array_to_string(list_slice(tk, i, i + ${ContamN - 1}), ' ')) AS gs
+         |  FROM t),
+         |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % $EvalMod = 0),
+         |tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM g WHERE doc_id % $EvalMod <> 0)
+         |SELECT doc_id, COUNT(*) AS n_hits
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -276,6 +276,54 @@ object Text extends QueryModule {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // [EXT] intra-document repetition filter (the Gopher/C4-style
+    // quality rule): fraction of duplicated trigrams per doc —
+    // boilerplate and generation loops repeat phrasing, organic text
+    // doesn't. Pure per-row array arithmetic over the projected token
+    // attribute (build trigrams once, count total vs distinct): no
+    // shuffle, linear in corpus size. The keep decision compares the
+    // ROUNDED ratio in both engines, so the threshold boundary can't
+    // flip on a last-ulp division difference.
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tk"))
+        .select($"doc_id",
+          when(size($"tk") < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size($"tk") - 2),
+              i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
+                element_at($"tk", i + 2)))).as("tg"))
+        .select($"doc_id", size($"tg").as("n_tri"), size(array_distinct($"tg")).as("n_uniq"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - $"n_uniq" / greatest($"n_tri", lit(1)).cast("double"), 4))
+        .withColumn("kept", $"dup_ratio" <= 0.2)
+        .orderBy($"doc_id")
+    }),
+
+    // [EXT] weighted dataset mixing — compose a training corpus from
+    // sources at different sampling rates (the standard pretraining
+    // mixture step: upweight curated sources, downsample the crawl).
+    // Membership is a deterministic md5 hash bucket per doc (the
+    // q_train_split scheme), NOT rand(): the mix is reproducible
+    // across runs, engines, and incremental refreshes — a re-run with
+    // more data keeps every previously selected doc. Per-row filter,
+    // no shuffle; at 100 TB this is a scan that emits `weight`% of
+    // each source with zero coordination.
+    "q_mix_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val weight =
+        when($"source".isin("src0", "src1", "src2", "src3", "src4"), 100)
+          .when($"source".isin("src5", "src6", "src7", "src8", "src9"), 50)
+          .otherwise(20)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"),
+          weight.as("weight"))
+        .filter($"bucket" < $"weight")
+        .orderBy($"doc_id")
+    }),
+
     "q_rolling_hash" -> ((s, dir) => {
       import s.implicits._
       // codegen'd byte-fold (graft.plans.RollingHash); ExpressionSpec
@@ -426,6 +474,34 @@ object Text extends QueryModule {
         |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) / 512.0) AS INT) AS seq_id
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, CAST(len(tg) AS INT) AS n_tri,
+        |    CAST(len(list_distinct(tg)) AS INT) AS n_uniq,
+        |    ROUND(1.0 - len(list_distinct(tg))
+        |      / GREATEST(CAST(len(tg) AS DOUBLE), 1.0), 4) AS dup_ratio
+        |  FROM g)
+        |SELECT doc_id, n_tri, n_uniq, dup_ratio, (dup_ratio <= 0.2) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_mix_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100 AS bucket,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+        |         ELSE 20 END AS weight
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, CAST(weight AS INT) AS weight
+        |FROM w WHERE bucket < weight ORDER BY doc_id""".stripMargin,
     "q_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS s

@@ -254,6 +254,62 @@ object Vectors extends QueryModule {
         .orderBy($"vec_id")
     }),
 
+    // [EXT] k-NN JOIN — top-k neighbors for EVERY query in a query
+    // set, not just one probe: the batch shape embedding pipelines
+    // actually run (dedup candidate mining, eval-set retrieval). The
+    // query set broadcasts (it is small by construction); each corpus
+    // partition scores its rows against all queries locally, and the
+    // per-query top-k runs as a rank-over-window that Spark rewrites to
+    // Partial+Final WindowGroupLimit — each mapper forwards at most k
+    // rows per query, so the one shuffle moves O(queries × k ×
+    // partitions) rows regardless of corpus size (PlanSpec pins the
+    // rewrite). Scoring work is the irreducible |corpus| × |queries|.
+    "q_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", asDouble($"embedding").as("v"))
+      val queries = broadcast(emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"v".as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id".asc)
+      emb.join(queries, $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", round(cosine($"v", $"qv"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // [EXT] IVF + int8 rerank — the two-stage ANN shape of a
+    // product-quantization pipeline: (1) coarse IVF cell probe, (2) a
+    // CHEAP approximate scan of the cell using per-vector symmetric
+    // int8 codes (the q_embed_quantize scheme: code = round(x/step),
+    // approx dot = Σ code_a·code_q · step_a·step_q — 4× less memory
+    // traffic per candidate at scale), (3) exact cosine rerank of only
+    // the top-20 approximate survivors. Every stage is deterministic
+    // arithmetic, so unlike LSH the whole cascade is oracle-checked.
+    // The assigned+quantized frame is persisted: it feeds the query
+    // lookup and the cell scan (self-join re-execution trap).
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val assigned = ivfAssigned(Tables.embeddings(s, dir)
+          .select($"vec_id", asDouble($"embedding").as("v")))
+        .withColumn("amax",
+          greatest(aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+        .withColumn("step", $"amax" / 127.0)
+        .withColumn("q8", transform($"v", x => round(x / $"step")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val query = broadcast(assigned.filter($"vec_id" === 0)
+        .select($"q8".as("qq8"), $"step".as("qstep"), $"v".as("qv"), $"cell".as("qcell")))
+      val cand = assigned.join(query, $"cell" === $"qcell")
+        .select($"vec_id", $"v", $"qv",
+          round(dot($"q8", $"qq8") * $"step" * $"qstep", 4).as("qsim"))
+        .orderBy($"qsim".desc, $"vec_id".asc)
+        .limit(20)
+      cand.select($"vec_id", $"qsim", round(cosine($"v", $"qv"), 4).as("sim"))
+        .orderBy($"sim".desc, $"vec_id".asc)
+        .limit(10)
+    }),
+
     // Per-label embedding centroids, element-wise: posexplode to
     // (label, dim, value) rows, hash-aggregate the mean. The shuffle
     // moves map-side-combined partials per (label, dim) — 64 × labels
@@ -343,6 +399,42 @@ object Vectors extends QueryModule {
         |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "q_knn_join" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, vv AS qv FROM v WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, v.vec_id, ROUND(
+        |    list_sum(list_transform(list_zip(v.vv, q.qv), p -> p[1] * p[2]))
+        |    / (SQRT(list_sum(list_transform(v.vv, x -> x * x)))
+        |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+        |  FROM v, q WHERE v.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+        |  SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_ann_ivf_pq" ->
+      s"""$ivfAssignCte,
+         |qz AS (SELECT vec_id, vv, cell,
+         |         GREATEST(list_max(list_transform(vv, x -> abs(x))), 1e-12) / 127.0 AS step
+         |       FROM a),
+         |qc AS (SELECT vec_id, vv, cell, step,
+         |         list_transform(vv, x -> round(x / step)) AS q8 FROM qz),
+         |q AS (SELECT q8 AS qq8, step AS qstep, vv AS qv, cell AS qcell
+         |      FROM qc WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT qc.vec_id, qc.vv, q.qv, ROUND(
+         |    list_sum(list_transform(list_zip(qc.q8, q.qq8), p -> p[1] * p[2]))
+         |    * qc.step * q.qstep, 4) AS qsim
+         |  FROM qc, q WHERE qc.cell = q.qcell
+         |  ORDER BY qsim DESC, vec_id LIMIT 20)
+         |SELECT vec_id, qsim, ROUND(
+         |  list_sum(list_transform(list_zip(vv, qv), p -> p[1] * p[2]))
+         |  / (SQRT(list_sum(list_transform(vv, x -> x * x)))
+         |     * SQRT(list_sum(list_transform(qv, x -> x * x)))), 4) AS sim
+         |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |scored AS (

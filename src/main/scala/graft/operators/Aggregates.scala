@@ -359,6 +359,47 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // [EXT] per-group z-score anomaly detection: events whose value
+    // sits more than 2.5 population standard deviations from their
+    // type's mean. The per-type stats are one map-side-combined
+    // aggregate (group count = event types, tiny) broadcast back onto
+    // the stream — two scans, zero single-partition stages, no window.
+    // The stats are rounded to 6 dp BEFORE the z arithmetic so both
+    // engines compute identical doubles at the |z| > 2.5 boundary
+    // (same cent-rounding discipline as q_outlier_clip; Spark and
+    // DuckDB moment aggregates can differ in the last ulp).
+    "q_anomaly_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy($"event_type")
+        .agg(round(avg($"value"), 6).as("mu"),
+          round(stddev_pop($"value"), 6).as("sigma"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", ($"value" - $"mu") / $"sigma")
+        .filter(abs($"z") > 2.5)
+        .select($"event_id", $"event_type", $"value", round($"z", 4).as("z"))
+        .orderBy($"event_id")
+    }),
+
+    // [EXT] deterministic per-group mode: the most frequent order
+    // priority per status, lowest-value tiebreak. Count then
+    // rank-within-group — the rn=1 window runs over the GROUPED counts
+    // (|statuses × priorities| rows), not the base table, and Spark
+    // rewrites it to Partial+Final WindowGroupLimit, so nothing
+    // resembling the input size ever sorts.
+    "q_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.orders(s, dir)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus").orderBy($"cnt".desc, $"o_orderpriority".asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"cnt")
+        .orderBy($"o_orderstatus")
+    }),
+
     // [EXT] approximate percentiles — the 100 TB scale path for
     // q_percentiles: GK-sketch state is O(1/accuracy) per group and
     // merges associatively (exact percentile buffers every value per
@@ -520,6 +561,23 @@ object Aggregates extends QueryModule {
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, ROUND(AVG(value), 6) AS mu,
+        |         ROUND(stddev_pop(value), 6) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  ROUND((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - mu) / sigma) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority ASC) = 1)
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,

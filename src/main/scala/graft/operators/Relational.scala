@@ -127,6 +127,22 @@ object Relational extends QueryModule {
         .orderBy($"c_custkey")
     }),
 
+    // [EXT] SQL-string entry path: the same engine surface through
+    // `spark.sql` over registered temp views — Catalyst receives the
+    // identical unresolved plan either way (SURVEY §3's lifecycle
+    // point), so a user can mix the DataFrame API and raw ANSI SQL
+    // freely. The query itself is a dim-join + aggregate whose oracle
+    // is literally the same SQL text.
+    "q_sql_api" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_orders,
+          |  ROUND(SUM(o_totalprice), 4) AS revenue
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // [EXT] seeded stratified sampling — the training-data downsampler
     // (per-language quotas when rebalancing a corpus). Bernoulli
     // per-row with per-stratum fractions: one scan, no shuffle,
@@ -164,6 +180,11 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_sql_api" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -49,7 +49,8 @@ class ContractSpec extends SparkSpec {
       operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
       sources.Orc,
       functions.Scalars,
-      functions.Text, functions.Vectors, functions.Dedup, ml.Clustering,
+      functions.Text, functions.Vectors, functions.Retrieval,
+      functions.Dedup, ml.Clustering,
       ml.FlightPipeline, streaming.EventWindows, multimodal.Multimodal)
       .flatMap(_.queries.keys)
     val dups = perModule.groupBy(identity).filter(_._2.size > 1).keys

@@ -147,6 +147,28 @@ class PlanSpec extends SparkSpec {
       s"grand total must arrive by broadcast:\n$p")
   }
 
+  test("q_knn_join: per-query top-k rewrites to Partial+Final WindowGroupLimit") {
+    // The batch k-NN join's one shuffle must be bounded at O(queries ×
+    // k × mappers) by the partial group-limit — without the rewrite
+    // every (corpus × queries) scored row would shuffle.
+    val p = plan("q_knn_join")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_ann_ivf_pq: both ranking stages plan TakeOrderedAndProject, no global sort") {
+    val p = plan("q_ann_ivf_pq")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_contamination: the eval n-gram set arrives by broadcast") {
+    // Train-side n-grams must meet the (small) eval set in a broadcast
+    // hash join — a shuffle join here would move every training n-gram.
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_multimodal_meta never reads beyond the columns it needs") {
     val p = plan("q_multimodal_meta")
     // doc_id, text (for n_bytes), source — but never lang/n_chars

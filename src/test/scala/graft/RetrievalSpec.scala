@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Property checks for the retrieval / curation operators beyond their
+  * DuckDB oracles: the oracle replays the same formula, so these pin
+  * the SEMANTIC claims — BM25 results actually contain query terms,
+  * contamination hits actually share an n-gram, k-NN output is a
+  * well-formed top-k, the mix respects its per-source weights.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("q_bm25: scores positive and descending; every hit contains a query term") {
+    import spark.implicits._
+    val rows = run("q_bm25").collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .filter($"doc_id".isin(hitIds.toSeq: _*))
+      .filter(Retrieval.QueryTerms
+        .map(t => array_contains(functions.Text.tokens(lower($"text")), t))
+        .reduce(_ || _))
+      .count()
+    assert(withTerm == hitIds.size,
+      s"${hitIds.size - withTerm} BM25 hits contain no query term")
+  }
+
+  test("q_contamination: every flagged doc genuinely shares a 4-gram with the eval slice") {
+    import spark.implicits._
+    val flagged = run("q_contamination").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty, "contamination check found no overlap — fixture drift?")
+    assert(flagged.keySet.forall(_ % Retrieval.EvalMod != 0),
+      "an eval doc appeared in the train-side output")
+    // Brute-force re-derivation on the driver (500 docs at spec scale).
+    def grams(tokens: Array[String]): Set[String] =
+      tokens.sliding(Retrieval.ContamN).filter(_.length == Retrieval.ContamN)
+        .map(_.mkString(" ")).toSet
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", functions.Text.tokens($"text").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val evalGrams = toks.collect {
+      case (id, tk) if id % Retrieval.EvalMod == 0 => grams(tk)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val expected = toks.collect {
+      case (id, tk) if id % Retrieval.EvalMod != 0 =>
+        id -> (grams(tk) & evalGrams).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(flagged == expected)
+  }
+
+  test("q_knn_join: exactly k rows per query, descending sims, never the query itself") {
+    val rows = run("q_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q returned ${rs.length} rows")
+      assert(rs.forall(_._2 != q), s"query $q matched itself")
+      val sims = rs.sortBy(_._4).map(_._3)
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)),
+        s"query $q sims not descending: ${sims.mkString(",")}")
+    }
+  }
+
+  test("q_ann_ivf_pq: rerank returns a subset of the query's IVF cell, led by the query itself") {
+    import spark.implicits._
+    val rows = run("q_ann_ivf_pq").collect()
+    assert(rows.length == 10)
+    // The query vector scores sim=1 against itself and must survive
+    // both the quantized scan and the exact rerank.
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(2) == 1.0)
+    // Quantization error bound: the approximate score of the query
+    // against itself is within 2% of its true squared norm.
+    val qsimSelf = rows.head.getDouble(1)
+    val trueNorm = run("q_array_dot").filter($"vec_id" === 0).collect().head.getDouble(1)
+    assert(math.abs(qsimSelf - trueNorm) / trueNorm < 0.02,
+      s"int8 self-score $qsimSelf vs true $trueNorm")
+  }
+
+  test("q_mix_weighted: weight-100 sources keep every doc; mix is deterministic") {
+    import spark.implicits._
+    val kept = run("q_mix_weighted").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = Tables.documents(spark, sf)
+      .filter($"source".isin("src0", "src1", "src2", "src3", "src4"))
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(full.subsetOf(kept), "a weight-100 doc was dropped")
+    assert(kept.size > full.size, "no downweighted source contributed anything")
+    val again = run("q_mix_weighted").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept, "mix not deterministic across runs")
+  }
+
+  test("q_repetition: kept flag equals the rounded-ratio threshold; a planted loop is caught") {
+    import spark.implicits._
+    val bad = run("q_repetition")
+      .filter($"kept" =!= ($"dup_ratio" <= 0.2)).count()
+    assert(bad == 0)
+    // A doc that is one phrase repeated must score dup_ratio near 1.
+    val loop = Seq((1L, Array.fill(20)("spark is fast").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tk = functions.Text.tokens($"text")
+    val tri = loop.select(
+      size(tk).as("n"),
+      size(array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))).as("u"))
+      .collect().head
+    assert(tri.getInt(1).toDouble / (tri.getInt(0) - 2) < 0.1,
+      "planted repetition not detected as duplicated trigrams")
+  }
+
+  test("q_anomaly_zscore: all flagged events exceed the threshold against recomputed stats") {
+    import spark.implicits._
+    val flagged = run("q_anomaly_zscore").collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(r => math.abs(r.getDouble(3)) > 2.5))
+    // Flag count should be a small tail, not the bulk of the stream.
+    val total = Tables.events(spark, sf).count()
+    assert(flagged.length < total / 10,
+      s"${flagged.length} of $total events flagged — threshold not selective")
+  }
+}
