@@ -212,6 +212,39 @@ object Dedup extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] CDC MERGE/upsert — apply a change batch to a snapshot:
+    // matched-and-changed rows update, unmatched batch rows insert,
+    // untouched snapshot rows keep, matched-but-identical rows are
+    // detected as no-ops (the fingerprint comparison that lets an
+    // incremental pipeline skip rewriting unchanged partitions). One
+    // full-outer join on the key — the shuffle moves (key, 16-byte
+    // fingerprint), never documents; at 100 TB both sides are
+    // key-partitioned tables so the merge is a co-partitioned join
+    // with no broadcast and no driver involvement. The change batch is
+    // derived deterministically from the corpus (every 10th doc
+    // modified, every 7th re-sent unchanged, every 50th spawning a new
+    // id) so the oracle reproduces it literally.
+    "q_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val snap = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      val modified = docs.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", Text.fingerprint(concat($"text", lit(" v2"))).as("fp"))
+      val resent = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 10 =!= 0)
+        .select($"doc_id", Text.fingerprint($"text").as("fp"))
+      val inserted = docs.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), Text.fingerprint($"text").as("fp"))
+      val batch = modified.unionByName(resent).unionByName(inserted)
+      snap.as("s").join(batch.as("b"), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"b.fp".isNull, lit("keep"))
+            .when($"s.fp".isNull, lit("insert"))
+            .when($"s.fp" =!= $"b.fp", lit("update"))
+            .otherwise(lit("noop")).as("action"),
+          coalesce($"b.fp", $"s.fp").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Survivorship-policy dedup: keep the LONGEST doc per fingerprint
     // group (min-id is q_dedup_exact's policy; real pipelines keep the
     // best representative). row_number over the group triggers Spark's
@@ -524,6 +557,28 @@ object Dedup extends QueryModule {
         |SELECT doc_id, fp FROM d n
         |WHERE bi >= 10 AND NOT EXISTS (
         |  SELECT 1 FROM d h WHERE h.bi < 10 AND h.fp = n.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text || ' v2'), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT COALESCE(s.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN b.fp IS NULL THEN 'keep'
+        |       WHEN s.fp IS NULL THEN 'insert'
+        |       WHEN s.fp <> b.fp THEN 'update'
+        |       ELSE 'noop' END AS action,
+        |  COALESCE(b.fp, s.fp) AS fp
+        |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_survivor" ->
       """SELECT doc_id, fp, CAST(length(text) AS INT) AS len

@@ -359,6 +359,25 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // [EXT] higher central moments — skewness and excess kurtosis per
+    // group via Spark's ONE-PASS moment aggregates (numerically stable
+    // central-moment accumulation, partial+final merge like any hash
+    // agg — the single-pass property is what matters at 100 TB, where
+    // a two-pass mean-then-moments formulation would scan twice).
+    // Spark's definitions are the population forms (m3/m2^1.5,
+    // m4/m2²−3); DuckDB's built-ins apply sample corrections, so the
+    // oracle derives the population forms from a two-pass central CTE
+    // on l_quantity (small integral values — no cancellation).
+    "q_moments" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(skewness($"l_quantity"), 4).as("skew"),
+          round(kurtosis($"l_quantity"), 4).as("kurt"))
+        .orderBy($"l_returnflag")
+    }),
+
     // [EXT] per-group z-score anomaly detection: events whose value
     // sits more than 2.5 population standard deviations from their
     // type's mean. The per-type stats are one map-side-combined
@@ -561,6 +580,21 @@ object Aggregates extends QueryModule {
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_moments" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag, AVG(l_quantity) AS m
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l.l_returnflag,
+        |    AVG(POW(l_quantity - m, 2)) AS m2,
+        |    AVG(POW(l_quantity - m, 3)) AS m3,
+        |    AVG(POW(l_quantity - m, 4)) AS m4
+        |  FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        |  GROUP BY l.l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND(m3 / POW(m2, 1.5), 4) AS skew,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 4) AS kurt
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH s AS (
         |  SELECT event_type, ROUND(AVG(value), 6) AS mu,

@@ -127,6 +127,45 @@ object Relational extends QueryModule {
         .orderBy($"c_custkey")
     }),
 
+    // [EXT] distributed TOTAL sort — the one §2.6 shape top-K can't
+    // substitute: a globally ordered result without a LIMIT. Spark
+    // plans this as a sampled range-partitioning exchange + per-
+    // partition sort (PlanSpec pins `Exchange rangepartitioning`):
+    // every reducer receives a disjoint key range and sorts locally,
+    // so there is NO single-reducer stage and output ordering is
+    // global by partition concatenation — the only scalable shape for
+    // "write the corpus ordered by X" (e.g. laying out parquet sorted
+    // for min-max pruning). Tiebreakers make the order total, so the
+    // result is deterministic row-for-row.
+    "q_global_sort" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    }),
+
+    // [EXT] Z-order (Morton) interleaving — the data-layout primitive
+    // behind multi-dimensional clustering: interleave the bits of two
+    // bucketed dimensions so rows close in (customer, price) land
+    // close in z-value; sorting/bucketing the table by `zval` at write
+    // time then gives min-max row-group pruning on BOTH dimensions at
+    // read time, where a lexicographic sort only prunes the leading
+    // one. Pure per-row integer bit arithmetic (codegen'd shifts), no
+    // shuffle; the companion q_global_sort is the write-side ordering
+    // pass.
+    "q_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val x = ($"o_custkey" % 256).cast("long")
+      val y = floor($"o_totalprice" / lit(2000.0)).cast("long") % 256
+      Tables.orders(s, dir)
+        .select($"o_orderkey", x.as("gx"), y.as("gy"))
+        .withColumn("zval", (0 until 8).map { i =>
+          shiftleft(shiftright($"gx", i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright($"gy", i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _))
+        .orderBy($"o_orderkey")
+    }),
+
     // [EXT] SQL-string entry path: the same engine surface through
     // `spark.sql` over registered temp views — Catalyst receives the
     // identical unresolved plan either way (SURVEY §3's lifecycle
@@ -179,7 +218,25 @@ object Relational extends QueryModule {
     }),
   )
 
+  /** Morton-interleave SQL terms generated from the SAME loop bounds
+    * the Spark query uses, so the two engines can never drift.
+    */
+  private val zorderTerms: String = (0 until 8).map { i =>
+    s"(((gx >> $i) & 1) << ${2 * i}) + (((gy >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "q_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q_zorder" ->
+      s"""WITH g AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS gx,
+         |    CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) % 256 AS gy
+         |  FROM orders)
+         |SELECT o_orderkey, gx, gy, ($zorderTerms) AS zval
+         |FROM g ORDER BY o_orderkey""".stripMargin,
     "q_sql_api" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS revenue

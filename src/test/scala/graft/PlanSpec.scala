@@ -169,6 +169,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_global_sort: total order via sampled range partitioning, no single reducer") {
+    val p = plan("q_global_sort")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q_merge_upsert plans a full-outer key join (CDC apply shape)") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("q_multimodal_meta never reads beyond the columns it needs") {
     val p = plan("q_multimodal_meta")
     // doc_id, text (for n_bytes), source — but never lang/n_chars

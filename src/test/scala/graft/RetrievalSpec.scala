@@ -116,6 +116,33 @@ class RetrievalSpec extends SparkSpec {
       "planted repetition not detected as duplicated trigrams")
   }
 
+  test("q_zorder: the Morton code is a bijection — deinterleaving recovers both dims") {
+    val rows = run("q_zorder").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (gx, gy, z) =>
+      var (dx, dy) = (0L, 0L)
+      (0 until 8).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == gx && dy == gy, s"z=$z deinterleaved to ($dx,$dy), expected ($gx,$gy)")
+    }
+  }
+
+  test("q_merge_upsert: action counts match the batch construction") {
+    import spark.implicits._
+    val actions = run("q_merge_upsert").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    assert(actions.getOrElse("update", 0L) == ids.count(_ % 10 == 0))
+    assert(actions.getOrElse("noop", 0L) == ids.count(i => i % 7 == 0 && i % 10 != 0))
+    assert(actions.getOrElse("insert", 0L) == ids.count(_ % 50 == 0))
+    assert(actions.values.sum ==
+      ids.length + actions.getOrElse("insert", 0L),
+      "output must cover every snapshot row plus the inserts")
+  }
+
   test("q_anomaly_zscore: all flagged events exceed the threshold against recomputed stats") {
     import spark.implicits._
     val flagged = run("q_anomaly_zscore").collect()
