@@ -71,7 +71,7 @@ object Vectors extends QueryModule {
   /** Sign-bit LSH bucket id: one bit per hyperplane, MSB-first fold. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.reduce((acc, b) => acc * 2 + b)
@@ -105,7 +105,7 @@ object Vectors extends QueryModule {
 
   /** Squared L2 distance to a constant centroid (sequential fold). */
   private def sqDist(v: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(v, array(centroid.map(lit): _*), (a, b) => (a - b) * (a - b)),
+    aggregate(zip_with(v, array(centroid.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
   /** `(…, cell)` — each vector assigned to its nearest centroid (the
@@ -116,7 +116,7 @@ object Vectors extends QueryModule {
     */
   private[graft] def ivfAssigned(emb: DataFrame): DataFrame =
     emb
-      .withColumn("dists", array(ivfCells.map(c => sqDist(col("v"), c)): _*))
+      .withColumn("dists", array(ivfCells.toIndexedSeq.map(c => sqDist(col("v"), c)): _*))
       .withColumn("cell",
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")

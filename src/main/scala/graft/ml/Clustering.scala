@@ -95,7 +95,7 @@ object Clustering extends QueryModule {
     "q_kmeans_predict" -> ((s, dir) => {
       import s.implicits._
       val feats = assembler().transform(
-        Tables.lineitem(s, dir).select(FeatureCols.map(col): _*))
+        Tables.lineitem(s, dir).select(FeatureCols.toIndexedSeq.map(col): _*))
       val model = fitKMeans(feats)
       model.transform(feats)
         .groupBy($"prediction").agg(count(lit(1)).as("cnt"))
@@ -108,7 +108,7 @@ object Clustering extends QueryModule {
     "q_kmeans_scaled" -> ((s, dir) => {
       import s.implicits._
       val feats = scaled(assembler().transform(
-        Tables.lineitem(s, dir).select(FeatureCols.map(col): _*)))
+        Tables.lineitem(s, dir).select(FeatureCols.toIndexedSeq.map(col): _*)))
       val model = fitKMeans(feats)
       model.transform(feats)
         .groupBy($"prediction").agg(count(lit(1)).as("cnt"))

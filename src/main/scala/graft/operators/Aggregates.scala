@@ -3,6 +3,33 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.functions._
 
+/** Accumulator for [[GeoMean]]: running Σln(x) and count. */
+case class GeoMeanBuf(sumLn: Double, n: Long)
+
+/** Geometric mean as a typed `Aggregator` — the §2.10 UDAF surface.
+  * Partial aggregation works like any built-in (reduce per partition,
+  * merge partials), so the shuffle moves one (Σln, n) pair per group.
+  * Honest tradeoff, and why this is the repo's ONLY custom aggregate:
+  * a registered Aggregator plans as ObjectHashAggregate over JVM
+  * objects — outside whole-stage codegen — so built-ins beat it
+  * whenever they can express the logic (here `exp(avg(ln(x)))` is the
+  * built-in twin and the oracle); reach for an Aggregator only for
+  * state no built-in composition can carry.
+  */
+object GeoMean extends org.apache.spark.sql.expressions.Aggregator[Double, GeoMeanBuf, Double] {
+  override def zero: GeoMeanBuf = GeoMeanBuf(0.0, 0L)
+  override def reduce(b: GeoMeanBuf, x: Double): GeoMeanBuf =
+    GeoMeanBuf(b.sumLn + math.log(x), b.n + 1)
+  override def merge(a: GeoMeanBuf, b: GeoMeanBuf): GeoMeanBuf =
+    GeoMeanBuf(a.sumLn + b.sumLn, a.n + b.n)
+  override def finish(b: GeoMeanBuf): Double =
+    if (b.n == 0) 0.0 else math.exp(b.sumLn / b.n)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[GeoMeanBuf] =
+    org.apache.spark.sql.Encoders.product[GeoMeanBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
 /** Aggregation breadth: single/multi-key hash group-counts (the
   * reference's `groupBy(...).count()` at `Code/flight_analysis.py:147-148,
   * 197-202`), plus [EXT] TPC-H-Q1-shape summary aggregates, exact and
@@ -359,6 +386,21 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // [EXT] UDAF surface (§2.10): per-group geometric mean via the
+    // typed Aggregator above. The oracle is the built-in composition
+    // exp(avg(ln(x))) — mathematically identical, and the form to
+    // prefer in production (see [[GeoMean]]'s codegen caveat); prices
+    // are strictly positive so ln is total.
+    "q_udaf_geomean" -> ((s, dir) => {
+      import s.implicits._
+      s.udf.register("geomean", udaf(GeoMean))
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(round(expr("geomean(l_extendedprice)"), 4).as("geo_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    }),
+
     // [EXT] higher central moments — skewness and excess kurtosis per
     // group via Spark's ONE-PASS moment aggregates (numerically stable
     // central-moment accumulation, partial+final merge like any hash
@@ -578,6 +620,12 @@ object Aggregates extends QueryModule {
         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
         |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT l_returnflag,
+        |  ROUND(exp(AVG(ln(l_extendedprice))), 4) AS geo_price,
+        |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_moments" ->

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String)
 case class DupEv(event_id: Long, ts: Timestamp, event_type: String)
+case class Chg(doc_id: Long, fp: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -195,5 +196,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(streamed === batch)
     assert(streamed.keySet === Set("click", "view", "purchase", "signup", "error"))
+  }
+
+  test("foreachBatch CDC apply: the merge-upsert shape per microbatch converges to the right snapshot") {
+    // The streaming face of q_merge_upsert: each microbatch full-outer
+    // joins the running snapshot on the key and keeps the newest
+    // fingerprint — exactly what a production sink does with
+    // `foreachBatch { target.merge(batch) }`. The snapshot is
+    // localCheckpoint'd per batch: persist alone would double the
+    // logical plan every microbatch (iterative-lineage trap) and
+    // planning time would grow without bound on a long-lived stream.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[Chg]
+    var snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snap = snap.as("s").join(batch.as("b"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), coalesce(col("b.fp"), col("s.fp")).as("fp"))
+          .localCheckpoint(true)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      input.addData(Chg(2L, "b2"), Chg(4L, "d"))
+      q.processAllAvailable()
+      input.addData(Chg(4L, "d2"), Chg(1L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d2"))
   }
 }
