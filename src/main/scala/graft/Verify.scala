@@ -15,6 +15,17 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only).toMap
     require(only.isEmpty || selected.size == only.size,
       s"unknown keys: ${(only -- selected.keySet).mkString(", ")}")
+    // Filtered runs demand a FRESH outDir: oracle_sql.json is rewritten
+    // to only the selected keys, so any stale q_* dir from a previous
+    // run would be swept by check.py's rows-only pass as an undeclared
+    // (and possibly failing) entry.
+    if (only.nonEmpty) {
+      val stale = Option(new java.io.File(outDir).list()).getOrElse(Array.empty[String])
+        .filter(n => n.startsWith("q_") && !only(n))
+      require(stale.isEmpty,
+        s"outDir holds results for unselected keys (${stale.take(3).mkString(", ")} …) — " +
+          "use a fresh outDir for key-filtered runs")
+    }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>

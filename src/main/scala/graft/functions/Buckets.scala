@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The ONE deterministic hash-bucket scheme for membership decisions
+  * (train/val/test split, weighted dataset mixing): bucket(key) =
+  * first 8 hex digits of md5(key as string), parsed as an integer,
+  * mod 100. A pure function of the key — stable across runs, engines,
+  * partitionings, and incremental refreshes — which is exactly what
+  * RNG sampling is not. Both the Column form and the SQL-twin
+  * fragment live HERE so the two consumers (and their oracles) can
+  * never drift apart; BucketsSpec pins the cross-form agreement.
+  */
+object Buckets {
+
+  /** Bucket in [0, 100) of a key column. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** The DuckDB twin of [[hashBucket]] for an SQL expression `keyExpr`
+    * (must already render as VARCHAR-castable).
+    */
+  def hashBucketSql(keyExpr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+}

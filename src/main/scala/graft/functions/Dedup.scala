@@ -223,7 +223,10 @@ object Dedup extends QueryModule {
     // with no broadcast and no driver involvement. The change batch is
     // derived deterministically from the corpus (every 10th doc
     // modified, every 7th re-sent unchanged, every 50th spawning a new
-    // id) so the oracle reproduces it literally.
+    // id) so the oracle reproduces it literally. New ids are the
+    // NEGATED key (-doc_id - 1): collision-free against the
+    // non-negative id space at ANY corpus size, where a fixed offset
+    // would collide once the corpus outgrew it.
     "q_merge_upsert" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -233,7 +236,7 @@ object Dedup extends QueryModule {
       val resent = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 10 =!= 0)
         .select($"doc_id", Text.fingerprint($"text").as("fp"))
       val inserted = docs.filter($"doc_id" % 50 === 0)
-        .select(($"doc_id" + 100000).as("doc_id"), Text.fingerprint($"text").as("fp"))
+        .select((-$"doc_id" - 1).as("doc_id"), Text.fingerprint($"text").as("fp"))
       val batch = modified.unionByName(resent).unionByName(inserted)
       snap.as("s").join(batch.as("b"), Seq("doc_id"), "full_outer")
         .select($"doc_id",
@@ -569,7 +572,7 @@ object Dedup extends QueryModule {
         |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
+        |  SELECT -doc_id - 1 AS doc_id,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |  FROM documents WHERE doc_id % 50 = 0)
         |SELECT COALESCE(s.doc_id, b.doc_id) AS doc_id,

@@ -56,9 +56,15 @@ object Retrieval extends QueryModule {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val stats = broadcast(dld.agg(
         count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
+      // tf is pinned too: it feeds BOTH the final join's probe side and
+      // the df aggregate — unpersisted, Spark would re-run the corpus
+      // explode + tf aggregation once per consumer (the PLANS.md dump
+      // showed the Generate stage twice). The cached frame is tiny
+      // (one row per matching doc-term).
       val tf = dld.select($"doc_id", $"dl", explode($"tk").as("term"))
         .filter($"term".isin(QueryTerms: _*))
         .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(df), Seq("term"))
         .crossJoin(stats)

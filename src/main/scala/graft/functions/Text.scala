@@ -294,8 +294,13 @@ object Text extends QueryModule {
               i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
                 element_at($"tk", i + 2)))).as("tg"))
         .select($"doc_id", size($"tg").as("n_tri"), size(array_distinct($"tg")).as("n_uniq"))
+        // A doc too short to HAVE trigrams repeats nothing → ratio 0
+        // (length-based filtering is a separate rule); 1 - 0/1 would
+        // have silently classified every short doc as maximally
+        // repetitive.
         .withColumn("dup_ratio",
-          round(lit(1.0) - $"n_uniq" / greatest($"n_tri", lit(1)).cast("double"), 4))
+          when($"n_tri" === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - $"n_uniq" / $"n_tri".cast("double"), 4)))
         .withColumn("kept", $"dup_ratio" <= 0.2)
         .orderBy($"doc_id")
     }),
@@ -317,8 +322,7 @@ object Text extends QueryModule {
           .otherwise(20)
       Tables.documents(s, dir)
         .select($"doc_id", $"source",
-          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100).as("bucket"),
+          Buckets.hashBucket($"doc_id").as("bucket"),
           weight.as("weight"))
         .filter($"bucket" < $"weight")
         .orderBy($"doc_id")
@@ -486,22 +490,22 @@ object Text extends QueryModule {
         |r AS (
         |  SELECT doc_id, CAST(len(tg) AS INT) AS n_tri,
         |    CAST(len(list_distinct(tg)) AS INT) AS n_uniq,
-        |    ROUND(1.0 - len(list_distinct(tg))
-        |      / GREATEST(CAST(len(tg) AS DOUBLE), 1.0), 4) AS dup_ratio
+        |    CASE WHEN len(tg) = 0 THEN 0.0
+        |         ELSE ROUND(1.0 - len(list_distinct(tg))
+        |                / CAST(len(tg) AS DOUBLE), 4) END AS dup_ratio
         |  FROM g)
         |SELECT doc_id, n_tri, n_uniq, dup_ratio, (dup_ratio <= 0.2) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_mix_weighted" ->
-      """WITH w AS (
-        |  SELECT doc_id, source,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      % 100 AS bucket,
-        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
-        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
-        |         ELSE 20 END AS weight
-        |  FROM documents)
-        |SELECT doc_id, source, bucket, CAST(weight AS INT) AS weight
-        |FROM w WHERE bucket < weight ORDER BY doc_id""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    ${Buckets.hashBucketSql("doc_id")} AS bucket,
+         |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+         |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+         |         ELSE 20 END AS weight
+         |  FROM documents)
+         |SELECT doc_id, source, bucket, CAST(weight AS INT) AS weight
+         |FROM w WHERE bucket < weight ORDER BY doc_id""".stripMargin,
     "q_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS s

@@ -208,8 +208,7 @@ object Relational extends QueryModule {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id",
-          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100).as("bucket"))
+          graft.functions.Buckets.hashBucket($"doc_id").as("bucket"))
         .withColumn("split",
           when($"bucket" < 98, "train")
             .when($"bucket" < 99, "val")
@@ -243,15 +242,12 @@ object Relational extends QueryModule {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_train_split" ->
-      """SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |    % 100 AS bucket,
-        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |         % 100 < 98 THEN 'train'
-        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |         % 100 < 99 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  ${graft.functions.Buckets.hashBucketSql("doc_id")} AS bucket,
+         |  CASE WHEN ${graft.functions.Buckets.hashBucketSql("doc_id")} < 98 THEN 'train'
+         |       WHEN ${graft.functions.Buckets.hashBucketSql("doc_id")} < 99 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45
