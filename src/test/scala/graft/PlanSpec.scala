@@ -169,6 +169,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_bm25: every multi-consumer subtree reads a cache, so the corpus explodes once") {
+    // tf feeds the scoring join AND the df aggregate, dld feeds tf AND
+    // the corpus-stats aggregate; without their persists the token
+    // explode ran once per consumer (round-5 review finding). A cached
+    // frame materializes once no matter how many scans reference it —
+    // so the pin is: all three consumer branches read InMemoryTableScan
+    // (the cached-plan DEFINITION is reprinted under each scan in the
+    // string form, so counting 'Generate' text would overcount).
+    val p = plan("q_bm25")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+  }
+
   test("q_global_sort: total order via sampled range partitioning, no single reducer") {
     val p = plan("q_global_sort")
     assert(p.contains("Exchange rangepartitioning"), p)
