@@ -230,13 +230,18 @@ object Dedup extends QueryModule {
     "q_merge_upsert" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val snap = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      // The plain fingerprint is pinned and shared by the snapshot and
+      // two of the three batch branches — unpersisted, the corpus was
+      // scanned (and md5'd) once per branch (round-5 plan audit: four
+      // documents scans). Only the modified branch re-reads raw text,
+      // with its 1-in-10 filter pushed to the scan.
+      val plainFp = pinned(docs.select($"doc_id", Text.fingerprint($"text").as("fp")))
+      val snap = plainFp
       val modified = docs.filter($"doc_id" % 10 === 0)
         .select($"doc_id", Text.fingerprint(concat($"text", lit(" v2"))).as("fp"))
-      val resent = docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 10 =!= 0)
-        .select($"doc_id", Text.fingerprint($"text").as("fp"))
-      val inserted = docs.filter($"doc_id" % 50 === 0)
-        .select((-$"doc_id" - 1).as("doc_id"), Text.fingerprint($"text").as("fp"))
+      val resent = plainFp.filter($"doc_id" % 7 === 0 && $"doc_id" % 10 =!= 0)
+      val inserted = plainFp.filter($"doc_id" % 50 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), $"fp")
       val batch = modified.unionByName(resent).unionByName(inserted)
       snap.as("s").join(batch.as("b"), Seq("doc_id"), "full_outer")
         .select($"doc_id",
