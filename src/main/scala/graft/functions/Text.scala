@@ -70,19 +70,6 @@ object Text extends QueryModule {
     round(lenScore * (lit(1.0) - punctRatio) * least(stopRatio * 5.0, lit(1.0)), 4)
   }
 
-  def analyzed(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      subwordCount(col("text")).as("n_subwords"),
-      stopwordCount(col("text")).as("n_stop"),
-      punctCount(col("text")).as("n_punct"),
-      langGuess(col("text")).as("lang_guess"),
-      qualityScore(col("text")).as("quality"),
-      fingerprint(col("text")).as("fp"))
-  }
-
   override def queries: Map[String, Query] = Map(
     // Tokens are projected ONCE to an attribute, then both counts read
     // it — the inline helpers would re-run the regex split per metric
@@ -90,11 +77,19 @@ object Text extends QueryModule {
     // Dedup.shinglesFromTokens).
     "q_text_tokens" -> ((s, dir) => {
       import s.implicits._
+      // n_subwords is the BPE-ish count (extra splits at punctuation
+      // and digit boundaries). Spark side uses a lookahead split;
+      // DuckDB's RE2 has no lookahead, so the twin inserts a space
+      // before each digit first — the same tokenization (the
+      // TextDedupVectorSpec planted-text case pins the digit/punct
+      // behavior).
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("tk"),
+          subwordCount($"text").as("n_subwords"),
           length($"text").cast("int").as("len"))
         .select($"doc_id",
           size($"tk").as("n_tokens"),
+          $"n_subwords",
           size(filter($"tk", t => t.isin(Stopwords.map(lit): _*))).as("n_stop"),
           $"len")
         .orderBy($"doc_id")
@@ -387,6 +382,9 @@ object Text extends QueryModule {
     "q_text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS INT) AS n_tokens,
+         |  CAST(length(list_filter(string_split_regex(
+         |    regexp_replace(text, '([0-9])', ' \\1', 'g'), '[\\s.,;:!?]+'),
+         |    t -> length(t) > 0)) AS INT) AS n_subwords,
          |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> t IN $stopList)) AS INT) AS n_stop,
          |  CAST(length(text) AS INT) AS len
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -27,6 +27,15 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(r.getInt(1) === 3) // the, on, the
   }
 
+  test("subword count splits at punctuation and digit boundaries") {
+    import spark.implicits._
+    // "ab12 cd, ef.3" → ab | 1 | 2 | cd | ef | 3 (every digit starts a
+    // new subword; punctuation runs separate like whitespace).
+    val n = Seq("ab12 cd, ef.3").toDF("text")
+      .select(Text.subwordCount($"text")).collect().head.getInt(0)
+    assert(n == 6)
+  }
+
   test("quality score stays in [0,1]") {
     val qs = run("q_quality_score").collect().map(_.getDouble(1))
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
