@@ -58,17 +58,10 @@ object Text extends QueryModule {
       .when(text.rlike("(^| )(the|a|of|and|is)( |$)"), lit("en"))
       .otherwise(lit("unknown"))
 
-  /** Quality score in [0,1]: rewards length up to 100 tokens and a
-    * healthy stopword ratio, penalizes punctuation density.
-    */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok / 100.0, lit(1.0))
-    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
-    val punctRatio = punctCount(text).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
-    round(lenScore * (lit(1.0) - punctRatio) * least(stopRatio * 5.0, lit(1.0)), 4)
-  }
+  // (The quality formula lives INSIDE q_quality_score, over a
+  // projected token attribute — a text-taking helper here would
+  // re-tokenize per metric via per-element lambda re-evaluation, which
+  // is exactly the trap the query's comment documents.)
 
   override def queries: Map[String, Query] = Map(
     // Tokens are projected ONCE to an attribute, then both counts read
