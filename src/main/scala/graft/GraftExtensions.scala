@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]),
   * `simhash_sig` ([[graft.plans.SimHashSig]]), `vec_dot`
-  * ([[graft.plans.VecDot]]), and `rolling_hash`
-  * ([[graft.plans.RollingHash]]).
+  * ([[graft.plans.VecDot]]), `rolling_hash`
+  * ([[graft.plans.RollingHash]]), and the explicit bloom semi-join
+  * pair `graft_bloom_agg` / `graft_might_contain`
+  * ([[graft.plans.BloomFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     plans.SimHashSig.register(ext)
     plans.VecDot.register(ext)
     plans.RollingHash.register(ext)
+    plans.BloomFunctions.register(ext)
   }
 }

@@ -233,6 +233,40 @@ object Joins extends QueryModule {
         .limit(10)
     }),
 
+    // [EXT] explicit bloom semi-join reduction — the biggest
+    // probe-side scan saver after static pushdown, as a first-class
+    // operator instead of waiting for InjectRuntimeFilter's thresholds
+    // (whose eligibility PlanSpec pins separately): build a bloom over
+    // the selective dim's xxhash64'd join keys (one tiny binary agg,
+    // broadcast), drop fact rows that cannot join AT THE SCAN with
+    // `graft_might_contain`, then let the exact join remove the
+    // bloom's false positives — bit-identical result (the oracle is
+    // the plain join), with the fact-side exchange shrunk by the dim's
+    // selectivity. 8 bits/key ≈ 2% FPP; at 100 TB the bloom is built
+    // once per batch and reused across every query probing that dim.
+    "q_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", $"o_orderpriority")
+      // The bloom must reach might_contain as a SCALAR SUBQUERY (the
+      // expression rejects a join-produced attribute): Catalyst plans
+      // it as one tiny subquery job whose binary result is inlined
+      // into the fact-side filter — the in-plan equivalent of "build
+      // the bloom, then scan with it", no driver round-trip.
+      dim.createOrReplaceTempView("bloom_dim_v")
+      val prunedFact = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity")
+        .filter(expr(
+          s"""${graft.plans.BloomFunctions.MightContainName}(
+             |  (SELECT ${graft.plans.BloomFunctions.AggName}(
+             |     xxhash64(o_orderkey), 10000L, 80000L) FROM bloom_dim_v),
+             |  xxhash64(l_orderkey))""".stripMargin))
+      prunedFact.join(broadcast(dim), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // As-of join: each purchase event attributed to the user's most
     // recent view at-or-before it (classic point-in-time attribution).
     "q_join_asof" -> ((s, dir) => {
@@ -249,6 +283,12 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand, ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -181,6 +181,15 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
   }
 
+  test("q_bloom_join: the explicit bloom filter lands in the fact-side scan filter") {
+    // The operator's whole point: might_contain evaluates AT the
+    // lineitem scan (fed by a scalar-subquery bloom build), so rows
+    // that cannot join die before any exchange.
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+  }
+
   test("q_global_sort: total order via sampled range partitioning, no single reducer") {
     val p = plan("q_global_sort")
     assert(p.contains("Exchange rangepartitioning"), p)
