@@ -249,18 +249,26 @@ object Joins extends QueryModule {
       val dim = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
         .select($"o_orderkey", $"o_orderpriority")
       // The bloom must reach might_contain as a SCALAR SUBQUERY (the
-      // expression rejects a join-produced attribute): Catalyst plans
-      // it as one tiny subquery job whose binary result is inlined
-      // into the fact-side filter — the in-plan equivalent of "build
-      // the bloom, then scan with it", no driver round-trip.
-      dim.createOrReplaceTempView("bloom_dim_v")
+      // expression rejects a join-produced attribute) — Dataset.scalar()
+      // builds it with no temp-view catalog mutation: one tiny subquery
+      // job whose binary result is inlined into the fact-side filter.
+      // Sizing comes from the memoized metadata-only orders row count,
+      // an upper bound on the dim's cardinality — 8 bits/key ≈ 2% FPP
+      // at ANY scale factor (a fixed literal held that only while the
+      // dim stayed under it; over-sizing costs bloom bytes, never FPP).
+      // Catalyst's constraint inference also copies the probe onto the
+      // dim side of the equi-join, where it can drop nothing — that
+      // copy runs over the tiny dim only, and ReuseSubquery dedupes
+      // the bloom build so it executes once (PlanSpec pins both the
+      // fact-side probe and the reuse).
+      val estItems = math.max(1024L, Tables.rowCount(s, dir, "orders"))
+      val bloom = dim.agg(
+        call_function(graft.plans.BloomFunctions.AggName,
+          xxhash64($"o_orderkey"), lit(estItems), lit(8L * estItems))).scalar()
       val prunedFact = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_quantity")
-        .filter(expr(
-          s"""${graft.plans.BloomFunctions.MightContainName}(
-             |  (SELECT ${graft.plans.BloomFunctions.AggName}(
-             |     xxhash64(o_orderkey), 10000L, 80000L) FROM bloom_dim_v),
-             |  xxhash64(l_orderkey))""".stripMargin))
+        .filter(call_function(graft.plans.BloomFunctions.MightContainName,
+          bloom, xxhash64($"l_orderkey")))
       prunedFact.join(broadcast(dim), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))

@@ -181,13 +181,22 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
   }
 
-  test("q_bloom_join: the explicit bloom filter lands in the fact-side scan filter") {
-    // The operator's whole point: might_contain evaluates AT the
-    // lineitem scan (fed by a scalar-subquery bloom build), so rows
-    // that cannot join die before any exchange.
-    val p = plan("q_bloom_join")
+  test("q_bloom_join: fact-key probe survives and the bloom build is reused, not duplicated") {
+    // The operator's whole point: might_contain evaluates on the FACT
+    // key at the lineitem scan, so rows that cannot join die before
+    // any exchange. Constraint inference also copies the probe onto
+    // the dim side — asserting bare `might_contain` would stay green
+    // if the fact-side probe were lost, so the pin names the lineitem
+    // key. The inferred copy also hosts the bloom subquery a second
+    // time in the STATIC plan; at execution AQE's subquery reuse must
+    // dedupe it (one bloom build per run), which only shows after the
+    // query actually runs — hence the collect().
+    val df = run("q_bloom_join")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p)
-    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(p.contains("xxhash64(l_orderkey"), p)
+    assert(p.contains("ReusedSubquery"), p)
   }
 
   test("q_global_sort: total order via sampled range partitioning, no single reducer") {
