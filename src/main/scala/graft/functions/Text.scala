@@ -293,6 +293,29 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] deterministic shuffle + shard — the write-side step between
+    // curation and training: every doc gets a shard and a position
+    // within it, both pure functions of doc_id (md5-derived), so the
+    // "random" training order is reproducible across runs and engines
+    // and stable under incremental refresh. Scale shape: the naive
+    // global row_number over the hash order is a SINGLE-REDUCER window
+    // (the exact anti-pattern q_share_of_total documents) — sharding
+    // first bounds every window to one shard, so the sort is
+    // per-shard, the exchange is hash(shard), and N shards = N
+    // training files written in parallel.
+    "q_shuffle_shard" -> ((s, dir) => {
+      import s.implicits._
+      val nShards = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+      Tables.documents(s, dir)
+        .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+        .withColumn("shard", (Buckets.hashBucket($"doc_id") % nShards).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    }),
+
     // [EXT] weighted dataset mixing — compose a training corpus from
     // sources at different sampling rates (the standard pretraining
     // mixture step: upweight curated sources, downsample the crawl).
@@ -487,6 +510,14 @@ object Text extends QueryModule {
         |  FROM g)
         |SELECT doc_id, n_tri, n_uniq, dup_ratio, (dup_ratio <= 0.2) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_shuffle_shard" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(${graft.functions.Buckets.hashBucketSql("doc_id")} % 8 AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
     "q_mix_weighted" ->
       s"""WITH w AS (
          |  SELECT doc_id, source,

@@ -143,6 +143,21 @@ class RetrievalSpec extends SparkSpec {
       "output must cover every snapshot row plus the inserts")
   }
 
+  test("q_shuffle_shard: positions are contiguous per shard and the permutation is stable") {
+    import spark.implicits._
+    val rows = run("q_shuffle_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every doc must land in exactly one shard slot")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.toSeq == (1 to rs.length), s"shard $shard positions not contiguous")
+    }
+    val again = run("q_shuffle_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSeq == rows.toSeq, "shuffle order not deterministic across runs")
+  }
+
   test("q_anomaly_zscore: all flagged events exceed the threshold against recomputed stats") {
     import spark.implicits._
     val flagged = run("q_anomaly_zscore").collect()
