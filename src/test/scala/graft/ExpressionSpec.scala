@@ -191,6 +191,30 @@ class ExpressionSpec extends SparkSpec {
     assert(edge(3L) === null)
   }
 
+  test("bloom pair: zero false negatives on inserted keys, bounded false positives off them") {
+    import spark.implicits._
+    // The q_bloom_join contract rests on two properties of the
+    // registered pair: a key that went into graft_bloom_agg may NEVER
+    // fail graft_might_contain (a false negative would silently drop
+    // joinable fact rows — a correctness bug, not a perf one), and
+    // off-key probes must mostly miss (a saturated bloom degrades the
+    // operator to a no-op scan-tax). 8 bits/key targets ~2% FPP; the
+    // assertion allows 5% for slack.
+    val keys = (0L until 1000L).toDF("k")
+    val bloom = keys
+      .agg(org.apache.spark.sql.functions.call_function(
+        graft.plans.BloomFunctions.AggName,
+        xxhash64($"k"), lit(1000L), lit(8000L))).scalar()
+    def hits(ids: Range): Long =
+      ids.map(_.toLong).toDF("p")
+        .filter(org.apache.spark.sql.functions.call_function(
+          graft.plans.BloomFunctions.MightContainName, bloom, xxhash64($"p")))
+        .count()
+    assert(hits(0 until 1000) == 1000L, "false negative: an inserted key failed the probe")
+    val fp = hits(100000 until 110000)
+    assert(fp < 500, s"false-positive rate ${fp / 100.0}% exceeds the 5% bound")
+  }
+
   test("signature stage plans as a pure map: no exchange before banding") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf), "doc_id", "text", 16)
