@@ -386,6 +386,35 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // [EXT] incremental aggregate-state merge — maintain corpus
+    // statistics under continuous ingestion WITHOUT rescanning
+    // history: per-key partial aggregates from the historical slice
+    // (at 100 TB a stored state table, not a rescan — same contract as
+    // q_dedup_incremental's fingerprint set) full-outer-merged with
+    // the new batch's partials by adding the additive state
+    // (counts/sums; avg derives from them, distinct-like state needs
+    // mergeable sketches — the q_approx_distinct HLL family). The
+    // oracle is the DIRECT full-corpus GROUP BY, so the compare itself
+    // proves merge-of-partials ≡ aggregate-of-everything.
+    "q_agg_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("batch_idx", substring($"source", 4, 10).cast("int"))
+        .select($"lang", $"batch_idx",
+          graft.functions.Text.tokenCount($"text").as("n_tok"))
+      def partials(slice: org.apache.spark.sql.DataFrame) =
+        slice.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"))
+      val hist = partials(docs.filter($"batch_idx" < 10))
+      val batch = partials(docs.filter($"batch_idx" >= 10))
+      hist.as("h").join(batch.as("b"), Seq("lang"), "full_outer")
+        .select($"lang",
+          (coalesce($"h.n_docs", lit(0L)) + coalesce($"b.n_docs", lit(0L))).as("n_docs"),
+          (coalesce($"h.n_tokens", lit(0L)) + coalesce($"b.n_tokens", lit(0L))).as("n_tokens"))
+        .orderBy($"lang")
+    }),
+
     // [EXT] UDAF surface (§2.10): per-group geometric mean via the
     // typed Aggregator above. The oracle is the built-in composition
     // exp(avg(ln(x))) — mathematically identical, and the form to
@@ -622,6 +651,11 @@ object Aggregates extends QueryModule {
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> length(t) > 0))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_udaf_geomean" ->
       """SELECT l_returnflag,
         |  ROUND(exp(AVG(ln(l_extendedprice))), 4) AS geo_price,
