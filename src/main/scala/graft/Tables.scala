@@ -42,6 +42,20 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Batch index of a documents row, decoded from its source name
+    * (src0 → 0, src17 → 17). Indices below [[HistoryBatches]] play the
+    * historical corpus, the rest the newly ingested batch — ONE
+    * definition shared by every incremental operator
+    * (q_dedup_incremental, q_agg_incremental) and mirrored by
+    * [[docBatchIdxSql]] for their oracles, so the history/new boundary
+    * cannot drift between queries.
+    */
+  val HistoryBatches = 10
+  def docBatchIdx(source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.substring(source, 4, 10).cast("int")
+  def docBatchIdxSql(sourceExpr: String): String =
+    s"CAST(substr($sourceExpr, 4) AS INT)"
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

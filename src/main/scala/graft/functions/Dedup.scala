@@ -202,10 +202,10 @@ object Dedup extends QueryModule {
     "q_dedup_incremental" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-        .withColumn("batch_idx", substring($"source", 4, 10).cast("int"))
-      val historicalFps = docs.filter($"batch_idx" < 10)
+        .withColumn("batch_idx", Tables.docBatchIdx($"source"))
+      val historicalFps = docs.filter($"batch_idx" < Tables.HistoryBatches)
         .select(Text.fingerprint($"text").as("fp")).distinct()
-      docs.filter($"batch_idx" >= 10)
+      docs.filter($"batch_idx" >= Tables.HistoryBatches)
         .select($"doc_id", Text.fingerprint($"text").as("fp"))
         .join(historicalFps, Seq("fp"), "left_anti")
         .select($"doc_id", $"fp")
@@ -558,14 +558,14 @@ object Dedup extends QueryModule {
       """SELECT DISTINCT lang, source FROM documents
         |ORDER BY lang, source""".stripMargin,
     "q_dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS bi,
-        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |  FROM documents)
-        |SELECT doc_id, fp FROM d n
-        |WHERE bi >= 10 AND NOT EXISTS (
-        |  SELECT 1 FROM d h WHERE h.bi < 10 AND h.fp = n.fp)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, ${graft.Tables.docBatchIdxSql("source")} AS bi,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents)
+         |SELECT doc_id, fp FROM d n
+         |WHERE bi >= ${graft.Tables.HistoryBatches} AND NOT EXISTS (
+         |  SELECT 1 FROM d h WHERE h.bi < ${graft.Tables.HistoryBatches} AND h.fp = n.fp)
+         |ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (
         |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

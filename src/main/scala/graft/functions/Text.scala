@@ -16,6 +16,13 @@ object Text extends QueryModule {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
+  /** Shard count for the deterministic shuffle (q_shuffle_shard) —
+    * shared with its SQL twin by interpolation so the two cannot
+    * drift. Must divide 2^32 for the md5-prefix mod to be exactly
+    * uniform.
+    */
+  val ShuffleShards = 8
+
   /** Whitespace tokens of a text column: split on runs of whitespace
     * and drop empties. (Round 2 split on a single space, so whitespace
     * runs inflated `n_tokens` and skewed `q_quality_score` — bug-
@@ -305,12 +312,17 @@ object Text extends QueryModule {
     // training files written in parallel.
     "q_shuffle_shard" -> ((s, dir) => {
       import s.implicits._
-      val nShards = 8
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+      // Shard comes from the md5 prefix DIRECTLY (2^32 % nShards = 0 →
+      // exactly uniform); routing through the mod-100 hashBucket gave
+      // shards 0-3 a built-in ~8% size advantage (13 vs 12 of the 100
+      // residues — a by-construction straggler, not hash variance) and
+      // hashed doc_id a second time.
       Tables.documents(s, dir)
         .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
-        .withColumn("shard", (Buckets.hashBucket($"doc_id") % nShards).cast("int"))
+        .withColumn("shard",
+          (conv(substring($"h", 1, 8), 16, 10).cast("long") % ShuffleShards).cast("int"))
         .withColumn("pos", row_number().over(w))
         .select($"doc_id", $"shard", $"pos")
         .orderBy($"shard", $"pos")
@@ -512,12 +524,14 @@ object Text extends QueryModule {
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_shuffle_shard" ->
       s"""WITH h AS (
-         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-         |    CAST(${graft.functions.Buckets.hashBucketSql("doc_id")} % 8 AS INT) AS shard
-         |  FROM documents)
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |s AS (
+         |  SELECT doc_id, h,
+         |    CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % $ShuffleShards AS INT) AS shard
+         |  FROM h)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
-         |FROM h ORDER BY shard, pos""".stripMargin,
+         |FROM s ORDER BY shard, pos""".stripMargin,
     "q_mix_weighted" ->
       s"""WITH w AS (
          |  SELECT doc_id, source,

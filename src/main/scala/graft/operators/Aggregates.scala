@@ -398,18 +398,28 @@ object Aggregates extends QueryModule {
     // proves merge-of-partials ≡ aggregate-of-everything.
     "q_agg_incremental" -> ((s, dir) => {
       import s.implicits._
+      // Pinned: the hist and batch sides otherwise each rescan and
+      // re-tokenize the corpus (the filter is on a computed batch_idx,
+      // so it cannot prune the scan — the twice-read-subtree trap).
+      // The batch boundary is the ONE shared definition in
+      // Tables.docBatchIdx, not a local copy of q_dedup_incremental's.
       val docs = Tables.documents(s, dir)
-        .withColumn("batch_idx", substring($"source", 4, 10).cast("int"))
+        .withColumn("batch_idx", Tables.docBatchIdx($"source"))
         .select($"lang", $"batch_idx",
           graft.functions.Text.tokenCount($"text").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def partials(slice: org.apache.spark.sql.DataFrame) =
         slice.groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           sum($"n_tok").cast("long").as("n_tokens"))
-      val hist = partials(docs.filter($"batch_idx" < 10))
-      val batch = partials(docs.filter($"batch_idx" >= 10))
-      hist.as("h").join(batch.as("b"), Seq("lang"), "full_outer")
-        .select($"lang",
+      val hist = partials(docs.filter($"batch_idx" < Tables.HistoryBatches))
+      val batch = partials(docs.filter($"batch_idx" >= Tables.HistoryBatches))
+      // Null-safe key: with plain equality a NULL-lang group would
+      // split into two rows instead of merging (latent — the fixtures
+      // carry no NULL lang — but the merge ≡ recompute claim must
+      // hold on any data).
+      hist.as("h").join(batch.as("b"), $"h.lang" <=> $"b.lang", "full_outer")
+        .select(coalesce($"h.lang", $"b.lang").as("lang"),
           (coalesce($"h.n_docs", lit(0L)) + coalesce($"b.n_docs", lit(0L))).as("n_docs"),
           (coalesce($"h.n_tokens", lit(0L)) + coalesce($"b.n_tokens", lit(0L))).as("n_tokens"))
         .orderBy($"lang")
