@@ -17,6 +17,7 @@ object SparkEntry {
     sources.Csv,
     sources.Jsonl,
     sources.Orc,
+    sources.Layouts,
     functions.Scalars,
     functions.Text,
     functions.Vectors,

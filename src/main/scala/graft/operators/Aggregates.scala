@@ -403,8 +403,16 @@ object Aggregates extends QueryModule {
       // so it cannot prune the scan — the twice-read-subtree trap).
       // The batch boundary is the ONE shared definition in
       // Tables.docBatchIdx, not a local copy of q_dedup_incremental's.
+      // An unparseable source yields a NULL batch index, which plain
+      // comparison would exclude from BOTH slices (failing < and >=)
+      // while the full-corpus oracle counts it — so unclassifiable
+      // rows ride with the incoming batch (they belong to no stored
+      // historical partial by construction). Every row lands in
+      // exactly one slice on ANY data, which the merge ≡ recompute
+      // contract requires.
       val docs = Tables.documents(s, dir)
-        .withColumn("batch_idx", Tables.docBatchIdx($"source"))
+        .withColumn("batch_idx",
+          coalesce(Tables.docBatchIdx($"source"), lit(Tables.HistoryBatches)))
         .select($"lang", $"batch_idx",
           graft.functions.Text.tokenCount($"text").as("n_tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -474,7 +482,14 @@ object Aggregates extends QueryModule {
       val stats = ev.groupBy($"event_type")
         .agg(round(avg($"value"), 6).as("mu"),
           round(stddev_pop($"value"), 6).as("sigma"))
+      // sigma > 0 guards the degenerate constant-valued group: Spark's
+      // non-ANSI Divide returns NULL for x/0 (rows silently vanish in
+      // the filter) while DuckDB returns ±inf (rows flagged) — the one
+      // input where the engines would disagree. A zero-variance group
+      // has no outliers by definition, so excluding it is also the
+      // right semantics, stated identically in both engines.
       ev.join(broadcast(stats), Seq("event_type"))
+        .filter($"sigma" > 0)
         .withColumn("z", ($"value" - $"mu") / $"sigma")
         .filter(abs($"z") > 2.5)
         .select($"event_id", $"event_type", $"value", round($"z", 4).as("z"))
@@ -665,7 +680,8 @@ object Aggregates extends QueryModule {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
         |    t -> length(t) > 0))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_udaf_geomean" ->
       """SELECT l_returnflag,
         |  ROUND(exp(AVG(ln(l_extendedprice))), 4) AS geo_price,
@@ -695,7 +711,7 @@ object Aggregates extends QueryModule {
         |SELECT event_id, e.event_type, value,
         |  ROUND((value - mu) / sigma, 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE abs((value - mu) / sigma) > 2.5
+        |WHERE sigma > 0 AND abs((value - mu) / sigma) > 2.5
         |ORDER BY event_id""".stripMargin,
     "q_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (

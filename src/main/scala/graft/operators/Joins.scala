@@ -254,17 +254,28 @@ object Joins extends QueryModule {
       // job whose binary result is inlined into the fact-side filter.
       // Sizing comes from the memoized metadata-only orders row count,
       // an upper bound on the dim's cardinality — 8 bits/key ≈ 2% FPP
-      // at ANY scale factor (a fixed literal held that only while the
-      // dim stayed under it; over-sizing costs bloom bytes, never FPP).
-      // Catalyst's constraint inference also copies the probe onto the
-      // dim side of the equi-join, where it can drop nothing — that
-      // copy runs over the tiny dim only, and ReuseSubquery dedupes
-      // the bloom build so it executes once (PlanSpec pins both the
-      // fact-side probe and the reuse).
-      val estItems = math.max(1024L, Tables.rowCount(s, dir, "orders"))
+      // (a fixed literal held that only while the dim stayed under it;
+      // over-sizing costs bloom bytes, never FPP). The 8-bits/key rate
+      // holds only UP TO the session's BloomFilterAggregate clamps
+      // (spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
+      // maxNumBits, defaults 4M items / 67M bits): the aggregate
+      // silently caps both, so beyond ~4–8M dim keys the FPP degrades
+      // toward a no-op scan tax — never a wrong answer (the exact join
+      // removes every false positive), but a real 100 TB deployment
+      // with a bigger dim must raise those two confs in its session
+      // builder to keep the reduction effective. We cap our request at
+      // the clamp explicitly so the requested and effective sizes
+      // agree.
+      val maxItems = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val estItems =
+        math.min(maxItems, math.max(1024L, Tables.rowCount(s, dir, "orders")))
+      val numBits = math.min(maxBits, 8L * estItems)
       val bloom = dim.agg(
         call_function(graft.plans.BloomFunctions.AggName,
-          xxhash64($"o_orderkey"), lit(estItems), lit(8L * estItems))).scalar()
+          xxhash64($"o_orderkey"), lit(estItems), lit(numBits))).scalar()
       val prunedFact = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_quantity")
         .filter(call_function(graft.plans.BloomFunctions.MightContainName,

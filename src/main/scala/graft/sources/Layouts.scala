@@ -1,0 +1,162 @@
+package graft.sources
+
+import graft.{QueryModule, Scratch, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** [EXT] Storage-layout operators — the two physical-design surfaces
+  * that decide scan and shuffle cost at 100 TB, promoted from
+  * spec-only evidence (SinkSpec) into first-class driver-gated
+  * queries:
+  *
+  *   - '''Dynamic partition pruning''' (`q_partition_prune`): a fact
+  *     table laid out as `o_month=N/` directories joined through a
+  *     selective dimension. Static pushdown cannot prune here — the
+  *     filter is on the DIM (`quarter = 'Q1'`), not the fact — so
+  *     Catalyst turns the dim join keys into a runtime
+  *     `dynamicpruning#` subquery evaluated against the fact scan's
+  *     partition column: only the matching `o_month=` directories are
+  *     ever listed and read. At 100 TB this is the single biggest scan
+  *     saver after static pushdown (a date-dim-filtered query reads
+  *     days, not years). The broadcast that the join needs anyway is
+  *     REUSED as the pruning subquery, so the filter is free.
+  *     PlanSpec pins the `dynamicpruning#` filter AND that the scan's
+  *     partition-read metric stays below the 12 months on disk.
+  *
+  *   - '''Bucketed co-located join''' (`q_bucket_join`): both join
+  *     sides pre-hashed into the same number of buckets on the join
+  *     key at WRITE time, so the sort-merge join consumes the bucket
+  *     layout as its required distribution and plans NO exchange on
+  *     either side. At 100 TB this converts every recurring
+  *     fact-to-fact join on the bucket key from a full two-sided
+  *     shuffle into a local merge — the write-once, join-many trade.
+  *     The join is merge-hinted for the same reason as `q_join_smj`:
+  *     at test scale AQE would broadcast the small side and the
+  *     co-location evidence would be vacuous.
+  *
+  * The reference has no storage-layout surface at all (its one I/O
+  * format is headered CSV, `Code/flight_analysis.py:15,244-246`) —
+  * both operators are [EXT] additions its pipeline would need first at
+  * scale. Layouts are derived from the immutable testdata, written
+  * once per (session, sf-dir) into session-unique scratch space
+  * ([[graft.Scratch]]) or the warehouse, and memoized so repeated runs
+  * (Verify, Bench cold+warm, PlanSpec) re-read instead of re-write.
+  */
+object Layouts extends QueryModule {
+
+  /** One write per (JVM, sf-dir); concurrent first calls are
+    * idempotent (same data, overwrite mode) so TrieMap's lock-free
+    * getOrElseUpdate race is harmless.
+    */
+  private val built = TrieMap.empty[String, String]
+
+  private def dirTag(dir: String): String =
+    Integer.toHexString(dir.hashCode).takeRight(8)
+
+  /** Orders re-laid-out as `o_month=1..12/` parquet directories. */
+  private def monthPartitionedOrders(s: SparkSession, dir: String): String =
+    built.getOrElseUpdate(s"dpp:$dir", {
+      val path = Scratch.dir(s"dpp_orders_${dirTag(dir)}")
+      Tables.orders(s, dir)
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(path)
+      path
+    })
+
+  /** Month dimension: month → quarter. Tiny by nature (12 rows), but
+    * it must live as a FILE-backed table, not a local Seq: Catalyst
+    * constant-folds a Filter over a LocalRelation into the relation
+    * itself, and with no Filter node left the partition-pruning rule
+    * sees no selective predicate to derive the runtime filter from —
+    * exactly how a real catalog date dimension is stored anyway.
+    */
+  private def monthDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val path = built.getOrElseUpdate("monthdim", {
+      val p = Scratch.dir("month_dim")
+      (1 to 12).map(m => (m, s"Q${(m - 1) / 3 + 1}")).toDF("m", "quarter")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** `saveAsTable` into the session warehouse fails with
+    * LOCATION_ALREADY_EXISTS if a previous JVM left files behind — the
+    * in-memory catalog forgets the table but not the directory.
+    */
+  private def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val root = java.nio.file.Paths.get(s"/root/repo/spark-warehouse/$table")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Lineitem + orders bucketed by their join key into the same bucket
+    * count. 8 buckets stands in for the hundreds a real deployment
+    * sizes to its executor count; what matters is both sides AGREE, so
+    * the SMJ's required hash distribution is satisfied by the layout.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val names = built.getOrElseUpdate(s"bkt:$dir", {
+        val tag = dirTag(dir)
+        val li = s"graft_li_b_$tag"
+        val ord = s"graft_ord_b_$tag"
+        dropManaged(s, li)
+        dropManaged(s, ord)
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(li)
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ord)
+        s"$li,$ord"
+      })
+      val Array(li, ord) = names.split(",")
+      (li, ord)
+    }
+
+  override def queries: Map[String, Query] = Map(
+    "q_partition_prune" -> ((s, dir) => {
+      import s.implicits._
+      val fact = s.read.parquet(monthPartitionedOrders(s, dir))
+      val dim = monthDim(s).filter($"quarter" === "Q1")
+      fact.join(dim, $"o_month" === $"m")
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_month")
+    }),
+
+    "q_bucket_join" -> ((s, dir) => {
+      import s.implicits._
+      val (li, ord) = bucketedTables(s, dir)
+      s.table(li).hint("merge")
+        .join(s.table(ord), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // The oracle is the PLAIN query over the original table: pruning
+    // must be invisible in the result, visible only in the plan.
+    "q_partition_prune" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, COUNT(*) AS cnt,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE month(o_orderdate) BETWEEN 1 AND 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

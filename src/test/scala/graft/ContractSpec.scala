@@ -47,7 +47,7 @@ class ContractSpec extends SparkSpec {
     val perModule = Seq(
       operators.Relational, operators.Aggregates, operators.SetOps,
       operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
-      sources.Orc,
+      sources.Orc, sources.Layouts,
       functions.Scalars,
       functions.Text, functions.Vectors, functions.Retrieval,
       functions.Dedup, ml.Clustering,

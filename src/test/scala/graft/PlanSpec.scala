@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.functions.{lit, sum, when}
 
 /** Physical-plan shape assertions: the 100 TB posture is a property of
   * the PLAN, not the sf0.001 result — these pin the shapes that matter
@@ -214,5 +214,97 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_multimodal_meta")
     // doc_id, text (for n_bytes), source — but never lang/n_chars
     assert(!p.contains("lang"), p)
+  }
+
+  test("q_partition_prune: the fact scan carries a dynamicpruning# filter and skips partitions") {
+    // Static pushdown cannot prune here (the filter is on the dim), so
+    // the partition filter must be the RUNTIME subquery Catalyst
+    // derives from the join — the `dynamicpruning#` marker in the
+    // scan's PartitionFilters is the whole point of the operator.
+    val df = run("q_partition_prune")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+    // And it must actually bite: after execution the scan's
+    // partition-read metric stays below the 12 month directories on
+    // disk (Q1 selects 3).
+    df.collect()
+    // AQE wraps materialized stages as leaf nodes — walk through them.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("dpp_orders")) => f
+    }
+    assert(scans.nonEmpty,
+      s"no partitioned fact scan found:\n${df.queryExecution.executedPlan}")
+    val partsRead = scans.head.metrics.collectFirst {
+      case (name, m) if name.toLowerCase.contains("partition") => m.value
+    }
+    assert(partsRead.exists(n => n > 0 && n < 12),
+      s"expected 0 < partitions read < 12, got $partsRead")
+  }
+
+  test("q_bucket_join: bucketed layout co-locates the SMJ — no exchange on the join keys") {
+    // Both sides were written with bucketBy(8, <join key>), so the
+    // sort-merge join's required distribution is satisfied by the
+    // layout: any hash exchange on a join key means the bucket
+    // metadata was lost and the write-once/join-many trade is gone.
+    // (The downstream groupBy's exchange on o_orderpriority is
+    // expected — only the join keys must not shuffle.)
+    val p = plan("q_bucket_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
+  test("AQE splits a skewed join partition with zero code changes (skew=true in the SMJ)") {
+    // The zero-code-change twin of q_join_salted: a hot key that
+    // manual salting handles by rewriting the query, AQE handles by
+    // re-planning at runtime — it observes one oversized shuffle
+    // partition and splits it across tasks, marking the join
+    // `skew=true`. Thresholds are lowered to make the test corpus
+    // register as skewed; a real cluster keeps the defaults.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // ~90% of the left side lands on key 0 — one hot shuffle
+      // partition, the rest uniform.
+      val left = spark.range(200000)
+        .select(when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val right = spark.range(200000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k").groupBy($"k" % 100).count()
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew-split SMJ in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
   }
 }
