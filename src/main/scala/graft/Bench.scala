@@ -13,34 +13,52 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     GraftSession.warm(spark)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // GC barrier between queries: heavy predecessors (KMeans,
-      // minhash shuffles) otherwise bill multi-second collections to
-      // whatever small query runs next — observed up to 6× outliers.
-      System.gc()
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Self-join queries persist their signature subtrees; drop the
-      // blocks so no query benefits from (or pays for) another's cache.
+      // blocks so no run benefits from (or pays for) another's cache.
       spark.catalog.clearCache()
-      name -> elapsed
+      elapsed
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC barrier between queries: heavy predecessors (KMeans,
+      // minhash shuffles) otherwise bill multi-second collections to
+      // whatever small query runs next — observed up to 6× outliers.
+      System.gc()
+      val cold = run(name, fn)
+      // Second in-process iteration: the plan/codegen compile floor
+      // (~0.5–2 s per query) is paid by the cold pass, so this one
+      // approximates the per-row cost that dominates at 100 TB where
+      // compilation amortizes to nothing. Caches are cleared between
+      // passes — warm means a warm JVM/codegen cache, never cached
+      // data.
+      val warm = run(name, fn)
+      name -> (cold, warm)
     }
     // Locale-pinned formatting: the f-interpolator uses the JVM default
     // locale, and a comma decimal separator would make every line
     // unparseable JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cold = results.map { case (k, (c, _)) => k -> c }
+    val warm = results.map { case (k, (_, w)) => k -> w }
+    def mapJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = cold.values.sum
+    val totalWarm = warm.values.sum
     // Exactly ONE {"metric":"total"} record per run: the full per-query
-    // map (too long for the driver's ~2000-char tail window) goes out
-    // under a distinct metric name so a sum-all-totals or
+    // maps (too long for the driver's ~2000-char tail window) go out
+    // under distinct metric names so a sum-all-totals or
     // parse-first-object consumer can't double-count or pick a
-    // truncated parse.
-    println(s"""{"metric":"queries_full","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // truncated parse. The warm channel is informational: the cold
+    // line below stays the unchanged driver contract.
+    println(s"""{"metric":"queries_full","value":${fmt(total)},"unit":"sec","queries":${mapJson(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_full_warm","value":${fmt(totalWarm)},"unit":"sec","queries":${mapJson(warm)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":${fmt(totalWarm)},"unit":"sec","queries_n":${results.size},"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and
@@ -48,7 +66,7 @@ object Bench {
     // LAST line is the contract line: complete within any plausible
     // tail window, per-query map limited to the slowest entries, full
     // count recorded alongside.
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    val slowest = cold.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"queries_n":${results.size},"sf":"$sfDir"}""")

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -76,35 +77,65 @@ object Retrieval extends QueryModule {
         .limit(25)
     }),
 
-    // Train/eval decontamination: which training docs share a 4-gram
-    // with the held-out eval slice. The eval side is DISTINCT n-grams
-    // broadcast to the train side (eval sets are small by nature; at a
-    // large eval set the same plan shuffles on the n-gram key instead —
-    // one-line change, same semantics); the train side explodes each
-    // doc's distinct n-grams linearly. The broadcast hash join filters
-    // non-colliding n-grams at the mapper, so the only shuffle is the
-    // map-side-combined per-doc hit count. The n-gram frame is built
-    // once and persisted — its eval and train branches would otherwise
-    // each re-run the tokenize+shingle stage.
-    "q_contamination" -> ((s, dir) => {
-      import s.implicits._
-      val grams = Tables.documents(s, dir)
-        .select($"doc_id", Text.tokens($"text").as("tk"))
-        .select($"doc_id",
-          when(size($"tk") < ContamN, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size($"tk") - (ContamN - 1)),
-              i => concat_ws(" ", (0 until ContamN).map(o => element_at($"tk", i + o)): _*)))
-            .as("gs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val evalGrams = grams.filter($"doc_id" % EvalMod === 0)
-        .select(explode($"gs").as("g")).distinct()
-      val trainGrams = grams.filter($"doc_id" % EvalMod =!= 0)
-        .select($"doc_id", explode(array_distinct($"gs")).as("g"))
-      trainGrams.join(broadcast(evalGrams), Seq("g"))
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-        .orderBy($"doc_id")
-    }),
+    "q_contamination" -> ((s, dir) => contamination(s, dir)),
   )
+
+  /** Conservative planning estimate of the eval-gram broadcast size:
+    * one gram per token (~50/doc on this corpus; production pipelines
+    * know their doc-length stats the same way), ~80 B per distinct
+    * gram as a broadcast hash-table entry. Deliberately an
+    * OVER-estimate — the cost of wrongly broadcasting (executor OOM)
+    * dwarfs the cost of wrongly shuffling (one extra exchange).
+    */
+  private val EstGramBytesPerEvalDoc = 50L * 80L
+
+  /** Train/eval decontamination: which training docs share a 4-gram
+    * with the held-out eval slice. The train side explodes each doc's
+    * distinct n-grams linearly; the n-gram frame is built once and
+    * persisted — its eval and train branches would otherwise each
+    * re-run the tokenize+shingle stage.
+    *
+    * The eval side's join strategy is a SIZE SWITCH (round-5 advice —
+    * the shuffle variant used to exist only as a comment):
+    *
+    *   - small eval set (the common case — eval sets are curated):
+    *     DISTINCT eval grams broadcast to the train side; the hash
+    *     join filters non-colliding grams at the mapper, so the only
+    *     shuffle is the map-side-combined per-doc hit count;
+    *   - eval set too big to broadcast (estimated from the
+    *     metadata-only corpus row count, never a scan): both sides
+    *     exchange on the n-gram key into a shuffled hash join — a
+    *     10 GB eval set costs one shuffle instead of OOMing every
+    *     executor with a broadcast.
+    *
+    * Both branches compute the identical result (RetrievalSpec forces
+    * the shuffle branch and asserts row-for-row equality; the DuckDB
+    * oracle gates whichever branch the scale factor picks).
+    */
+  private[graft] def contamination(s: SparkSession, dir: String,
+      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .select($"doc_id",
+        when(size($"tk") < ContamN, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size($"tk") - (ContamN - 1)),
+            i => concat_ws(" ", (0 until ContamN).map(o => element_at($"tk", i + o)): _*)))
+          .as("gs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = grams.filter($"doc_id" % EvalMod === 0)
+      .select(explode($"gs").as("g")).distinct()
+    val trainGrams = grams.filter($"doc_id" % EvalMod =!= 0)
+      .select($"doc_id", explode(array_distinct($"gs")).as("g"))
+    val estEvalDocs = Tables.rowCount(s, dir, "documents") / EvalMod
+    val joined =
+      if (estEvalDocs * EstGramBytesPerEvalDoc <= broadcastThresholdBytes)
+        trainGrams.join(broadcast(evalGrams), Seq("g"))
+      else
+        trainGrams.join(evalGrams.hint("shuffle_hash"), Seq("g"))
+    joined.groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 

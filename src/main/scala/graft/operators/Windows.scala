@@ -90,11 +90,21 @@ object Windows extends QueryModule {
     // key, so islands fall out of one window pass + one groupBy (no
     // self-join, no iteration). Distinct days first: same-day repeat
     // orders would break the consecutiveness arithmetic.
+    //
+    // ONE exchange end-to-end (PlanSpec-pinned): an explicit
+    // repartition on o_custkey satisfies every downstream required
+    // distribution — the (custkey, day) distinct, the custkey window,
+    // and the (custkey, grp) island aggregate all cluster on key sets
+    // that CONTAIN the partitioning key, so none re-shuffles. A bare
+    // .distinct() instead partitioned on (custkey, day) first and the
+    // window re-exchanged on custkey: the table crossed the wire
+    // twice (round-5 verdict).
     "q_window_islands" -> ((s, dir) => {
       import s.implicits._
       val days = Tables.orders(s, dir)
         .select($"o_custkey", to_date($"o_orderdate").as("day"))
-        .distinct()
+        .repartition($"o_custkey")
+        .dropDuplicates("o_custkey", "day")
       val w = Window.partitionBy($"o_custkey").orderBy($"day")
       days
         .withColumn("grp", date_sub($"day", row_number().over(w)))

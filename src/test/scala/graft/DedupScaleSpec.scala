@@ -138,10 +138,44 @@ class DedupScaleSpec extends SparkSpec {
     info(s"components with >1 member: expected ${expected.size}, got ${got.size}")
     assert(expected.nonEmpty)
     assert(got === expected,
-      "fixpoint label propagation disagrees with union-find on the same " +
-        "candidate graph — a diameter overrun now throws before this " +
-        "point, so a mismatch here means the propagation logic itself " +
-        "diverged (check the min-label join or the n>1 group filter)")
+      "large-star/small-star components disagree with union-find on the " +
+        "same candidate graph — a non-converging run throws before this " +
+        "point, so a mismatch here means a star operator itself diverged " +
+        "(check the neighborhood-min join or the n>1 group filter)")
+  }
+
+  test("large-star/small-star labels a 400-hop chain (diameter ≫ any hop bound) in O(log n) rounds") {
+    // The round-5 verdict's pathological case: one-hop min-label
+    // propagation needs a round per hop of diameter, so the old
+    // 10-hop bound REJECTED long chains with a require failure. The
+    // alternation contracts paths exponentially — a 401-node path
+    // graph (single component, diameter 400) must converge and label
+    // every node with the minimum id, 0.
+    import spark.implicits._
+    val n = 400
+    val chain = spark.range(n)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (0L to n.toLong).toSet,
+      "every chain node must be labeled")
+    assert(labels.values.toSet === Set(0L),
+      s"single component expected, got roots ${labels.values.toSet}")
+  }
+
+  test("large-star/small-star handles disjoint components, reversed edges, and self-loops") {
+    import spark.implicits._
+    // Two components {1,2,3,9} and {5,6}, edges in mixed orientation,
+    // plus a self-loop and a duplicate edge that must change nothing.
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (9L, 3L), (9L, 3L),
+      (5L, 6L), (6L, 5L),
+      (7L, 7L) // self-loop: no connectivity, node drops out
+    ).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
   }
 
   test("IVF: partition of the corpus, single-cell probe, self ranks first") {

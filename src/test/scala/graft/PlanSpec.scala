@@ -216,6 +216,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), p)
   }
 
+  test("q_window_islands: distinct, window, and island aggregate share ONE exchange") {
+    // The custkey repartition satisfies all three downstream
+    // distributions (their clustering keys each contain the
+    // partitioning key), so the table must cross the wire exactly
+    // once — a second hash exchange means the coalescing regressed.
+    val p = plan("q_window_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
   test("q_partition_prune: the fact scan carries a dynamicpruning# filter and skips partitions") {
     // Static pushdown cannot prune here (the filter is on the dim), so
     // the partition filter must be the RUNTIME subquery Catalyst

@@ -53,6 +53,22 @@ class RetrievalSpec extends SparkSpec {
     assert(flagged == expected)
   }
 
+  test("contamination shuffle branch: forced past the broadcast threshold, same result, no broadcast join") {
+    // The size switch's scale path: with the threshold at 0 the eval
+    // grams must arrive via an exchange on the n-gram key (shuffled
+    // hash join), never a broadcast — and the result must be
+    // row-for-row what the broadcast branch (the default at this
+    // scale, oracle-gated) computes.
+    val shuffled = Retrieval.contamination(spark, sf, broadcastThresholdBytes = 0L)
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val viaShuffle = shuffled.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaBroadcast = run("q_contamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaShuffle === viaBroadcast)
+  }
+
   test("q_knn_join: exactly k rows per query, descending sims, never the query itself") {
     val rows = run("q_knn_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

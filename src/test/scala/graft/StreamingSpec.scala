@@ -198,6 +198,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet === Set("click", "view", "purchase", "signup", "error"))
   }
 
+  test("checkpoint recovery: dedup state and sink exactly-once survive a kill-and-restart") {
+    // The fault-tolerance claim behind the streaming dedup: state
+    // lives in the checkpoint, not the query object — a restarted
+    // query must (a) NOT re-emit rows from batches already committed,
+    // and (b) still drop a redelivery of an id it saw BEFORE the
+    // restart. A memory sink can't show this (it dies with the
+    // query), so the pipeline runs file-source → parquet sink, whose
+    // _spark_metadata commit log is what makes the output
+    // exactly-once across the restart.
+    val s = spark
+    import s.implicits._
+    val srcDir = Scratch.dir("ckpt_src")
+    val outDir = Scratch.dir("ckpt_out")
+    val ckpt = Scratch.dir("ckpt_state")
+    def addFile(rows: Seq[DupEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = Seq.empty[DupEv].toDF().schema
+    def start() = EventWindows.streamingDedup(
+        s.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // Run 1: ids 1,2 with an in-flight redelivery of 1.
+    addFile(Seq(
+      DupEv(1L, t("2024-01-01 10:00:00"), "click"),
+      DupEv(2L, t("2024-01-01 10:01:00"), "view"),
+      DupEv(1L, t("2024-01-01 10:00:00"), "click")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Kill happened. Run 2 from the same checkpoint: id 2 redelivered
+    // (seen only before the restart, still inside the watermark) plus
+    // a genuinely new id 3.
+    addFile(Seq(
+      DupEv(2L, t("2024-01-01 10:01:30"), "view"),
+      DupEv(3L, t("2024-01-01 10:02:00"), "purchase")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = s.read.parquet(outDir)
+      .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L),
+      s"expected exactly-once output 1,2,3 across the restart, got $ids")
+  }
+
   test("foreachBatch CDC apply: the merge-upsert shape per microbatch converges to the right snapshot") {
     // The streaming face of q_merge_upsert: each microbatch full-outer
     // joins the running snapshot on the key and keeps the newest
