@@ -39,6 +39,37 @@ object SetOps extends QueryModule {
         .except(o.filter($"o_orderstatus" === "O").select($"o_custkey".as("ck")))
         .orderBy($"ck")
     }),
+
+    // [EXT] Schema evolution across ingestion batches — the CDC
+    // reality at 100 TB: a new pipeline version ADDS a column
+    // (quality score here) and history cannot be rewritten.
+    // `unionByName(allowMissingColumns = true)` aligns columns by
+    // NAME — a positional union would silently bind the new column
+    // into whatever position matched — and null-fills the drifted
+    // column on the historical side; both slices stay scan→project,
+    // no shuffle until the final aggregate. The aggregate proves the
+    // alignment: the drifted column is non-null on exactly the
+    // incoming-batch rows, and its sum is unchanged by the union.
+    // The history/new boundary is the shared Tables.docBatchIdx
+    // definition (unparseable sources ride with the incoming batch,
+    // same contract as q_agg_incremental).
+    "q_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("batch_idx",
+          coalesce(Tables.docBatchIdx($"source"), lit(Tables.HistoryBatches)))
+      val hist = docs.filter($"batch_idx" < Tables.HistoryBatches)
+        .select($"doc_id", $"lang")
+      val incoming = docs.filter($"batch_idx" >= Tables.HistoryBatches)
+        .select($"doc_id", $"lang",
+          ($"n_chars".cast("double") / 100.0).as("quality"))
+      hist.unionByName(incoming, allowMissingColumns = true)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count($"quality").as("n_with_quality"),
+          round(sum(coalesce($"quality", lit(0.0))), 4).as("sum_quality"))
+        .orderBy($"lang")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -57,5 +88,22 @@ object SetOps extends QueryModule {
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY ck""".stripMargin,
+    // The oracle is the direct statement of what name-aligned union +
+    // null-fill must produce: every doc counted once, the drifted
+    // column populated on exactly the incoming batch.
+    "q_schema_evolution" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN b >= ${Tables.HistoryBatches}
+         |    AND n_chars IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_with_quality,
+         |  ROUND(SUM(CASE WHEN b >= ${Tables.HistoryBatches}
+         |    AND n_chars IS NOT NULL THEN n_chars / 100.0 ELSE 0 END), 4)
+         |    AS sum_quality
+         |FROM (SELECT lang, n_chars,
+         |        COALESCE(${Tables.docBatchIdxSql("source")},
+         |                 ${Tables.HistoryBatches}) AS b
+         |      FROM documents)
+         |GROUP BY lang
+         |ORDER BY lang NULLS FIRST""".stripMargin,
   )
 }

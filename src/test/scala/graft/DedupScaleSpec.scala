@@ -163,6 +163,36 @@ class DedupScaleSpec extends SparkSpec {
       s"single component expected, got roots ${labels.values.toSet}")
   }
 
+  test("large-star/small-star matches union-find on seeded random graphs") {
+    // Property check beyond the fixed fixtures: 10 seeded
+    // Erdős–Rényi-ish graphs of varying density, exact parity of the
+    // full (node → component-min) labeling against driver-side
+    // union-find. Self-loops and duplicate edges occur naturally at
+    // these densities.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { trial =>
+      val n = 30 + rnd.nextInt(120)
+      val m = n / 2 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val real = edges.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, m=$m) diverged")
+    }
+  }
+
   test("large-star/small-star handles disjoint components, reversed edges, and self-loops") {
     import spark.implicits._
     // Two components {1,2,3,9} and {5,6}, edges in mixed orientation,
