@@ -5,10 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
 
-/** [EXT] Storage-layout operators — the two physical-design surfaces
-  * that decide scan and shuffle cost at 100 TB, promoted from
-  * spec-only evidence (SinkSpec) into first-class driver-gated
-  * queries:
+/** [EXT] Storage-layout operators — the physical-design surfaces that
+  * decide scan and shuffle cost at 100 TB, promoted from spec-only
+  * evidence (SinkSpec) into first-class driver-gated queries:
   *
   *   - '''Dynamic partition pruning''' (`q_partition_prune`): a fact
   *     table laid out as `o_month=N/` directories joined through a
@@ -35,10 +34,17 @@ import scala.collection.concurrent.TrieMap
   *     at test scale AQE would broadcast the small side and the
   *     co-location evidence would be vacuous.
   *
+  *   - '''Small-file compaction''' (`q_compact`): the
+  *     streaming-ingest tax — one file per microbatch per partition —
+  *     rewritten to `ceil(bytes / 128 MB)` right-sized files. The
+  *     data is untouched (the oracle reads the original table); what
+  *     changes is the open count and listing cost of every later
+  *     scan.
+  *
   * The reference has no storage-layout surface at all (its one I/O
   * format is headered CSV, `Code/flight_analysis.py:15,244-246`) —
-  * both operators are [EXT] additions its pipeline would need first at
-  * scale. Layouts are derived from the immutable testdata, written
+  * these operators are [EXT] additions its pipeline would need first
+  * at scale. Layouts are derived from the immutable testdata, written
   * once per (session, sf-dir) into session-unique scratch space
   * ([[graft.Scratch]]) or the warehouse, and memoized so repeated runs
   * (Verify, Bench cold+warm, PlanSpec) re-read instead of re-write.
@@ -121,6 +127,43 @@ object Layouts extends QueryModule {
       (li, ord)
     }
 
+  /** Compaction target. 128 MB in production (one HDFS/object-store
+    * block, the sweet spot between task overhead and parallelism);
+    * the SIZE-DERIVED file count is what the operator demonstrates —
+    * at test scale the formula correctly compacts tiny input to one
+    * file, at 100 TB the same formula yields ~800k files instead of
+    * the tens of millions a streaming ingest leaves behind.
+    */
+  val TargetFileBytes: Long = 128L << 20
+
+  private def dirBytes(path: String): Long = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) 0L
+    else files.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+  }
+
+  /** A deliberately fragmented documents layout (64 small files — the
+    * shape a per-microbatch streaming sink leaves behind) and its
+    * compacted twin, sized by bytes/target, both memoized per dir.
+    */
+  private[graft] def fragmentedDocs(s: SparkSession, dir: String): String =
+    built.getOrElseUpdate(s"frag:$dir", {
+      val path = Scratch.dir(s"frag_docs_${dirTag(dir)}")
+      Tables.documents(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private[graft] def compactedDocs(s: SparkSession, dir: String): String =
+    built.getOrElseUpdate(s"cmp:$dir", {
+      val frag = fragmentedDocs(s, dir)
+      val target = math.max(1L, (dirBytes(frag) + TargetFileBytes - 1) / TargetFileBytes)
+      val path = Scratch.dir(s"cmp_docs_${dirTag(dir)}")
+      s.read.parquet(frag).repartition(target.toInt)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   override def queries: Map[String, Query] = Map(
     "q_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -142,6 +185,21 @@ object Layouts extends QueryModule {
         .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
         .orderBy($"o_orderpriority")
     }),
+
+    // [EXT] Small-file compaction: a streaming sink leaves one file
+    // per microbatch per partition; reading that layout at 100 TB
+    // pays millions of opens and a metadata-listing tax before the
+    // first row. Compaction rewrites to ceil(bytes / 128 MB) files —
+    // a pure repartition+write whose only shuffle is the round-robin
+    // exchange doing the re-binning. The oracle reads the ORIGINAL
+    // table: compaction must be invisible in the data (SinkSpec pins
+    // the file counts, 64 → size-derived).
+    "q_compact" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(compactedDocs(s, dir))
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -158,5 +216,8 @@ object Layouts extends QueryModule {
         |  ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_compact" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -35,6 +35,21 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("compaction: 64 microbatch files collapse to the size-derived count, data unchanged") {
+    def parquetFiles(p: String): Int = {
+      val fs = new java.io.File(p).listFiles()
+      if (fs == null) 0 else fs.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val frag = sources.Layouts.fragmentedDocs(spark, sf)
+    val cmp = sources.Layouts.compactedDocs(spark, sf)
+    assert(parquetFiles(frag) === 64, "fragmented layout must model the microbatch tax")
+    // ceil(bytes / 128 MB) at fixture scale is exactly 1 — the
+    // formula, not a constant, decides the count.
+    assert(parquetFiles(cmp) === 1, s"expected the size formula to yield one file")
+    assert(spark.read.parquet(cmp).count() ===
+      Tables.documents(spark, sf).count())
+  }
+
   test("bucketed tables co-locate the equi-join: no shuffle exchange in the plan") {
     dropManaged("li_bucketed")
     dropManaged("ord_bucketed")
