@@ -70,6 +70,10 @@ class DedupScaleSpec extends SparkSpec {
     assert(Dedup.candidatePairs(empty, "doc_id", "text", 8, 4).count() === 0)
     assert(empty.select(Dedup.simhash48($"text")).count() === 0)
     assert(empty.select(graft.functions.Text.tokens($"text")).count() === 0)
+    // An edgeless graph is already at the star fixpoint: no labels,
+    // no non-convergence throw.
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0)
   }
 
   test("shingles: whitespace runs produce no empty tokens; short texts no shingles") {
