@@ -93,6 +93,32 @@ object Aggregates extends QueryModule {
         approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
     }),
 
+    // [EXT] MERGEABLE distinct state — the incremental form of
+    // COUNT(DISTINCT) that q_agg_incremental's contract names:
+    // additive counts merge by +, distinct state merges by sketch
+    // union. One DataSketches-HLL sketch per source plays the stored
+    // per-batch state (at 100 TB: a binary column in the state table,
+    // refreshed per batch); the corpus-wide distinct count is the
+    // UNION of those sketches — no history rescan, and the union is
+    // associative/commutative so batches merge in any order. No
+    // oracle (sketch internals are engine-specific — same contract as
+    // q_approx_distinct); AggJoinWindowSpec proves union-of-partials
+    // ≡ direct single-pass sketch EXACTLY and pins the estimate to
+    // the true distinct count on the fixture cardinality. lgConfigK
+    // is 14, not the default 12, deliberately: the union gadget
+    // promotes out of exact set-mode earlier than a single sketch
+    // does (at lgK=12 a 500-item union already estimated 491), and
+    // 2^14 registers keep the union exact through the fixture range
+    // while costing 16 KB per sketch — at real cardinalities the
+    // estimate is ±0.8% rse, the documented trade.
+    "q_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source")
+        .agg(hll_sketch_agg($"doc_id", lit(14)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct_docs"))
+    }),
+
     // [EXT] rollup: per-(flag,status), per-flag subtotals, grand total.
     // Subtotal rows carry NULL group keys → sort NULLS FIRST on both
     // engines (Spark asc default is nulls-first; DuckDB's is not).

@@ -88,4 +88,22 @@ class AggJoinWindowSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     finals.foreach { case (ck, v) => assert(math.abs(v - byHand(ck)) < 1e-6) }
   }
+
+  test("q_hll_merge: union of per-source sketches equals the direct sketch and the exact count") {
+    import spark.implicits._
+    val merged = run("q_hll_merge").collect().head.getLong(0)
+    // Merge-of-partials ≡ aggregate-of-everything, the same contract
+    // q_agg_incremental's oracle proves for additive state — here the
+    // state is a sketch, so the proof is the spec.
+    val direct = Tables.documents(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"doc_id", lit(14))))
+      .collect().head.getLong(0)
+    assert(merged === direct,
+      "sketch union must be lossless vs the single-pass sketch")
+    // doc_id cardinality is far below the dense-mode threshold, where
+    // the DataSketches HLL is exact, not approximate.
+    val exact = Tables.documents(spark, sf).select($"doc_id").distinct().count()
+    assert(merged === exact,
+      s"sparse-mode HLL should be exact here: est $merged vs true $exact")
+  }
 }

@@ -21,6 +21,7 @@ class ContractSpec extends SparkSpec {
     "q_embed_neardup" -> "LSH blocking is hash-family specific (occupancy spec)",
     "q_ngram_jaccard" -> "candidate set is hash-family specific (superset-parity spec)",
     "q_flight_pipeline" -> "KMeans labels are not SQL-expressible",
+    "q_hll_merge" -> "DataSketches HLL internals are engine-specific (exact twin + lossless-union parity spec)",
     "q_kmeans_predict" -> "KMeans is not SQL-expressible (stability spec)",
     "q_kmeans_scaled" -> "KMeans is not SQL-expressible",
     "q_multimodal_decode" -> "stub codec kernel is not SQL (determinism spec)",
