@@ -34,6 +34,51 @@ import org.apache.spark.storage.StorageLevel
   * algorithms", STOC 2002) with the Manku et al. (WWW 2007) banded
   * hamming search for the pair query.
   */
+/** Lineage-truncation strategy for iterative solvers
+  * ([[Dedup.connectedComponents]]). `truncate` must EAGERLY
+  * materialize the frame and cut its logical plan (persist alone
+  * leaves the full tree in place, doubling it per round); `release`
+  * frees a superseded round's storage so peak footprint is the
+  * current round plus the one being built, never the round history.
+  */
+sealed trait CheckpointStrategy {
+  def truncate(df: DataFrame): DataFrame
+  def release(df: DataFrame): Unit
+}
+
+object CheckpointStrategy {
+  /** Eager `localCheckpoint`: executor-local blocks, fastest, but lost
+    * with an executor — the single-node/test default.
+    */
+  case object Local extends CheckpointStrategy {
+    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit = checkpointRdd(df).foreach(_.unpersist(false))
+  }
+
+  /** Eager reliable `checkpoint` into `sparkContext`'s checkpoint dir
+    * (HDFS/object store on a cluster): each round survives executor
+    * loss — the 100 TB configuration. The caller owns
+    * `setCheckpointDir`; superseded checkpoint FILES are reclaimed by
+    * the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, or with
+    * the run directory — `release` only drops any in-memory blocks.
+    */
+  case object Reliable extends CheckpointStrategy {
+    def truncate(df: DataFrame): DataFrame = df.checkpoint(eager = true)
+    def release(df: DataFrame): Unit = checkpointRdd(df).foreach(_.unpersist(false))
+  }
+
+  /** A checkpointed Dataset's plan is a `LogicalRDD` leaf over the
+    * materialized RDD — the handle `release` needs to drop its blocks
+    * (`Dataset.unpersist` only reaches cache-manager entries, not
+    * checkpoint storage).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+}
+
 object Dedup extends QueryModule {
 
   /** Whitespace tokens, robust to noisy input: split on runs of
@@ -457,19 +502,27 @@ object Dedup extends QueryModule {
     * points directly at its component's minimum id — a forest of
     * depth-1 stars — so labels fall out without a final traversal.
     *
-    * Per-round lineage truncation is eager `localCheckpoint`: persist
-    * alone leaves both references to the previous round's edges in
-    * the logical plan, doubling the tree per round (the round-3
-    * exponential-plan trap — minutes of pure Catalyst analysis while
-    * execution was milliseconds). At 100 TB use reliable `checkpoint`
-    * to a cluster store — same shape, fault-tolerant.
+    * Per-round lineage truncation is pluggable via
+    * [[CheckpointStrategy]]: persist alone leaves both references to
+    * the previous round's edges in the logical plan, doubling the
+    * tree per round (the round-3 exponential-plan trap — minutes of
+    * pure Catalyst analysis while execution was milliseconds).
+    * [[CheckpointStrategy.Local]] (the single-node/test default) is
+    * eager `localCheckpoint`; at 100 TB pass
+    * [[CheckpointStrategy.Reliable]] so each round lands in the
+    * cluster store and survives executor loss — same plan shape,
+    * fault-tolerant. Each round explicitly releases the superseded
+    * round's storage, so peak footprint is one edge set plus the one
+    * being built, never the round history.
     *
     * Returns one row per node that appears in `edges`: (id, label)
     * where label = min id of the node's component. The round bound is
     * a runaway backstop, not a tuning knob: 50 rounds covers any
     * graph a 2^50-node cluster could hold.
     */
-  private[graft] def connectedComponents(edgesIn: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(
+      edgesIn: DataFrame,
+      strategy: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // Canonical form: (hi, lo) with hi > lo, distinct — both star
     // operations emit this form, so rounds compose without
     // re-normalizing. Self-loops carry no connectivity and are
@@ -509,17 +562,21 @@ object Dedup extends QueryModule {
     }
 
     val MaxRounds = 50
-    var edges = canonical(edgesIn).localCheckpoint(true)
+    var edges = strategy.truncate(canonical(edgesIn))
     var edgeCount = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = strategy.truncate(smallStar(largeStar(edges)))
       val nextCount = next.count()
       // Fixpoint test on the canonical edge SET: equal size plus an
       // empty one-sided difference ⇔ set equality. Both inputs are
-      // checkpointed, so the except reads cached blocks.
+      // checkpointed, so the except reads checkpointed data.
       converged = nextCount == edgeCount && next.except(edges).isEmpty
+      // The superseded round is never read again past the except
+      // above — free its storage now rather than leaning on the
+      // ContextCleaner's GC hook.
+      strategy.release(edges)
       edges = next
       edgeCount = nextCount
       rounds += 1
@@ -550,10 +607,10 @@ object Dedup extends QueryModule {
     */
   private[graft] def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Pinned: the bucket self-join + distinct feeding the label rounds
-    // must not re-execute per round.
-    val pairs = pinned(
-      candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16))
+    // No pin needed: connectedComponents eagerly checkpoints the
+    // canonical edge set up front, so the candidate pipeline executes
+    // exactly once regardless of round count.
+    val pairs = candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
     val labels = connectedComponents(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     // Every labeled node has ≥1 edge, so every component here has ≥2

@@ -57,8 +57,13 @@ object Layouts extends QueryModule {
     */
   private val built = TrieMap.empty[String, String]
 
+  /** Full-length content hash of the source dir: two distinct sf dirs
+    * in one JVM must never collide and silently reuse each other's
+    * layout (a truncated hashCode could).
+    */
   private def dirTag(dir: String): String =
-    Integer.toHexString(dir.hashCode).takeRight(8)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Orders re-laid-out as `o_month=1..12/` parquet directories. */
   private def monthPartitionedOrders(s: SparkSession, dir: String): String =
@@ -94,12 +99,13 @@ object Layouts extends QueryModule {
     */
   private def dropManaged(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val root = java.nio.file.Paths.get(s"/root/repo/spark-warehouse/$table")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    // The warehouse root comes from the session conf and the leftover
+    // directory is removed through the Hadoop FileSystem of whatever
+    // store backs it — local fs here, HDFS/object store on a cluster.
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
   }
 
   /** Lineitem + orders bucketed by their join key into the same bucket
@@ -136,10 +142,13 @@ object Layouts extends QueryModule {
     */
   val TargetFileBytes: Long = 128L << 20
 
-  private def dirBytes(path: String): Long = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) 0L
-    else files.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+  private def dirBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
   }
 
   /** A deliberately fragmented documents layout (64 small files — the
@@ -157,12 +166,25 @@ object Layouts extends QueryModule {
   private[graft] def compactedDocs(s: SparkSession, dir: String): String =
     built.getOrElseUpdate(s"cmp:$dir", {
       val frag = fragmentedDocs(s, dir)
-      val target = math.max(1L, (dirBytes(frag) + TargetFileBytes - 1) / TargetFileBytes)
+      val target = math.max(1L, (dirBytes(s, frag) + TargetFileBytes - 1) / TargetFileBytes)
       val path = Scratch.dir(s"cmp_docs_${dirTag(dir)}")
       s.read.parquet(frag).repartition(target.toInt)
         .write.mode("overwrite").parquet(path)
       path
     })
+
+  /** Build every memoized layout for `dir` without running the
+    * queries. Bench calls this UNTIMED before its cold pass: the
+    * layouts are the write-once side of write-once/join-many, so
+    * timing them inside the first query run would measure the layout
+    * write, not the query (round-6 ADVICE).
+    */
+  def prime(s: SparkSession, dir: String): Unit = {
+    monthPartitionedOrders(s, dir)
+    monthDim(s)
+    bucketedTables(s, dir)
+    compactedDocs(s, dir)
+  }
 
   override def queries: Map[String, Query] = Map(
     "q_partition_prune" -> ((s, dir) => {

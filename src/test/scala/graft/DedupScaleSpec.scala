@@ -212,6 +212,28 @@ class DedupScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents under the Reliable checkpoint strategy matches Local") {
+    // The 100 TB configuration is a parameter, not a comment: reliable
+    // checkpoint rounds land in the configured checkpoint dir (a
+    // cluster store in production, a scratch dir here) and must label
+    // identically to the local-blocks default.
+    import spark.implicits._
+    val ckDir = Scratch.dir("cc_reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .toDF("src", "dst")
+    val local = Dedup.connectedComponents(edges, graft.functions.CheckpointStrategy.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(edges, graft.functions.CheckpointStrategy.Reliable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    val p = new org.apache.hadoop.fs.Path(ckDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p) && fs.listStatus(p).nonEmpty,
+      "reliable rounds must actually materialize into the checkpoint dir")
+  }
+
   test("IVF: partition of the corpus, single-cell probe, self ranks first") {
     val hist = run("q_ivf_assign").collect()
     assert(hist.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count(),

@@ -255,9 +255,13 @@ class PlanSpec extends SparkSpec {
     }
     assert(scans.nonEmpty,
       s"no partitioned fact scan found:\n${df.queryExecution.executedPlan}")
-    val partsRead = scans.head.metrics.collectFirst {
-      case (name, m) if name.toLowerCase.contains("partition") => m.value
-    }
+    // Exact metric key: FileSourceScanExec registers the partition
+    // count as "numPartitions" ("number of partitions read"). A fuzzy
+    // substring match could silently bind a different metric if Spark
+    // adds one — fail loudly instead if the key ever disappears.
+    val partsRead = scans.head.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.nonEmpty,
+      s"scan metric 'numPartitions' absent — available: ${scans.head.metrics.keys.mkString(", ")}")
     assert(partsRead.exists(n => n > 0 && n < 12),
       s"expected 0 < partitions read < 12, got $partsRead")
   }
