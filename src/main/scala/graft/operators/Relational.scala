@@ -38,6 +38,20 @@ object Relational extends QueryModule {
       .orderBy(col("cnt").desc, col(groupCol).asc)
       .limit(k)
 
+  /** Morton (Z-order) interleave of two 8-bit bucketed dims: x bits on
+    * even positions, y bits on odd. Shared by the `q_zorder` query and
+    * the layout-payoff evidence in SinkSpec — a table SORTED by this
+    * value clusters rows that are close in BOTH dims into the same
+    * parquet row groups, so per-row-group min/max stats prune a 2-D
+    * range predicate on either dim (a lexicographic sort only prunes
+    * the leading one). Pure codegen'd shift/mask arithmetic.
+    */
+  private[graft] def mortonZ(gx: Column, gy: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(gx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(gy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   /** The reference's priority-code → readable-reason dictionary shape
     * (`Code/flight_analysis.py:29-41`), keyed on order priority.
     */
@@ -159,10 +173,7 @@ object Relational extends QueryModule {
       val y = floor($"o_totalprice" / lit(2000.0)).cast("long") % 256
       Tables.orders(s, dir)
         .select($"o_orderkey", x.as("gx"), y.as("gy"))
-        .withColumn("zval", (0 until 8).map { i =>
-          shiftleft(shiftright($"gx", i).bitwiseAND(lit(1L)), 2 * i) +
-            shiftleft(shiftright($"gy", i).bitwiseAND(lit(1L)), 2 * i + 1)
-        }.reduce(_ + _))
+        .withColumn("zval", mortonZ($"gx", $"gy"))
         .orderBy($"o_orderkey")
     }),
 

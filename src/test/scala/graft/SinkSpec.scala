@@ -69,4 +69,72 @@ class SinkSpec extends SparkSpec {
       .count()
     assert(j.count() === expected)
   }
+
+  /** Rows the parquet scan actually EMITTED after row-group min/max
+    * skipping (record-level filtering is off by default, so survivors
+    * of non-skipped row groups all surface here) — the read-side
+    * measure of a layout's pruning payoff.
+    */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no file scan:\n${df.queryExecution.executedPlan}")
+    val rows = scans.head.metrics.get("numOutputRows").map(_.value)
+    assert(rows.nonEmpty,
+      s"scan metric 'numOutputRows' absent — available: ${scans.head.metrics.keys.mkString(", ")}")
+    rows.get
+  }
+
+  test("z-ordered layout prunes a 2-D range predicate via row-group stats; the unsorted twin reads everything") {
+    // The payoff q_zorder's interleave buys at write time: sort the
+    // table by the Morton value and every parquet row group covers a
+    // contiguous z-range, i.e. a BOUNDED box in (gx, gy) space — so
+    // per-row-group min/max stats let the pushed 2-D range filter skip
+    // row groups on EITHER dim. The same data written in random order
+    // has every row group spanning the full range of both dims:
+    // nothing skips, the scan emits every row.
+    import spark.implicits._
+    val base = Tables.orders(spark, sf).select(
+      $"o_orderkey",
+      ($"o_custkey" % 256).cast("long").as("gx"),
+      (floor($"o_totalprice" / lit(2000.0)).cast("long") % 256).as("gy"))
+      .withColumn("zval", graft.operators.Relational.mortonZ($"gx", $"gy"))
+    val zdir = "/root/repo/target/tmp/zorder_sorted"
+    val udir = "/root/repo/target/tmp/zorder_unsorted"
+    // 16 files ≈ 16 row groups at fixture scale: enough granularity
+    // for the stats to bite, same count on both sides so file count
+    // isn't a confound.
+    base.repartitionByRange(16, $"zval").sortWithinPartitions($"zval")
+      .write.mode("overwrite").parquet(zdir)
+    base.repartition(16).write.mode("overwrite").parquet(udir)
+
+    def box(dir: String) = spark.read.parquet(dir)
+      .filter($"gx".between(0, 63) && $"gy".between(0, 63))
+    // The filter must reach the parquet reader for stats to matter.
+    assert(box(zdir).queryExecution.executedPlan.toString.contains("PushedFilters: ["))
+
+    val zRead = scanOutputRows(box(zdir))
+    val uRead = scanOutputRows(box(udir))
+    val total = base.count()
+    val matching = box(zdir).count()
+    assert(uRead === total,
+      s"unsorted twin should read all $total rows (no row group prunable), read $uRead")
+    assert(zRead < total / 2,
+      s"z-ordered layout should skip most row groups: read $zRead of $total (box = $matching)")
+    // Pruning must be invisible in the data.
+    assert(box(zdir).orderBy($"o_orderkey").collect().toSeq ===
+      box(udir).orderBy($"o_orderkey").collect().toSeq)
+  }
 }
