@@ -63,6 +63,39 @@ object Bench {
     println(s"""{"metric":"queries_full","value":${fmt(total)},"unit":"sec","queries":${mapJson(cold)},"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_full_warm","value":${fmt(totalWarm)},"unit":"sec","queries":${mapJson(warm)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total_warm","value":${fmt(totalWarm)},"unit":"sec","queries_n":${results.size},"sf":"$sfDir"}""")
+    // Per-query WARM regression gate: the cold total is dominated by
+    // the per-query plan/codegen compile floor, which can hide a 5×
+    // per-row regression in any one query — but the warm channel is
+    // the per-row term that scales to 100 TB. Compare each warm time
+    // against the committed baseline (tools/warm_baseline.json,
+    // recorded at sf0.1) and flag anything above 2× — the same
+    // host-variance budget the cold total gets. Informational line;
+    // the driver contract line stays last.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_WARM_BASELINE",
+      "tools/warm_baseline.json")
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(baselinePath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // The baseline is only meaningful at the scale it was recorded
+        // at — a local sf0.01 iteration run must not compare against
+        // sf0.1 numbers (nor vice versa).
+        val baseSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!baseSf.contains(sfDir)) Map.empty
+        else """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = warm.toSeq
+      .flatMap { case (k, w) => baseline.get(k).map(b => (k, w, b)) }
+      // Sub-100ms queries sit at measurement noise; a 2× there is ms.
+      .filter { case (_, w, b) => w > 2.0 * b && w - b > 0.1 }
+      .sortBy { case (_, w, b) => -(w / b) }
+    val regJson = regressions
+      .map { case (k, w, b) => "\"" + k + "\":{\"warm\":" + fmt(w) + ",\"baseline\":" + fmt(b) + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size}}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and

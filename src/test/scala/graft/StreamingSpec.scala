@@ -93,6 +93,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L), s"expected one row per id, got $ids")
   }
 
+  test("dedup state expires with the advancing watermark across microbatches") {
+    // Pins the exact promise dropDuplicatesWithinWatermark makes, over
+    // THREE watermark advances: (a) a duplicate inside the horizon is
+    // dropped even across batches; (b) a row older than the advanced
+    // watermark is dropped as late — never emitted, never re-admitted;
+    // (c) once the watermark passes a key's event time + delay its
+    // state is EVICTED, so a later redelivery re-emits — bounded state
+    // is the contract (unlike dropDuplicates, which keeps keys
+    // forever and OOMs an unbounded stream).
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[DupEv]
+    val q = EventWindows.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("wm_advance_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two fresh ids. Watermark after: 10:01 - 10m = 09:51.
+      input.addData(
+        DupEv(1L, t("2024-01-01 10:00:00"), "click"),
+        DupEv(2L, t("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      // Batch 2: id=1 redelivered IN horizon (state expires at 10:10,
+      // watermark 09:51) → dropped; id=3 advances event time.
+      // Watermark after: 10:30 - 10m = 10:20 > 10:10 → id 1/2 state evicted.
+      input.addData(
+        DupEv(1L, t("2024-01-01 10:00:30"), "click"),
+        DupEv(3L, t("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      // Batch 3 (watermark 10:20): id=9 @10:05 is LATE → dropped;
+      // id=1 @10:21 arrives after its state expired → re-emitted;
+      // id=4 is fresh → emitted.
+      input.addData(
+        DupEv(9L, t("2024-01-01 10:05:00"), "click"),
+        DupEv(1L, t("2024-01-01 10:21:00"), "click"),
+        DupEv(4L, t("2024-01-01 10:31:00"), "signup"))
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val ids = s.sql("SELECT event_id FROM wm_advance_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 1L, 2L, 3L, 4L),
+      s"expected in-horizon dup dropped, late row dropped, expired key re-emitted; got $ids")
+  }
+
   test("flatMapGroupsWithState keeps a running per-user count across batches") {
     import graft.streaming.{Stateful, UserEvent}
     val s = spark
