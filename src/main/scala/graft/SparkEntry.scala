@@ -20,6 +20,7 @@ object SparkEntry {
     sources.Layouts,
     functions.Scalars,
     functions.Text,
+    functions.Curation,
     functions.Vectors,
     functions.Retrieval,
     functions.Dedup,

