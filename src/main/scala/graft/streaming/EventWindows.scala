@@ -150,8 +150,34 @@ object EventWindows extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user value-budget admission (cents = 100000). Integer cents,
+    * never double dollars: the admission predicate compares a running
+    * sum against the budget, and exact arithmetic means the boundary
+    * decision is identical in Spark, DuckDB, and the streaming twin
+    * (`Stateful.budgetAdmit` — one Long of state per user replaces
+    * this window when the input is a stream). cum_before is the
+    * EXCLUSIVE prefix in (ts, event_id) order, so the event that
+    * crosses the budget is admitted — each user lands within one event
+    * of budget. One per-user window, one hash(user_id) exchange.
+    */
+  val AdmitBudgetCents = 100000L
+
+  def budgetAdmitted(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("cum_before", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .filter(col("cum_before") < AdmitBudgetCents)
+      .select(col("event_id"), col("user_id"), col("cents"), col("cum_before"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   override def queries: Map[String, Query] = Map(
     "q_window_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
+    "q_stream_admit" -> ((s, dir) => budgetAdmitted(s, dir)),
     "q_window_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupDoubledCounts(s, dir)),
@@ -181,6 +207,20 @@ object EventWindows extends QueryModule {
       """SELECT event_type, COUNT(*) AS cnt
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_stream_admit" ->
+      s"""WITH c AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, ts
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, cents,
+        |    CAST(COALESCE(SUM(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before
+        |  FROM c)
+         |SELECT event_id, user_id, cents, cum_before FROM r
+         |WHERE cum_before < $AdmitBudgetCents ORDER BY user_id, event_id""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id, COUNT(v.ts) AS n_views
         |FROM events p

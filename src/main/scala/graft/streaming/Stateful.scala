@@ -5,6 +5,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class UserRunningCount(user_id: Long, n_events: Long)
+case class AdmitEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, cents: Long)
+case class Admitted(event_id: Long, user_id: Long, cents: Long, cum_before: Long)
 
 /** [EXT] Custom streaming state via `flatMapGroupsWithState` — the
   * hook for semantics the built-in windows can't express. The example
@@ -21,6 +23,8 @@ object Stateful {
 
   implicit val userEventEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
   implicit val userCountEnc: Encoder[UserRunningCount] = Encoders.product[UserRunningCount]
+  implicit val admitEventEnc: Encoder[AdmitEvent] = Encoders.product[AdmitEvent]
+  implicit val admittedEnc: Encoder[Admitted] = Encoders.product[Admitted]
 
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunningCount] = {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
@@ -31,6 +35,43 @@ object Stateful {
           val n = state.getOption.getOrElse(0L) + evs.size
           state.update(n)
           Iterator(UserRunningCount(uid, n))
+        })
+  }
+
+  /** Streaming twin of q_stream_admit (EventWindows.budgetAdmitted):
+    * admit events per user while the EXCLUSIVE running value total is
+    * under budget, carrying one Long of state per user across
+    * microbatches. Values are integer cents — exact arithmetic, so the
+    * admission boundary can never flip on a float ulp (the batch twin
+    * and the DuckDB oracle make the same conversion).
+    *
+    * Within a batch the group iterator is UNORDERED — the function
+    * imposes (ts, event_id) order in-memory per group per batch (a
+    * group's batch slice, not the stream, bounds that sort). Across
+    * batches admission is arrival-order: with in-order delivery the
+    * result equals the batch twin (StreamingSpec pins that parity);
+    * out-of-order delivery admits in arrival order by design — the
+    * operator is an admission CONTROLLER, not a retroactive sort. The
+    * accumulated total keeps counting after the budget is hit, so a
+    * key's state stays one monotone Long forever; at real scale pair
+    * this with a ProcessingTimeTimeout to evict keys idle past the
+    * ingest horizon.
+    */
+  def budgetAdmit(events: Dataset[AdmitEvent], budgetCents: Long): Dataset[Admitted] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[AdmitEvent], state: GroupState[Long]) => {
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var cum = state.getOption.getOrElse(0L)
+          val out = Array.newBuilder[Admitted]
+          sorted.foreach { e =>
+            if (cum < budgetCents) out += Admitted(e.event_id, uid, e.cents, cum)
+            cum += e.cents
+          }
+          state.update(cum)
+          out.result().iterator
         })
   }
 }

@@ -318,4 +318,42 @@ class StreamingSpec extends SparkSpec {
     val got = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d2"))
   }
+
+  test("stateful budget admission across microbatches matches the batch twin (q_stream_admit)") {
+    import graft.streaming.{AdmitEvent, Stateful}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // Real sf0.001 events fed in THREE chronological microbatches —
+    // state (each user's running cents) must carry across batch
+    // boundaries for the admitted set to match the batch window twin.
+    // Splitting on strict ts terciles keeps equal-ts rows in one batch,
+    // so the per-batch (ts, event_id) sort sees every tie.
+    val rows = Tables.events(s, sf)
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[AdmitEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val cut1 = rows(rows.length / 3).ts.getTime
+    val cut2 = rows(2 * rows.length / 3).ts.getTime
+    val batches = Seq(
+      rows.filter(_.ts.getTime < cut1),
+      rows.filter(e => e.ts.getTime >= cut1 && e.ts.getTime < cut2),
+      rows.filter(_.ts.getTime >= cut2))
+    assert(batches.forall(_.nonEmpty))
+    val input = MemoryStream[AdmitEvent]
+    val q = Stateful.budgetAdmit(input.toDS(), EventWindows.AdmitBudgetCents)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = s.sql("SELECT event_id, user_id, cents, cum_before FROM admit_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = run("q_stream_admit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // The budget actually binds at this sf: someone was rejected.
+    assert(streamed.size < rows.length)
+  }
 }
