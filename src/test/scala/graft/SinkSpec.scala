@@ -137,4 +137,33 @@ class SinkSpec extends SparkSpec {
     assert(box(zdir).orderBy($"o_orderkey").collect().toSeq ===
       box(udir).orderBy($"o_orderkey").collect().toSeq)
   }
+
+  test("every sink round-trips a zero-row dataset (the EmptyInputSpec twin for write-then-read queries)") {
+    // A filter that matches nothing is routine at scale; the write
+    // side must still produce something the read side can open.
+    // Parquet/ORC carry schema in the footer, JSONL reads through the
+    // declared schema, CSV re-reads through its header line — in every
+    // case: zero rows back, columns intact.
+    import spark.implicits._
+    val nation0 = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").limit(0)
+
+    val csvDir = Scratch.dir("empty_csv")
+    sources.Csv.writeCsv(nation0, csvDir)
+    val csvBack = sources.Csv.readCsvAllString(spark, csvDir)
+    assert(csvBack.count() === 0)
+    assert(csvBack.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+
+    val jsonDir = Scratch.dir("empty_jsonl")
+    sources.Jsonl.writeJsonl(nation0, jsonDir)
+    val jsonBack = sources.Jsonl.readJsonl(spark, jsonDir, nation0.schema)
+    assert(jsonBack.count() === 0)
+    assert(jsonBack.schema === nation0.schema)
+
+    val orcDir = Scratch.dir("empty_orc")
+    sources.Orc.writeOrc(nation0, orcDir)
+    val orcBack = sources.Orc.readOrc(spark, orcDir)
+    assert(orcBack.count() === 0)
+    assert(orcBack.schema === nation0.schema)
+  }
 }
