@@ -175,9 +175,34 @@ object EventWindows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** [EXT] sessionized event sequences — the behavioral twin of
+    * q_doc_chunks: turn each user's 30-minute-gap session into ONE
+    * training row holding the ordered event-type sequence (what a
+    * recommender / agent-behavior model consumes). One shuffle on
+    * (user, session); per-session order is imposed INSIDE the
+    * aggregate — `sort_array` over (ts, event_id, type) structs — so
+    * the result is deterministic no matter which partition each event
+    * arrives from, and no second window pass is needed. Agg state is
+    * bounded by session content (fine for bounded sessions; an
+    * unbounded-session corpus would cap or chunk first, the
+    * q_group_concat note).
+    */
+  def sessionSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        size(col("evs")).cast("long").as("n_events"),
+        concat_ws(">", transform(col("evs"), e => e.getField("event_type"))).as("seq"))
+      .orderBy(col("user_id"), col("session_start"))
+
   override def queries: Map[String, Query] = Map(
     "q_window_tumbling" -> ((s, dir) => tumblingCounts(s, dir)),
     "q_stream_admit" -> ((s, dir) => budgetAdmitted(s, dir)),
+    "q_session_seq" -> ((s, dir) => sessionSequences(s, dir)),
     "q_window_sliding" -> ((s, dir) => slidingCounts(s, dir)),
     "q_window_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupDoubledCounts(s, dir)),
@@ -258,6 +283,25 @@ object EventWindows extends QueryModule {
         |  FROM o)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_session_seq" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )

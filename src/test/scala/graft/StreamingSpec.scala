@@ -189,6 +189,23 @@ class StreamingSpec extends SparkSpec {
     assert(totalEvents === Tables.events(spark, sf).count())
   }
 
+  test("session sequences partition each user's events and the chain length matches n_events") {
+    val rows = run("q_session_seq").collect()
+    // Every event lands in exactly one session row's chain.
+    val chainTotal = rows.map(_.getAs[String]("seq").split(">").length.toLong).sum
+    assert(chainTotal === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("seq").split(">").length.toLong ===
+        r.getAs[Long]("n_events"))
+    }
+    // Session boundaries agree with q_window_session (same gap, same
+    // starts) — the sequence query must not invent its own windows.
+    val starts = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"))).toSet
+    val winStarts = run("q_window_session").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"))).toSet
+    assert(starts === winStarts)
+  }
+
   test("stream-stream interval join matches the batch inner join") {
     val s = spark
     import s.implicits._
