@@ -320,4 +320,38 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => c.unset(k)
     }
   }
+
+  test("q_domain_cap: the quota filter plans Partial+Final WindowGroupLimit (mappers pre-prune to N per source)") {
+    val p = plan("q_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, s"Partial pass missing: $p")
+    // One hash(source) exchange for the window — a global sort would
+    // show rangepartitioning before the window stage.
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_unigram_lm: the tokenize stage is cached once and the corpus total arrives by broadcast") {
+    val p = plan("q_unigram_lm")
+    // Three consumers (count, total, score) must read ONE cached
+    // explode, not re-tokenize the corpus three times.
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+    // The only single-partition exchange allowed is the one-ROW
+    // partial-count funnel feeding the corpus-total broadcast (the
+    // q_share_of_total shape) — per-row data must never converge on
+    // one partition.
+    assert("Exchange SinglePartition".r.findAllIn(p).length === 1,
+      s"expected exactly the one-row total funnel:\n$p")
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"one-row total should broadcast:\n$p")
+  }
+
+  test("q_session_seq: one exchange feeds the session aggregate (order imposed inside the agg, no second window pass)") {
+    val p = plan("q_session_seq")
+    // sort_array inside the aggregate replaces a per-session sort
+    // window; only the session aggregate's own exchange (plus the
+    // final presentation sort) may appear.
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one hash exchange (the session agg):\n$p")
+  }
 }
