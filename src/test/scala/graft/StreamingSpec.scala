@@ -373,4 +373,42 @@ class StreamingSpec extends SparkSpec {
     // The budget actually binds at this sf: someone was rejected.
     assert(streamed.size < rows.length)
   }
+
+  test("budget admission under OUT-OF-ORDER delivery still respects the budget bound per user") {
+    // Arrival order is the admission order by design (the operator is
+    // a controller, not a retroactive sort) — so reversed batches may
+    // admit a DIFFERENT set than the batch twin, but the invariant
+    // that survives any order is the bound: every admitted event
+    // started under budget, so each user's admitted total stays within
+    // one event of it.
+    import graft.streaming.{AdmitEvent, Stateful}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Tables.events(s, sf)
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[AdmitEvent].collect().sortBy(e => (-e.ts.getTime, e.event_id))
+    val mid = rows.length / 2
+    val input = MemoryStream[AdmitEvent]
+    val q = Stateful.budgetAdmit(input.toDS(), EventWindows.AdmitBudgetCents)
+      .writeStream.format("memory").queryName("admit_ooo_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(mid).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(rows.drop(mid).toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = s.sql("SELECT user_id, cents, cum_before FROM admit_ooo_out").collect()
+    assert(admitted.nonEmpty)
+    admitted.foreach { r =>
+      assert(r.getLong(2) < EventWindows.AdmitBudgetCents,
+        s"user ${r.getLong(0)}: admitted an event that started over budget")
+    }
+    val perUser = admitted.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sum)
+    val maxEvent = rows.map(_.cents).max
+    perUser.foreach { case (u, total) =>
+      assert(total < EventWindows.AdmitBudgetCents + maxEvent,
+        s"user $u admitted $total cents — beyond budget + one event")
+    }
+  }
 }
