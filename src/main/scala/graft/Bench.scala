@@ -95,7 +95,13 @@ object Bench {
     val regJson = regressions
       .map { case (k, w, b) => "\"" + k + "\":{\"warm\":" + fmt(w) + ",\"baseline\":" + fmt(b) + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size}}""")
+    // Queries absent from the baseline are silently unchecked by the
+    // gate — surface them so a grown query set is visible in the same
+    // line instead of only via baseline_n < queries_n.
+    val unbaselined =
+      if (baseline.isEmpty) Seq.empty
+      else warm.keys.filterNot(baseline.contains).toSeq.sorted
+    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size},"unbaselined":${unbaselined.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and

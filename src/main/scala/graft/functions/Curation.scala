@@ -118,12 +118,7 @@ object Curation extends QueryModule {
       val docs = Tables.documents(s, dir)
       val tris = docs
         .select($"doc_id", Text.tokens($"text").as("tk"))
-        .select($"doc_id",
-          when(size($"tk") < 3, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size($"tk") - 2),
-              i => concat_ws(" ", element_at($"tk", i),
-                element_at($"tk", i + 1), element_at($"tk", i + 2))))
-            .as("tg"))
+        .select($"doc_id", Text.trigrams($"tk").as("tg"))
         .select($"doc_id", explode(array_distinct($"tg")).as("tri"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tris.groupBy($"tri").agg(count(lit(1)).as("df"))

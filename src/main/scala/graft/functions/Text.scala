@@ -35,6 +35,21 @@ object Text extends QueryModule {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Space-joined trigrams of a PROJECTED token-array attribute (pass
+    * an attribute, not an inline tokenizer — the per-element
+    * re-evaluation trap documented at q_top_bigrams). The ONE trigram
+    * builder shared by the intra-doc repetition rule (q_repetition)
+    * and the cross-doc novelty rule (q_ngram_novelty) — two
+    * implementations here would let the two rules' n-gram semantics
+    * silently diverge (the same drift the shared tokenizer exists to
+    * prevent).
+    */
+  def trigrams(tk: Column): Column =
+    when(size(tk) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+
   /** BPE-ish subword count approximation: word tokens + extra splits
     * on punctuation/digit boundaries via regex.
     */
@@ -283,11 +298,7 @@ object Text extends QueryModule {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("tk"))
-        .select($"doc_id",
-          when(size($"tk") < 3, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size($"tk") - 2),
-              i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
-                element_at($"tk", i + 2)))).as("tg"))
+        .select($"doc_id", trigrams($"tk").as("tg"))
         .select($"doc_id", size($"tg").as("n_tri"), size(array_distinct($"tg")).as("n_uniq"))
         // A doc too short to HAVE trigrams repeats nothing → ratio 0
         // (length-based filtering is a separate rule); 1 - 0/1 would

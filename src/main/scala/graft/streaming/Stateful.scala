@@ -63,7 +63,13 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[AdmitEvent], state: GroupState[Long]) => {
-          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // Full-precision order: getTime() alone truncates to millis
+          // (micros live in the Timestamp's nanos field), so two
+          // same-millisecond events would tie-break by event_id here
+          // while the batch twin and the oracle order by the real
+          // microsecond timestamp.
+          val sorted = evs.toArray
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var cum = state.getOption.getOrElse(0L)
           val out = Array.newBuilder[Admitted]
           sorted.foreach { e =>

@@ -60,21 +60,36 @@ class CurationSpec extends SparkSpec {
       val lastStart = r.getLong(2)
       assert(lastStart < Curation.TokenBudget)
     }
-    // At least one source actually hits the budget at this sf (the
-    // test would be vacuous if every source fit entirely).
+    // The boundary pin the query's own filter can't imply: re-derive
+    // the priority order independently and walk each source's
+    // exclusive prefix sums. The crossing doc (starts under budget,
+    // ends over) must be KEPT; the first doc at-or-over budget must be
+    // the first one DROPPED. An inclusive window frame — the off-by-
+    // one that silently drops the crossing doc — fails here.
     val docs = Tables.documents(spark, sf)
-    val totalBySource = docs
-      .select($"source", functions.Text.tokenCount($"text").as("n"))
-      .groupBy("source").agg(sum("n").as("t")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(totalBySource.values.exists(_ > Curation.TokenBudget))
-    val keptBySource = out.groupBy("source").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    totalBySource.foreach { case (src, tot) =>
-      if (tot > Curation.TokenBudget)
-        assert(keptBySource(src) < docs.filter($"source" === src).count(),
-          s"$src exceeds the budget but kept every doc")
+    val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bySource = docs
+      .select($"doc_id", $"source", $"n_chars",
+        functions.Text.tokenCount($"text").cast("long").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._2)
+    var sawCrossing = false
+    bySource.foreach { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, nChars, _) => (-nChars, id) }
+      var cum = 0L
+      ordered.foreach { case (id, _, _, n) =>
+        val expectKept = cum < Curation.TokenBudget
+        assert(keptIds.contains(id) === expectKept,
+          s"$src doc $id: exclusive prefix $cum vs budget ${Curation.TokenBudget} — " +
+            s"expected kept=$expectKept")
+        if (expectKept && cum + n > Curation.TokenBudget) sawCrossing = true
+        cum += n
+      }
     }
+    // The boundary case actually occurred (otherwise this run proved
+    // nothing about the crossing rule).
+    assert(sawCrossing, "no source produced a budget-crossing doc at this sf")
   }
 
   test("q_unigram_lm scores rare-token docs below common-token docs") {
@@ -112,12 +127,7 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val tris = docs
       .select($"doc_id", functions.Text.tokens($"text").as("tk"))
-      .select($"doc_id",
-        when(size($"tk") < 3, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size($"tk") - 2),
-            i => concat_ws(" ", element_at($"tk", i),
-              element_at($"tk", i + 1), element_at($"tk", i + 2))))
-          .as("tg"))
+      .select($"doc_id", functions.Text.trigrams($"tk").as("tg"))
       .select($"doc_id", explode(array_distinct($"tg")).as("tri"))
     val dfc = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
     val frac = tris.join(dfc, Seq("tri")).groupBy($"doc_id")
