@@ -37,7 +37,7 @@ class EmptyInputSpec extends SparkSpec {
   private val skip: Set[String] = Set(
     "q_local_rows", // reads no table — identical on any dir
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", // write-then-read
-    "q_partition_prune", "q_bucket_join", "q_compact", "q_zorder") // layout writes
+    "q_partition_prune", "q_bucket_join", "q_compact") // layout writes
 
   test("every oracle-eligible query runs on zero-row tables with an unchanged schema") {
     val keys = SparkEntry.oracleSql.keySet -- skip
