@@ -168,7 +168,12 @@ object Layouts extends QueryModule {
       val frag = fragmentedDocs(s, dir)
       val target = math.max(1L, (dirBytes(s, frag) + TargetFileBytes - 1) / TargetFileBytes)
       val path = Scratch.dir(s"cmp_docs_${dirTag(dir)}")
-      s.read.parquet(frag).repartition(target.toInt)
+      // Schema-declared read (the source table's schema, a metadata
+      // lookup): a zero-row ingest leaves a layout with no parquet
+      // parts, and schema INFERENCE over that dir throws — the empty
+      // corpus must compact to an empty corpus, not an error.
+      s.read.schema(Tables.documents(s, dir).schema).parquet(frag)
+        .repartition(target.toInt)
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -189,7 +194,13 @@ object Layouts extends QueryModule {
   override def queries: Map[String, Query] = Map(
     "q_partition_prune" -> ((s, dir) => {
       import s.implicits._
-      val fact = s.read.parquet(monthPartitionedOrders(s, dir))
+      // Declared schema (source schema + the partition column) for the
+      // same reason as compactedDocs: an empty fact writes no
+      // `o_month=` directories and inference over the bare root
+      // throws. Partition values still come from directory names.
+      val factSchema = Tables.orders(s, dir)
+        .withColumn("o_month", month(col("o_orderdate"))).schema
+      val fact = s.read.schema(factSchema).parquet(monthPartitionedOrders(s, dir))
       val dim = monthDim(s).filter($"quarter" === "Q1")
       fact.join(dim, $"o_month" === $"m")
         .groupBy($"o_month")
@@ -218,7 +229,8 @@ object Layouts extends QueryModule {
     // the file counts, 64 → size-derived).
     "q_compact" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(compactedDocs(s, dir))
+      s.read.schema(Tables.documents(s, dir).schema)
+        .parquet(compactedDocs(s, dir))
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
     }),

@@ -31,13 +31,13 @@ class EmptyInputSpec extends SparkSpec {
     d
   }
 
-  /** Queries that read no table dir or write dir-derived layouts —
-    * not meaningful against the shared empty warehouse.
+  /** The one query that reads no table dir — identical on any input,
+    * so sweeping it would assert nothing. Everything else runs,
+    * including the write-then-read roundtrips and the layout builders
+    * (their re-reads are schema-declared precisely so a zero-row
+    * ingest yields an empty layout, not an inference error).
     */
-  private val skip: Set[String] = Set(
-    "q_local_rows", // reads no table — identical on any dir
-    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip", // write-then-read
-    "q_partition_prune", "q_bucket_join", "q_compact") // layout writes
+  private val skip: Set[String] = Set("q_local_rows")
 
   test("every oracle-eligible query runs on zero-row tables with an unchanged schema") {
     val keys = SparkEntry.oracleSql.keySet -- skip
