@@ -25,6 +25,11 @@ object Curation extends QueryModule {
   /** Per-source token budget (q_token_budget). */
   val TokenBudget = 500
 
+  /** Span length for duplicated-span coverage (q_dup_span_coverage) —
+    * 8-token grams, the substring-dedup unit.
+    */
+  val SpanLen = 8
+
   override def queries: Map[String, Query] = Map(
     // [EXT] per-domain quota cap — crawl corpora are dominated by a few
     // boilerplate-heavy domains; cap each at N docs. Priority is the
@@ -136,6 +141,64 @@ object Curation extends QueryModule {
             .as("dup_frac"))
         .orderBy($"doc_id")
     }),
+
+    // [EXT] duplicated-span coverage — the substring-dedup signal
+    // (Lee et al. '21 "Deduplicating Training Data", RefinedWeb): for
+    // each doc, the fraction of tokens covered by an 8-token span that
+    // also appears in ANOTHER doc. Where q_ngram_novelty counts
+    // distinct trigrams, this measures POSITIONAL coverage — every
+    // occurrence of a shared span marks its token range, and
+    // overlapping ranges union via the sorted-starts window trick
+    // (contribution = min(spanLen, next_start - start); the last span
+    // contributes spanLen) — no interval list ever materializes.
+    // Stages: per-position grams (linear explode), distinct-doc counts
+    // on the gram key (bounded agg, map-side combined), join back on
+    // the gram, one per-doc window. Never all-pairs; the 100 TB move
+    // is hashing the gram (xxhash64) instead of carrying the string,
+    // kept as text here so the oracle can reproduce it exactly.
+    "q_dup_span_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .select($"doc_id", Text.tokens($"text").as("tk"))
+        .select($"doc_id",
+          when(size($"tk") < SpanLen, array().cast("array<struct<start:int,gram:string>>"))
+            .otherwise(transform(sequence(lit(1), size($"tk") - (SpanLen - 1)),
+              i => struct(i.cast("int").as("start"),
+                concat_ws(" ", (0 until SpanLen).map(o => element_at($"tk", i + o)): _*)
+                  .as("gram")))).as("gs"))
+        .select($"doc_id", explode($"gs").as("g"))
+        .select($"doc_id", $"g.start", $"g.gram")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docFreq = grams.select($"doc_id", $"gram").distinct()
+        .groupBy($"gram").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"start")
+      val covered = grams.join(docFreq, Seq("gram"))
+        .filter($"df" >= 2)
+        .withColumn("next", lead($"start", 1).over(w))
+        .withColumn("contrib",
+          when($"next".isNull, lit(SpanLen))
+            .otherwise(least(lit(SpanLen), $"next" - $"start")))
+        .groupBy($"doc_id")
+        .agg(sum($"contrib").cast("long").as("n_covered"))
+      // Token counts come straight from the corpus, not from the gram
+      // rows — a doc shorter than the span emits no grams but still
+      // has tokens, and 0/0 vs 0/n is the difference between "empty"
+      // and "short and clean".
+      docs.select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        // Coalesce BEFORE the ratio projection: inside one select an
+        // expression referencing "n_covered" binds to the INPUT (null
+        // for uncovered docs), not to a sibling alias — null/n would
+        // silently null the coverage of every clean doc.
+        .withColumn("n_covered", coalesce($"n_covered", lit(0L)))
+        .select($"doc_id", $"n_tokens", $"n_covered",
+          when($"n_tokens" === 0, lit(0.0))
+            .otherwise(round($"n_covered".cast("double") / $"n_tokens", 4))
+            .as("coverage"))
+        .orderBy($"doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -178,6 +241,35 @@ object Curation extends QueryModule {
         |  ROUND(COALESCE(sc.s, 0.0), 4) AS lm_score
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dup_span_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS start,
+         |    array_to_string(list_slice(tk, i, i + ${SpanLen - 1}), ' ') AS gram
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t)),
+         |df AS (
+         |  SELECT gram, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram),
+         |d AS (
+         |  SELECT g.doc_id, g.start,
+         |    lead(g.start) OVER (PARTITION BY g.doc_id ORDER BY g.start) AS next
+         |  FROM g JOIN df USING (gram) WHERE df.df >= 2),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN next IS NULL THEN $SpanLen
+         |                  ELSE LEAST($SpanLen, next - start) END) AS BIGINT) AS n_covered
+         |  FROM d GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |       ELSE ROUND(COALESCE(c.n_covered, 0) / CAST(len(tk) AS DOUBLE), 4)
+         |  END AS coverage
+         |FROM t LEFT JOIN c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_ngram_novelty" ->
       """WITH t AS (
         |  SELECT doc_id,

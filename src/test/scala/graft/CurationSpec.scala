@@ -142,4 +142,48 @@ class CurationSpec extends SparkSpec {
     assert(out.count() === Tables.documents(spark, sf).count())
     assert(out.filter($"dup_frac" < 0 || $"dup_frac" > 1).isEmpty)
   }
+
+  test("q_dup_span_coverage: planted shared span covers exactly its tokens; interval union never over-counts") {
+    import spark.implicits._
+    // A and B share a 10-token run (→ 3 duplicated 8-gram starts at
+    // positions 1,2,3 whose interval union is exactly 10 tokens); C is
+    // unique. The sorted-starts window must count 1+1+8, NOT 3×8.
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val docs = Seq(
+      (1L, shared + " tailA1 tailA2"),
+      (2L, shared + " tailB1 tailB2 tailB3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+      .toDF("doc_id", "text")
+    val grams = docs
+      .select($"doc_id", functions.Text.tokens($"text").as("tk"))
+      .select($"doc_id",
+        when(size($"tk") < Curation.SpanLen,
+          array().cast("array<struct<start:int,gram:string>>"))
+          .otherwise(transform(sequence(lit(1), size($"tk") - (Curation.SpanLen - 1)),
+            i => struct(i.cast("int").as("start"),
+              concat_ws(" ", (0 until Curation.SpanLen).map(o =>
+                element_at($"tk", i + o)): _*).as("gram")))).as("gs"))
+      .select($"doc_id", explode($"gs").as("g"))
+      .select($"doc_id", $"g.start", $"g.gram")
+    val dfc = grams.select($"doc_id", $"gram").distinct()
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"start")
+    val covered = grams.join(dfc, Seq("gram")).filter($"df" >= 2)
+      .withColumn("next", lead($"start", 1).over(w))
+      .withColumn("contrib",
+        when($"next".isNull, lit(Curation.SpanLen))
+          .otherwise(least(lit(Curation.SpanLen), $"next" - $"start")))
+      .groupBy($"doc_id").agg(sum($"contrib").as("n_covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(covered(1L) === 10L, s"A: shared run covers its 10 tokens, got $covered")
+    assert(covered(2L) === 10L, s"B: same 10, got $covered")
+    assert(!covered.contains(3L), "unique doc has no duplicated span")
+    // Real data: the union can never exceed the doc.
+    val out = run("q_dup_span_coverage")
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter($"n_covered" > $"n_tokens").isEmpty,
+      "interval union over-counted past the token count")
+    assert(out.filter($"coverage" < 0 || $"coverage" > 1).isEmpty)
+  }
 }
