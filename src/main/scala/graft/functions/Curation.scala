@@ -156,19 +156,27 @@ object Curation extends QueryModule {
     // the gram, one per-doc window. Never all-pairs; the 100 TB move
     // is hashing the gram (xxhash64) instead of carrying the string,
     // kept as text here so the oracle can reproduce it exactly.
+    //
+    // Gram construction is explode-the-starts THEN codegen'd
+    // slice+array_join — NOT a transform() lambda building
+    // (start, gram) structs. Higher-order functions evaluate
+    // interpreted, and a struct-building lambda doing 8 element_at +
+    // concat per element measured 43 s for 236k grams at sf0.1; this
+    // formulation is 0.2 s for the identical output (the q_doc_chunks
+    // shape — a new instance of the per-element re-evaluation trap
+    // family documented at q_top_bigrams).
     "q_dup_span_coverage" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val grams = docs
         .select($"doc_id", Text.tokens($"text").as("tk"))
-        .select($"doc_id",
-          when(size($"tk") < SpanLen, array().cast("array<struct<start:int,gram:string>>"))
-            .otherwise(transform(sequence(lit(1), size($"tk") - (SpanLen - 1)),
-              i => struct(i.cast("int").as("start"),
-                concat_ws(" ", (0 until SpanLen).map(o => element_at($"tk", i + o)): _*)
-                  .as("gram")))).as("gs"))
-        .select($"doc_id", explode($"gs").as("g"))
-        .select($"doc_id", $"g.start", $"g.gram")
+        // sequence(1, n-7) with n < 8 would generate DESCENDING
+        // [1, 0, ...] — the guard is load-bearing, not cosmetic.
+        .select($"doc_id", $"tk",
+          explode(when(size($"tk") < SpanLen, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size($"tk") - (SpanLen - 1)))).as("start"))
+        .select($"doc_id", $"start",
+          array_join(slice($"tk", $"start", lit(SpanLen)), " ").as("gram"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docFreq = grams.select($"doc_id", $"gram").distinct()
         .groupBy($"gram").agg(count(lit(1)).as("df"))

@@ -156,15 +156,11 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val grams = docs
       .select($"doc_id", functions.Text.tokens($"text").as("tk"))
-      .select($"doc_id",
-        when(size($"tk") < Curation.SpanLen,
-          array().cast("array<struct<start:int,gram:string>>"))
-          .otherwise(transform(sequence(lit(1), size($"tk") - (Curation.SpanLen - 1)),
-            i => struct(i.cast("int").as("start"),
-              concat_ws(" ", (0 until Curation.SpanLen).map(o =>
-                element_at($"tk", i + o)): _*).as("gram")))).as("gs"))
-      .select($"doc_id", explode($"gs").as("g"))
-      .select($"doc_id", $"g.start", $"g.gram")
+      .select($"doc_id", $"tk",
+        explode(when(size($"tk") < Curation.SpanLen, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size($"tk") - (Curation.SpanLen - 1)))).as("start"))
+      .select($"doc_id", $"start",
+        array_join(slice($"tk", $"start", lit(Curation.SpanLen)), " ").as("gram"))
     val dfc = grams.select($"doc_id", $"gram").distinct()
       .groupBy($"gram").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
