@@ -21,6 +21,8 @@ object SparkEntry {
     functions.Scalars,
     functions.Text,
     functions.Curation,
+    functions.Selection,
+    functions.Graph,
     functions.Vectors,
     functions.Retrieval,
     functions.Dedup,

@@ -1,0 +1,177 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus SELECTION operators — the "which documents make the
+  * training set" step that consumes the quality/novelty signals
+  * `Curation` and `Text` produce:
+  *
+  *   - weight-proportional sampling (`q_weighted_sample`): draw a
+  *     size-k sample where inclusion probability is proportional to a
+  *     per-doc weight — systematic sampling over the cumulative weight
+  *     axis, EXACT integer arithmetic end to end.
+  *   - importance resampling scores (`q_dsir_select`): DSIR (Xie et
+  *     al. '23, arXiv:2302.03169) — score each document by how much
+  *     more likely its tokens are under a TARGET-domain hashed n-gram
+  *     LM than under the raw-corpus LM; training-set selection then
+  *     keeps the top-scoring docs, up-weighting data that looks like
+  *     the target distribution.
+  *
+  * Scale shape: both are linear scans plus bounded aggregations — the
+  * DSIR LMs have HASHED vocabularies (fixed bucket count, so agg state
+  * is O(buckets) regardless of corpus size — the paper's own trick),
+  * and the sampler's only global state is one prefix-sum hierarchy.
+  */
+object Selection extends QueryModule {
+
+  /** Sample size for q_weighted_sample. */
+  val SampleK = 50
+
+  /** Docs per prefix-sum bucket (q_weighted_sample). */
+  val PrefixBucket = 64
+
+  /** Hashed-vocabulary size for the DSIR LMs. */
+  val DsirBuckets = 256
+
+  /** Hash bucket of a term for the DSIR LMs — md5-prefix scheme (the
+    * [[Buckets]] idea at a different modulus), emitted identically by
+    * [[dsirBucketSql]] so the two engines can never drift.
+    */
+  private def dsirBucket(term: org.apache.spark.sql.Column) =
+    conv(substring(md5(term), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  private def dsirBucketSql(termExpr: String): String =
+    s"CAST(('0x' || substr(md5($termExpr), 1, 8)) AS BIGINT) % $DsirBuckets"
+
+  override def queries: Map[String, Query] = Map(
+    // [EXT] weight-proportional systematic sampling — pick ≈K docs
+    // with probability ∝ n_chars (sampling by length ≈ sampling by
+    // token budget share). Method: lay every doc on the cumulative
+    // weight axis in doc_id order; a doc is picked once per multiple
+    // of step=total/K its interval [cum, cum+w) covers (heavy docs can
+    // be picked more than once — `multiplicity` is the with-
+    // replacement count). EXACT integer arithmetic throughout: no
+    // float key, no RNG, no libm — the result is a pure function of
+    // the data, reproducible across runs, engines, AND partitionings
+    // (an Efraimidis–Spirakis float-key variant would hinge on pow()
+    // ulps; this one cannot).
+    //
+    // The global prefix sum is the textbook DISTRIBUTED formulation,
+    // not a global window: per-bucket subtotals (one shuffle,
+    // map-side combined), an exclusive prefix over the TINY subtotal
+    // table (the only single-partition step — one row per
+    // PrefixBucket docs; at 100 TB the hierarchy recurses one more
+    // level instead of widening), then a per-bucket window seeded by
+    // the broadcast offsets. The q_share_of_total rule: nothing
+    // row-scale ever passes through one partition.
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars".as("w"),
+          expr(s"doc_id div $PrefixBucket").as("bkt"))
+      val wB = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val boff = docs.groupBy($"bkt").agg(sum($"w").as("bw"))
+        .withColumn("off", coalesce(sum($"bw").over(wB), lit(0L)))
+        .select($"bkt", $"off")
+      val tot = broadcast(docs.agg(coalesce(sum($"w"), lit(0L)).as("total")))
+      val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(boff), Seq("bkt"))
+        .withColumn("cum_before", $"off" + coalesce(sum($"w").over(wIn), lit(0L)))
+        .crossJoin(tot)
+        .withColumn("step", greatest(expr(s"total div $SampleK"), lit(1L)))
+        .withColumn("multiplicity",
+          (expr("(cum_before + w) div step") - expr("cum_before div step")).cast("int"))
+        .filter($"multiplicity" > 0)
+        .select($"doc_id", $"w", $"cum_before", $"multiplicity")
+        .orderBy($"doc_id")
+    }),
+
+    // [EXT] DSIR importance scores — data selection via importance
+    // resampling (Xie et al. '23): fit two unigram LMs over a HASHED
+    // vocabulary (DsirBuckets buckets, add-1 smoothing) — one on the
+    // TARGET slice (lang='en' plays the high-quality target corpus),
+    // one on the raw corpus — and score each doc by the mean
+    // per-token log-likelihood ratio log p_target(t) − log p_raw(t).
+    // Positive ⇒ looks like the target; selection keeps the top
+    // scores. Hashing is the paper's own fixed-memory trick: agg
+    // state is O(buckets) however large the vocabulary grows. Three
+    // bounded stages over one tokenize pass (persisted — bucket
+    // counts, totals, and scoring all read it): bucket counts with
+    // map-side combine, two one-row totals broadcast into the scoring
+    // projection, a per-doc avg. Rounded to 4dp — avg order differs
+    // across engines/partitionings (the q_unigram_lm contract).
+    "q_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val terms = docs
+        .select($"doc_id", $"lang",
+          explode(Text.tokens(lower($"text"))).as("term"))
+        .withColumn("b", dsirBucket($"term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tgtCnt = terms.filter($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("tc"))
+      val rawCnt = terms.groupBy($"b").agg(count(lit(1)).as("rc"))
+      val tots = broadcast(terms.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"),
+        count(lit(1)).as("rt")))
+      val scored = terms
+        .join(rawCnt, Seq("b"))
+        .join(tgtCnt, Seq("b"), "left")
+        .crossJoin(tots)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          avg(log((coalesce($"tc", lit(0L)) + 1) / ($"tt" + DsirBuckets).cast("double"))
+            - log(($"rc" + 1) / ($"rt" + DsirBuckets).cast("double"))).as("s"))
+      docs.select($"doc_id", $"lang")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id", $"lang",
+          coalesce($"n_toks", lit(0L)).cast("int").as("n_toks"),
+          round(coalesce($"s", lit(0.0)), 4).as("dsir_score"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+         |t AS (SELECT GREATEST(COALESCE(SUM(w), 0) // $SampleK, 1) AS step FROM d),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, w, cum_before,
+         |  CAST((cum_before + w) // step - cum_before // step AS INT) AS multiplicity
+         |FROM c, t
+         |WHERE (cum_before + w) // step - cum_before // step > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q_dsir_select" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, lang,
+         |    ${dsirBucketSql("unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0))")} AS b
+         |  FROM documents),
+         |tc AS (SELECT b, COUNT(*) AS tc FROM terms WHERE lang = 'en' GROUP BY b),
+         |rc AS (SELECT b, COUNT(*) AS rc FROM terms GROUP BY b),
+         |tots AS (
+         |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
+         |    COUNT(*) AS rt
+         |  FROM terms),
+         |sc AS (
+         |  SELECT terms.doc_id, COUNT(*) AS n_toks,
+         |    AVG(ln((COALESCE(tc.tc, 0) + 1) / CAST(tots.tt + $DsirBuckets AS DOUBLE))
+         |      - ln((rc.rc + 1) / CAST(tots.rt + $DsirBuckets AS DOUBLE))) AS s
+         |  FROM terms
+         |  JOIN rc USING (b)
+         |  LEFT JOIN tc USING (b)
+         |  CROSS JOIN tots
+         |  GROUP BY terms.doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(sc.n_toks, 0) AS INT) AS n_toks,
+         |  ROUND(COALESCE(sc.s, 0.0), 4) AS dsir_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -101,6 +101,14 @@ object Vectors extends QueryModule {
 
   private val IvfK = 8
   private val IvfSeed = 11L
+
+  /** Cosine threshold for q_semantic_dedup. The synthetic embeddings
+    * are near-orthogonal (pairwise cosine spans ≈±0.5), so the
+    * SemDeDup-typical 0.95 would select nothing; 0.35 exercises both
+    * branches (drops and survivors) at every sf. The THRESHOLD is
+    * data-tuning; the algorithm is the contract.
+    */
+  private[graft] val SemDedupTau = 0.35
   private[graft] lazy val ivfCells: Array[Array[Double]] = ivfCentroids(IvfK, 64, IvfSeed)
 
   /** Squared L2 distance to a constant centroid (sequential fold). */
@@ -310,6 +318,50 @@ object Vectors extends QueryModule {
         .limit(10)
     }),
 
+    // [EXT] SemDeDup-style semantic dedup (Abbas et al. '23,
+    // arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    // then WITHIN each cluster drop every vector that sits above a
+    // cosine threshold with a higher-priority member — the paper keeps
+    // the member with the LOWEST similarity to its cluster centroid
+    // (the least prototypical example survives, maximizing diversity),
+    // vec_id breaking exact ties. Non-iterative by construction (the
+    // paper's rule, not connected components — q_dedup_groups owns
+    // that shape), so one within-cell self-join decides every row.
+    // Scale: pair work is bounded by cell occupancy, and a production
+    // run scales k with corpus size exactly like the IVF path — cells
+    // become partition keys, never all-pairs. Fixed centroids keep the
+    // whole cascade deterministic, so unlike embedding-LSH this
+    // near-dup path is oracle-checked end to end (assignment,
+    // priority, drop set). Both the pair similarity and the centroid
+    // similarity are rounded to 4dp BEFORE the threshold/priority
+    // compare — the rounded-threshold contract every float-comparing
+    // query here uses (a last-ulp fold difference must not flip a keep
+    // decision across engines).
+    "q_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val cents2d = array(ivfCells.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      val a = ivfAssigned(Tables.embeddings(s, dir)
+          .select($"vec_id", asDouble($"embedding").as("v")))
+        .withColumn("simcent",
+          round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val x = a.select($"vec_id", $"cell", $"v", $"simcent")
+      val y = a.select($"vec_id".as("y_id"), $"cell".as("y_cell"),
+        $"v".as("y_v"), $"simcent".as("y_sc"))
+      val dropped = x.join(y,
+          $"cell" === $"y_cell" && $"vec_id" =!= $"y_id" &&
+            ($"y_sc" < $"simcent" ||
+              ($"y_sc" === $"simcent" && $"y_id" < $"vec_id")))
+        .filter(round(cosine($"v", $"y_v"), 4) >= SemDedupTau)
+        .select($"vec_id").distinct()
+        .withColumn("is_dropped", lit(1))
+      a.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"simcent",
+          when($"is_dropped".isNull, 1).otherwise(0).as("keep"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-label embedding centroids, element-wise: posexplode to
     // (label, dim, value) rows, hash-aggregate the mean. The shuffle
     // moves map-side-combined partials per (label, dim) — 64 × labels
@@ -353,6 +405,27 @@ object Vectors extends QueryModule {
        |        ORDER BY dist, cell) = 1)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      s"""$ivfAssignCte,
+         |sc AS (
+         |  SELECT a.vec_id, a.cell, a.vv, ROUND(
+         |    list_sum(list_transform(list_zip(a.vv, cents.c), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(cents.c, x -> x * x)))), 4) AS simcent
+         |  FROM a JOIN cents USING (cell)),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM sc x JOIN sc y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |    AND (y.simcent < x.simcent
+         |         OR (y.simcent = x.simcent AND y.vec_id < x.vec_id))
+         |  WHERE ROUND(
+         |    list_sum(list_transform(list_zip(x.vv, y.vv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(x.vv, v -> v * v)))
+         |       * SQRT(list_sum(list_transform(y.vv, v -> v * v)))), 4) >= $SemDedupTau)
+         |SELECT sc.vec_id, CAST(sc.cell AS INT) AS cell, sc.simcent,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM sc LEFT JOIN dropped d ON sc.vec_id = d.vec_id
+         |ORDER BY sc.vec_id""".stripMargin,
     "q_ivf_assign" ->
       s"""$ivfAssignCte
          |SELECT CAST(cell AS INT) AS cell, COUNT(*) AS cnt

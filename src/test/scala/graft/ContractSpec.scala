@@ -50,7 +50,8 @@ class ContractSpec extends SparkSpec {
       operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
       sources.Orc, sources.Layouts,
       functions.Scalars,
-      functions.Text, functions.Curation, functions.Vectors, functions.Retrieval,
+      functions.Text, functions.Curation, functions.Selection,
+      functions.Graph, functions.Vectors, functions.Retrieval,
       functions.Dedup, ml.Clustering,
       ml.FlightPipeline, streaming.EventWindows, multimodal.Multimodal)
       .flatMap(_.queries.keys)

@@ -345,6 +345,40 @@ class PlanSpec extends SparkSpec {
       s"one-row total should broadcast:\n$p")
   }
 
+  test("q_weighted_sample: the prefix-sum hierarchy keeps row-scale data hash-partitioned") {
+    // The distributed prefix sum's contract: the ONLY unpartitioned
+    // window runs over the bucket-SUBTOTAL table (one row per
+    // PrefixBucket docs, produced by a partial+final aggregate), and
+    // its offsets re-enter the row-scale side by BROADCAST; the
+    // per-row window stays hash-partitioned on the bucket key. A
+    // regression that windowed the raw table globally would show a
+    // SinglePartition exchange fed by a scan instead of an aggregate.
+    val p = plan("q_weighted_sample")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"row-scale window lost its bucket hash exchange:\n$p")
+    // Subtotal funnel (window over buckets) + the one-row total: both
+    // inputs are aggregate outputs, bounded by construction.
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
+      s"unexpected extra single-partition stage:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets and the total must re-enter by broadcast:\n$p")
+  }
+
+  test("q_pagerank: every round joins ranks by broadcast over the persisted edges") {
+    // Three rounds = three broadcast joins of the rank table into the
+    // edge table (ranks ≪ edges), plus the degree/edge builds; a
+    // rank-side shuffle join would mean re-shuffling the edge table
+    // once per round — the iterative-join scale trap.
+    val p = plan("q_pagerank")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"rank tables must broadcast into the edges each round:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the edge table must be persisted across rounds:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.contains("TakeOrderedAndProject"),
+      s"final top-K must not globally sort:\n$p")
+  }
+
   test("q_session_seq: one exchange feeds the session aggregate (order imposed inside the agg, no second window pass)") {
     val p = plan("q_session_seq")
     // sort_array inside the aggregate replaces a per-session sort

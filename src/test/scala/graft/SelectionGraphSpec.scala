@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{Graph, Selection, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the selection/graph operators — the properties
+  * the DuckDB hash-match can't express:
+  *
+  *   - q_semantic_dedup: the kept set is τ-separated within every
+  *     cell (the SemDeDup guarantee: any over-threshold pair loses
+  *     its higher-priority member), and every drop has a same-cell
+  *     witness — checked against an independent brute-force pass.
+  *   - q_weighted_sample: the pick multiset is exactly what an
+  *     independent single-threaded prefix-sum scan selects, and total
+  *     multiplicity equals total div step (the systematic-sampling
+  *     identity).
+  *   - q_dsir_select: the score discriminates — the target slice
+  *     (lang='en') scores strictly higher on average than the rest.
+  *   - q_pagerank: fixed-point mass conservation (truncation-bounded)
+  *     on the real graph, and exact structural symmetry on a
+  *     hand-built path graph.
+  */
+class SelectionGraphSpec extends SparkSpec {
+
+  test("q_semantic_dedup: kept set is τ-separated within cells; every drop has a higher-priority witness") {
+    import spark.implicits._
+    val out = run("q_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(out.exists(_._4 == 0), "threshold selects nothing — dead branch")
+    assert(out.count(_._4 == 1) > out.length / 2, "most of the corpus should survive")
+
+    // Independent brute-force cosine over the raw embeddings.
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = out.groupBy(_._2)
+    byCell.values.foreach { members =>
+      val kept = members.filter(_._4 == 1)
+      for (x <- kept; y <- kept if x._1 < y._1)
+        assert(r4(cos(vecs(x._1), vecs(y._1))) < Vectors.SemDedupTau,
+          s"kept pair ${x._1},${y._1} violates τ-separation")
+      for (d <- members.filter(_._4 == 0)) {
+        val witness = members.exists(y => y._1 != d._1 &&
+          (y._3 < d._3 || (y._3 == d._3 && y._1 < d._1)) &&
+          r4(cos(vecs(d._1), vecs(y._1))) >= Vectors.SemDedupTau)
+        assert(witness, s"dropped ${d._1} has no higher-priority witness")
+      }
+    }
+  }
+
+  test("q_weighted_sample: matches an independent sequential prefix-sum scan; Σmultiplicity = total div step") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val step = math.max(total / Selection.SampleK, 1L)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      val m = (cum + w) / step - cum / step
+      cum += w
+      if (m > 0) Some((id, w, cum - w, m.toInt)) else None
+    }
+    val got = run("q_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == expected.toSeq,
+      "distributed prefix-sum pick set differs from the sequential scan")
+    assert(got.map(_._4.toLong).sum == total / step)
+  }
+
+  test("q_dsir_select: the target slice scores strictly higher than the rest on average") {
+    val rows = run("q_dsir_select")
+      .groupBy(expr("lang = 'en'").as("is_target"))
+      .agg(avg("dsir_score").as("s")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rows(true) > rows(false),
+      s"DSIR must up-score target-like data: target=${rows(true)} rest=${rows(false)}")
+  }
+
+  test("q_pagerank: mass conserved within truncation bounds on the trade graph") {
+    val edges = Graph.tradeEdges(spark, sf)
+    val full = Graph.pagerank(edges)
+    val total = full.agg(sum("rank")).collect()(0).getLong(0)
+    // Each round loses <1 unit per in-edge (rank div outdeg) plus <2
+    // per node (the two div-100 blends) — bounded, never gained.
+    val nEdges = edges.count(); val nNodes = full.count()
+    val bound = Graph.Rounds * (nEdges + 2 * nNodes) + nNodes
+    assert(total <= Graph.RankScale)
+    assert(total >= Graph.RankScale - bound,
+      s"lost more than truncation can explain: $total vs ${Graph.RankScale}")
+  }
+
+  test("q_pagerank: path-graph symmetry — ends tie, middle dominates") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst", $"src"))
+    val r = Graph.pagerank(edges).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == r("c"), "symmetric ends must tie exactly (integer arithmetic)")
+    assert(r("b") > r("a"), "the 2-degree middle must outrank the ends")
+  }
+}
