@@ -257,6 +257,19 @@ object Dedup extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] incremental NEAR-dup — q_dedup_incremental's shape at
+    // near-duplicate strength, the production continuous-ingest
+    // dedup: flag each NEWLY ingested doc whose MinHash bands collide
+    // with a HISTORICAL doc and whose signature agreement estimates
+    // Jaccard ≥ 0.5. The join is new-bands × history-bands on the
+    // bucket key — NOT a self-join: at 100 TB the history side is a
+    // maintained band-table index (appended per batch, never
+    // rescanned from text), and the small new batch probes it — work
+    // is linear in the batch's bucket occupancy, independent of
+    // corpus size. No oracle (hash-family specific); the spec checks
+    // the flagged set against exact cross-batch shingle Jaccard.
+    "q_minhash_incremental" -> ((s, dir) => incrementalNearDups(s, dir)),
+
     // [EXT] CDC MERGE/upsert — apply a change batch to a snapshot:
     // matched-and-changed rows update, unmatched batch rows insert,
     // untouched snapshot rows keep, matched-but-identical rows are
@@ -623,6 +636,45 @@ object Dedup extends QueryModule {
       .limit(200)
   }
 
+  /** Estimated Jaccard of two equal-length signature attributes:
+    * fraction of agreeing minhash members, rounded to 4dp.
+    */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    round(aggregate(zip_with(a, b,
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / numHashes, 4)
+
+  /** New-batch docs near-duplicating the historical corpus: band the
+    * two sides separately, join on the bucket key, estimate Jaccard
+    * from signature agreement, keep ≥ 0.5. Distinct pairs BEFORE the
+    * per-doc aggregate (a pair colliding in several bands must count
+    * once). Both band tables are pinned: each feeds the bucket join
+    * once here, but the signature pipeline behind them is the
+    * dominant cost and the distinct+agg would otherwise re-derive it
+    * under AQE re-optimization.
+    */
+  private[graft] def incrementalNearDups(spark: SparkSession, dir: String,
+                                         threshold: Double = 0.5): DataFrame = {
+    val numHashes = 32
+    val bands = 16
+    val docs = Tables.documents(spark, dir)
+      .withColumn("batch_idx", Tables.docBatchIdx(col("source")))
+    def side(pred: Column, idAs: String, sigAs: String) = pinned(bandBuckets(
+      minhashSignatures(docs.filter(pred), "doc_id", "text", numHashes),
+      "doc_id", numHashes, bands))
+      .select(col("bucket"), col("doc_id").as(idAs), col("sig").as(sigAs))
+    val hist = side(col("batch_idx") < Tables.HistoryBatches, "hist_id", "hist_sig")
+    val fresh = side(col("batch_idx") >= Tables.HistoryBatches, "doc_id", "sig")
+    fresh.join(hist, Seq("bucket"))
+      .select(col("doc_id"), col("hist_id"),
+        estJaccard(col("sig"), col("hist_sig"), numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hist_dups"), max(col("est_jaccard")).as("max_est"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash banding pairs with estimated Jaccard from signature
     * agreement (fraction of equal minhashes).
     */
@@ -639,9 +691,7 @@ object Dedup extends QueryModule {
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(200)

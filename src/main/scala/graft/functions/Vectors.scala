@@ -109,6 +109,12 @@ object Vectors extends QueryModule {
     * data-tuning; the algorithm is the contract.
     */
   private[graft] val SemDedupTau = 0.35
+
+  /** Per-cluster cap for q_cluster_balance. Mean occupancy at sf0.01
+    * is ≈62 (500 vectors / 8 cells), so 40 trims the crowded cells
+    * and passes the sparse ones through intact — both branches live.
+    */
+  private[graft] val ClusterCap = 40
   private[graft] lazy val ivfCells: Array[Array[Double]] = ivfCentroids(IvfK, 64, IvfSeed)
 
   /** Squared L2 distance to a constant centroid (sequential fold). */
@@ -362,6 +368,30 @@ object Vectors extends QueryModule {
         .orderBy($"vec_id")
     }),
 
+    // [EXT] cluster-balanced selection — the diversity-balancing cap
+    // (the embedding-space twin of q_domain_cap): at most ClusterCap
+    // docs per IVF cell, so no dense region of embedding space
+    // dominates the training mix (crawl corpora are as skewed in
+    // embedding space as in domain space). Priority is the md5 of the
+    // id — deterministic, uniform within each cell, refresh-stable —
+    // and the per-cell window plans the partial+final WindowGroupLimit
+    // pair: each map task forwards at most ClusterCap rows per cell
+    // before the shuffle. Fixed centroids keep the assignment
+    // oracle-checked (q_ivf_assign's scheme); a production run trains
+    // them and scales k with the corpus.
+    "q_cluster_balance" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cell").orderBy($"h".asc, $"vec_id".asc)
+      ivfAssigned(Tables.embeddings(s, dir)
+          .select($"vec_id", asDouble($"embedding").as("v")))
+        .select($"vec_id", $"cell", md5($"vec_id".cast("string")).as("h"))
+        .withColumn("pos", row_number().over(w))
+        .filter($"pos" <= ClusterCap)
+        .select($"vec_id", $"cell", $"pos")
+        .orderBy($"cell", $"pos")
+    }),
+
     // Per-label embedding centroids, element-wise: posexplode to
     // (label, dim, value) rows, hash-aggregate the mean. The shuffle
     // moves map-side-combined partials per (label, dim) — 64 × labels
@@ -430,6 +460,15 @@ object Vectors extends QueryModule {
       s"""$ivfAssignCte
          |SELECT CAST(cell AS INT) AS cell, COUNT(*) AS cnt
          |FROM a GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_cluster_balance" ->
+      s"""$ivfAssignCte,
+         |p AS (
+         |  SELECT vec_id, CAST(cell AS INT) AS cell,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS pos
+         |  FROM a)
+         |SELECT vec_id, cell, pos FROM p
+         |WHERE pos <= $ClusterCap ORDER BY cell, pos""".stripMargin,
     "q_ann_ivf" ->
       s"""$ivfAssignCte,
          |q AS (SELECT vv AS qv, cell AS qcell FROM a WHERE vec_id = 0)

@@ -15,6 +15,7 @@ class ContractSpec extends SparkSpec {
     "q_approx_percentiles" -> "GK-sketch internals differ across engines (exact twin q_percentiles + error-bound spec)",
     "q_approx_top_terms" -> "frequent-items sketch internals and tie order are engine-specific (exact-count parity spec)",
     "q_dedup_minhash" -> "minhash signatures are hash-family specific",
+    "q_minhash_incremental" -> "minhash band collisions are hash-family specific (exact cross-batch Jaccard parity spec)",
     "q_dedup_groups" -> "candidate graph is hash-family specific (union-find parity spec)",
     "q_dedup_simhash" -> "simhash signatures are hash-family specific",
     "q_simhash_neardup" -> "band blocking over hash-specific signatures (pigeonhole parity spec)",

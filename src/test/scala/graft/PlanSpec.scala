@@ -379,6 +379,24 @@ class PlanSpec extends SparkSpec {
       s"final top-K must not globally sort:\n$p")
   }
 
+  test("q_cluster_balance: per-cell cap rewrites to Partial+Final WindowGroupLimit") {
+    // Each map task must pre-prune to ≤ClusterCap rows per cell
+    // BEFORE the shuffle — without the rewrite the full corpus
+    // crosses the exchange just to be discarded by the row_number
+    // filter on the other side.
+    val p = plan("q_cluster_balance")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_minhash_incremental: new batch probes history on the bucket key — no self-join, filters pushed to both scans") {
+    val p = plan("q_minhash_incremental")
+    // Both sides of the bucket join read a CACHED band table (the
+    // signature pipeline runs once per side, never re-derived under
+    // the distinct+agg).
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_session_seq: one exchange feeds the session aggregate (order imposed inside the agg, no second window pass)") {
     val p = plan("q_session_seq")
     // sort_array inside the aggregate replaces a per-session sort

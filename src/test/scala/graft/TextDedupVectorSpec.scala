@@ -95,4 +95,52 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(keepers.distinct.length === keepers.length)
     assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
   }
+
+  test("q_minhash_incremental: flagged set brackets exact cross-batch Jaccard") {
+    import spark.implicits._
+    // Exact cross-batch shingle Jaccard, brute force (new × history),
+    // using the SAME shingle definition the signatures hash.
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", Tables.docBatchIdx($"source").as("b"),
+        Dedup.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val hist = sh.filter($"b" < Tables.HistoryBatches)
+      .select($"doc_id".as("hist_id"), $"sh".as("hsh"))
+    val exact = sh.filter($"b" >= Tables.HistoryBatches)
+      .crossJoin(hist)
+      .select($"doc_id", $"hist_id",
+        (size(array_intersect($"sh", $"hsh")).cast("double") /
+          size(array_union($"sh", $"hsh"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flagged = run("q_minhash_incremental").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "the corpus plants cross-batch near-dups; none flagged")
+    // Recall: a true near-dup (exact j ≥ 0.8) collides in ≥1 of 16
+    // bands and agrees on ≳80% of members — it cannot be missed.
+    val strong = exact.filter(_._3 >= 0.8).map(_._1).toSet
+    assert(strong.subsetOf(flagged),
+      s"missed strong near-dups: ${strong -- flagged}")
+    // Precision: est ≥ 0.5 over 32 members is implausible below
+    // exact j ≈ 0.2 — every flag needs a real overlap witness.
+    val witnessed = exact.filter(_._3 >= 0.2).map(_._1).toSet
+    assert(flagged.subsetOf(witnessed),
+      s"flags without an overlap witness: ${flagged -- witnessed}")
+  }
+
+  test("q_cluster_balance: caps crowded cells, passes sparse cells intact, dense positions") {
+    val cellSizes = run("q_ivf_assign").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val picked = run("q_cluster_balance").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byCell = picked.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= Vectors.ClusterCap, s"cell $cell over cap")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"cell $cell positions not dense")
+      assert(rows.length == math.min(cellSizes(cell), Vectors.ClusterCap.toLong),
+        s"cell $cell kept ${rows.length} of ${cellSizes(cell)}")
+    }
+    assert(cellSizes.values.exists(_ > Vectors.ClusterCap),
+      "no cell over cap — the trimming branch is dead at this sf")
+  }
 }
