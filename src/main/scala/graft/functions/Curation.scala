@@ -142,6 +142,56 @@ object Curation extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] duplicated-span REMOVAL — the transform q_dup_span_coverage
+    // is the signal for (Lee et al. '21 ExactSubstr dedup): delete
+    // every token covered by a cross-doc duplicated 8-gram and emit
+    // the scrubbed document (fingerprinted — the contract is the
+    // rewritten CONTENT, compact enough to hash-compare). Stages share
+    // the coverage query's shape (per-start grams, distinct-doc
+    // counts, join back on the gram) and then materialize coverage as
+    // POSITIONS: each duplicated start explodes to its 8 covered
+    // positions (bounded ×SpanLen, distinct-folded), kept tokens are
+    // the left-anti complement, and the doc reassembles with an
+    // order-imposing sort INSIDE the aggregate (array_sort over
+    // (pos, tok) structs — the q_session_seq trick, one exchange, no
+    // second window pass). Fully-scrubbed and zero-token docs both
+    // land on md5("") via the left join back to the corpus — present,
+    // empty, distinguishable by n_tokens.
+    "q_span_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id", Text.tokens($"text").as("tk"))
+      val grams = toks
+        .select($"doc_id", $"tk",
+          explode(when(size($"tk") < SpanLen, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size($"tk") - (SpanLen - 1)))).as("start"))
+        .select($"doc_id", $"start",
+          array_join(slice($"tk", $"start", lit(SpanLen)), " ").as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupGrams = grams.select($"doc_id", $"gram").distinct()
+        .groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2)
+      val covered = grams.join(dupGrams, Seq("gram"))
+        .select($"doc_id",
+          explode(sequence($"start", $"start" + (SpanLen - 1))).as("pos"))
+        .distinct()
+      val kept = toks
+        .select($"doc_id", posexplode($"tk").as(Seq("pos0", "tok")))
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"tok")
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"tok"))),
+              x => x.getField("tok")), " ").as("scrub"))
+      docs.select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("int").as("n_removed"),
+          md5(coalesce($"scrub", lit(""))).as("scrub_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // [EXT] duplicated-span coverage — the substring-dedup signal
     // (Lee et al. '21 "Deduplicating Training Data", RefinedWeb): for
     // each doc, the fraction of tokens covered by an 8-token span that
@@ -249,6 +299,36 @@ object Curation extends QueryModule {
         |  ROUND(COALESCE(sc.s, 0.0), 4) AS lm_score
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_span_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS start,
+         |    array_to_string(list_slice(tk, i, i + ${SpanLen - 1}), ' ') AS gram
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t)),
+         |dup AS (
+         |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |  GROUP BY gram HAVING COUNT(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, unnest(range(g.start, g.start + $SpanLen)) AS pos
+         |  FROM g JOIN dup USING (gram)),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, tk[i] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)),
+         |kept AS (
+         |  SELECT k.doc_id, COUNT(*) AS n_kept,
+         |    array_to_string(list(k.tok ORDER BY k.pos), ' ') AS scrub
+         |  FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = k.doc_id AND cov.pos = k.pos)
+         |  GROUP BY k.doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(tk) - COALESCE(kept.n_kept, 0) AS INT) AS n_removed,
+         |  md5(COALESCE(kept.scrub, '')) AS scrub_fp
+         |FROM t LEFT JOIN kept USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_dup_span_coverage" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Curation
+import graft.functions.{Curation, Text}
 import org.apache.spark.sql.functions._
 
 /** Semantic pins for the corpus-curation operators — the properties
@@ -40,6 +40,30 @@ class CurationSpec extends SparkSpec {
       .filter($"pos" <= Curation.DomainCap && $"source" === "src0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keepAll == keepSubset)
+  }
+
+  test("q_span_scrub removes exactly the positions q_dup_span_coverage counts; untouched docs keep content") {
+    import spark.implicits._
+    val scrub = run("q_span_scrub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // The two queries define "covered" identically — interval-union
+    // length (coverage) must equal the count of removed positions
+    // (scrub), for EVERY doc.
+    val cov = run("q_dup_span_coverage").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    scrub.foreach { case (id, _, rem, _) =>
+      assert(rem.toLong == cov(id), s"doc $id: removed $rem != covered ${cov(id)}")
+    }
+    assert(scrub.exists(_._3 > 0), "no doc scrubbed — dead branch")
+    assert(scrub.exists(_._3 == 0), "every doc scrubbed — dead branch")
+    // A doc with nothing removed must fingerprint to its canonical
+    // (space-rejoined) token stream — the scrub is a no-op rewrite.
+    val canon = Tables.documents(spark, sf)
+      .select($"doc_id", md5(concat_ws(" ", Text.tokens($"text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    scrub.filter(_._3 == 0).foreach { case (id, _, _, fp) =>
+      assert(fp == canon(id), s"doc $id content changed by a zero-removal scrub")
+    }
   }
 
   test("q_token_budget: every source's exclusive prefix is under budget and the crossing doc is kept") {
