@@ -227,6 +227,33 @@ object Text extends QueryModule {
         .limit(20)
     }),
 
+    // [EXT] BPE pair counting — the inner loop of tokenizer TRAINING
+    // at corpus scale: adjacent character-pair frequencies within
+    // words (the statistic each BPE merge step maximizes; Sennrich
+    // '16). Two linear explodes (words, then in-word pairs) into a
+    // hash agg whose state is bounded by the pair vocabulary
+    // (alphabet², independent of corpus size), TakeOrdered top-k.
+    // Learning a full merge table = re-running this loop with the
+    // previous merges applied — each iteration is this same bounded
+    // shape, which is what makes corpus-scale BPE training feasible.
+    // The `length < 2` guard is load-bearing: sequence(1, 0) would
+    // generate DESCENDING [1, 0] (the q_dup_span_coverage trap), and
+    // Column.substr keeps the pair extraction character-based, so
+    // multi-byte scripts (the zh slice) count correctly in both
+    // engines.
+    "q_bpe_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(tokens(lower($"text"))).as("w"))
+        .select(explode(when(length($"w") < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length($"w") - 1),
+            i => $"w".substr(i, lit(2))))).as("pair"))
+        .groupBy($"pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(30)
+    }),
+
     // [EXT] Context-window chunking — the step that turns a cleaned
     // corpus into training rows: fixed-size token windows (50 tokens)
     // with overlap (stride 40 → 10-token overlap) so no span is lost
@@ -418,6 +445,17 @@ object Text extends QueryModule {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override def oracles: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM w)
+        |SELECT pair, COUNT(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS INT) AS n_tokens,

@@ -353,6 +353,33 @@ object Aggregates extends QueryModule {
     // ANSI/DuckDB quantile_cont) per group. At 100 TB prefer
     // approx_percentile (below); the exact operator is the
     // correctness anchor.
+    // [EXT] shuffle-key skew profile — the diagnostic you run BEFORE
+    // choosing a join/agg strategy (salt? AQE skew split? broadcast?):
+    // the per-key row-count distribution of the prospective shuffle
+    // key, as one summary row. Two-level aggregate: per-key counts
+    // (map-side combined — the shuffle moves partials, not rows), then
+    // scalar stats over the |keys|-row count table. Exact percentiles
+    // anchor correctness at test scale; at 100 TB the count table is
+    // still |keys| rows (fine) but the single-pass exact percentile
+    // sort would be the cost — approx_percentile is the documented
+    // production twin (q_approx_percentiles' tradeoff). skew_factor =
+    // max/avg is the number the salting decision reads: ≈1 uniform,
+    // ≫1 a hot key.
+    "q_skew_profile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          min($"c").as("min_c"),
+          max($"c").as("max_c"),
+          round(avg($"c"), 4).as("avg_c"),
+          round(percentile($"c", lit(0.5)), 4).as("p50"),
+          round(percentile($"c", lit(0.9)), 4).as("p90"),
+          round(percentile($"c", lit(0.99)), 4).as("p99"),
+          round(max($"c") / avg($"c"), 4).as("skew_factor"))
+    }),
+
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -746,6 +773,16 @@ object Aggregates extends QueryModule {
         |  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
         |    ORDER BY cnt DESC, o_orderpriority ASC) = 1)
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+        |SELECT COUNT(*) AS n_keys, MIN(c) AS min_c, MAX(c) AS max_c,
+        |  ROUND(AVG(c), 4) AS avg_c,
+        |  ROUND(quantile_cont(c, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(c, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(c, 0.99), 4) AS p99,
+        |  ROUND(MAX(c) / AVG(c), 4) AS skew_factor
+        |FROM c""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,

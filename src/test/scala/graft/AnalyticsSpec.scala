@@ -106,4 +106,25 @@ class AnalyticsSpec extends SparkSpec {
       .filter($"n_customers" > $"cohort_size").count()
     assert(over == 0, s"$over cohort cells exceed their cohort size")
   }
+
+  test("q_skew_profile: ordered quantiles, consistent key count, skew factor = max/avg") {
+    import spark.implicits._
+    val r = run("q_skew_profile").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nKeys, minC, maxC) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (avgC, p50, p90, p99, skew) = (row.getDouble(3), row.getDouble(4),
+      row.getDouble(5), row.getDouble(6), row.getDouble(7))
+    assert(minC <= p50 && p50 <= p90 && p90 <= p99 && p99 <= maxC,
+      s"quantiles out of order: $minC $p50 $p90 $p99 $maxC")
+    val direct = Tables.lineitem(spark, sf)
+      .select($"l_orderkey").distinct().count()
+    assert(nKeys == direct, s"n_keys $nKeys != distinct keys $direct")
+    // avg_c is itself rounded, so recomputing max/avg from it can
+    // drift in the 4th decimal — a loose band still catches a wrong
+    // formula (ratio off by a factor) without faking precision.
+    assert(math.abs(skew - maxC / avgC) < 0.01,
+      s"skew_factor $skew far from ${maxC / avgC}")
+    assert(skew >= 1.0, "max/avg can never undercut 1")
+  }
 }

@@ -96,6 +96,24 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
   }
 
+  test("q_bpe_pairs matches an independent in-memory pair count") {
+    import spark.implicits._
+    // Recount from scratch with plain Scala string ops — no Spark
+    // expressions shared with the query under test.
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select($"text").collect().foreach { r =>
+      r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        w.sliding(2).filter(_.length == 2).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    val got = run("q_bpe_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("q_minhash_incremental: flagged set brackets exact cross-batch Jaccard") {
     import spark.implicits._
     // Exact cross-batch shingle Jaccard, brute force (new × history),
