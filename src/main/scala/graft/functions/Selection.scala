@@ -45,6 +45,20 @@ object Selection extends QueryModule {
   private def dsirBucketSql(termExpr: String): String =
     s"CAST(('0x' || substr(md5($termExpr), 1, 8)) AS BIGINT) % $DsirBuckets"
 
+  /** Exclusive prefix offsets of a per-bucket total table `(bkt, v)` —
+    * the TINY single-partition step of the distributed prefix-sum
+    * hierarchy (one row per [[PrefixBucket]] source rows; at 100 TB
+    * the hierarchy recurses another level instead of widening).
+    * Shared by the sampler and the global indexer so the hierarchy
+    * has exactly one implementation.
+    */
+  private def exclusiveOffsets(btot: org.apache.spark.sql.DataFrame,
+                               valCol: String): org.apache.spark.sql.DataFrame = {
+    val wB = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    btot.withColumn("off", coalesce(sum(col(valCol)).over(wB), lit(0L)))
+      .select(col("bkt"), col("off"))
+  }
+
   override def queries: Map[String, Query] = Map(
     // [EXT] weight-proportional systematic sampling — pick ≈K docs
     // with probability ∝ n_chars (sampling by length ≈ sampling by
@@ -71,10 +85,7 @@ object Selection extends QueryModule {
       val docs = Tables.documents(s, dir)
         .select($"doc_id", $"n_chars".as("w"),
           expr(s"doc_id div $PrefixBucket").as("bkt"))
-      val wB = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val boff = docs.groupBy($"bkt").agg(sum($"w").as("bw"))
-        .withColumn("off", coalesce(sum($"bw").over(wB), lit(0L)))
-        .select($"bkt", $"off")
+      val boff = exclusiveOffsets(docs.groupBy($"bkt").agg(sum($"w").as("bw")), "bw")
       val tot = broadcast(docs.agg(coalesce(sum($"w"), lit(0L)).as("total")))
       val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -86,6 +97,25 @@ object Selection extends QueryModule {
           (expr("(cum_before + w) div step") - expr("cum_before div step")).cast("int"))
         .filter($"multiplicity" > 0)
         .select($"doc_id", $"w", $"cum_before", $"multiplicity")
+        .orderBy($"doc_id")
+    }),
+
+    // [EXT] stable global sequence ids — the zipWithIndex shape a
+    // training pipeline needs to number examples (shard manifests,
+    // resume tokens) WITHOUT a single-reducer sort: per-bucket counts,
+    // exclusive offsets over the tiny subtotal table, offset +
+    // per-bucket row_number. idx is dense 1..n in doc_id order, a pure
+    // function of the data — invariant under partitioning, where
+    // RDD.zipWithIndex depends on partition layout by construction.
+    "q_global_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", expr(s"doc_id div $PrefixBucket").as("bkt"))
+      val boff = exclusiveOffsets(
+        docs.groupBy($"bkt").agg(count(lit(1)).as("bn")), "bn")
+      val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      docs.join(broadcast(boff), Seq("bkt"))
+        .select($"doc_id", ($"off" + row_number().over(wIn)).as("idx"))
         .orderBy($"doc_id")
     }),
 
@@ -148,6 +178,10 @@ object Selection extends QueryModule {
          |FROM c, t
          |WHERE (cum_before + w) // step - cum_before // step > 0
          |ORDER BY doc_id""".stripMargin,
+    "q_global_index" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) AS idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dsir_select" ->
       s"""WITH terms AS (
          |  SELECT doc_id, lang,

@@ -72,6 +72,14 @@ class SelectionGraphSpec extends SparkSpec {
     assert(got.map(_._4.toLong).sum == total / step)
   }
 
+  test("q_global_index: idx is dense 1..n in doc_id order") {
+    val rows = run("q_global_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq,
+      "indices must be dense 1..n in the returned (doc_id) order")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
   test("q_dsir_select: the target slice scores strictly higher than the rest on average") {
     val rows = run("q_dsir_select")
       .groupBy(expr("lang = 'en'").as("is_target"))
