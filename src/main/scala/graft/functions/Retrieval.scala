@@ -78,6 +78,43 @@ object Retrieval extends QueryModule {
     }),
 
     "q_contamination" -> ((s, dir) => contamination(s, dir)),
+
+    // [EXT] sparse TF-IDF cosine — related-document search, the SPARSE
+    // twin of the dense ANN paths in Vectors: score every corpus doc
+    // against query doc 0 by the cosine of their tf·idf term vectors.
+    // The sparse shape never materializes a vector: the weighted
+    // postings table (doc, term, w) is pinned once (it feeds the query
+    // slice, the corpus side, and the norm aggregate), the query doc's
+    // ≤|doc| terms broadcast, the dot product is a term-key join +
+    // per-doc sum — only docs SHARING a term with the query are ever
+    // touched (the inverted-index property; a dense scan touches all).
+    // idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive); N
+    // arrives as a broadcast one-row aggregate. Scores are rounded at
+    // 4dp — sum order differs across engines (the q_tfidf contract).
+    "q_sparse_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
+      val nDocs = broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).cast("double").as("n")))
+      val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      val w = tf.join(df, Seq("term")).crossJoin(nDocs)
+        .select($"doc_id", $"term",
+          ($"tf" * (log(($"n" + 1) / ($"df" + 1)) + 1)).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val norms = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+      val qv = broadcast(w.filter($"doc_id" === 0)
+        .select($"term", $"w".as("qw")))
+      val qn = broadcast(norms.filter($"doc_id" === 0).select($"nrm".as("qnrm")))
+      w.filter($"doc_id" =!= 0)
+        .join(qv, Seq("term"))
+        .groupBy($"doc_id").agg(sum($"w" * $"qw").as("dot"))
+        .join(norms, Seq("doc_id")).crossJoin(qn)
+        .select($"doc_id", round($"dot" / ($"nrm" * $"qnrm"), 4).as("sim"))
+        .orderBy($"sim".desc, $"doc_id".asc)
+        .limit(10)
+    }),
   )
 
   /** Conservative planning estimate of the eval-gram broadcast size:
@@ -140,6 +177,27 @@ object Retrieval extends QueryModule {
   private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   override def oracles: Map[String, String] = Map(
+    "q_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |  FROM documents)
+        |  GROUP BY doc_id, term),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, term, tf * (ln((n + 1) / (df + 1)) + 1) AS w
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+        |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+        |dots AS (
+        |  SELECT w.doc_id, SUM(w.w * qv.qw) AS dot
+        |  FROM w JOIN qv USING (term) WHERE w.doc_id <> 0 GROUP BY w.doc_id)
+        |SELECT d.doc_id, ROUND(d.dot / (norms.nrm * qn.qnrm), 4) AS sim
+        |FROM dots d JOIN norms ON d.doc_id = norms.doc_id CROSS JOIN qn
+        |ORDER BY sim DESC, d.doc_id LIMIT 10""".stripMargin,
     "q_bm25" ->
       s"""WITH d AS (
          |  SELECT doc_id,

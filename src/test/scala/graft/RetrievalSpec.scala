@@ -174,6 +174,28 @@ class RetrievalSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq, "shuffle order not deterministic across runs")
   }
 
+  test("q_sparse_cosine: scores in (0,1], descending, every hit shares a term with the query doc") {
+    import spark.implicits._
+    val hits = run("q_sparse_cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.nonEmpty && !hits.exists(_._1 == 0L), "query doc must be excluded")
+    assert(hits.forall { case (_, s) => s > 0.0 && s <= 1.0 },
+      "tf-idf weights are positive, so cosines must land in (0,1]")
+    assert(hits.map(_._2).toSeq == hits.map(_._2).sortBy(-_).toSeq)
+    // Inverted-index property: a returned doc OVERLAPS the query doc's
+    // vocabulary (docs sharing no term are never scored at all).
+    val qTerms = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .select(explode(functions.Text.tokens(lower($"text"))).as("t"))
+      .collect().map(_.getString(0)).toSet
+    val hitIds = hits.map(_._1).toSet
+    val overlaps = Tables.documents(spark, sf)
+      .filter($"doc_id".isin(hitIds.toSeq: _*))
+      .select($"doc_id", explode(functions.Text.tokens(lower($"text"))).as("t"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.exists(r => qTerms(r.getString(1))) }
+    assert(overlaps.values.forall(identity), "a hit shares no vocabulary with the query")
+  }
+
   test("q_anomaly_zscore: all flagged events exceed the threshold against recomputed stats") {
     import spark.implicits._
     val flagged = run("q_anomaly_zscore").collect()
