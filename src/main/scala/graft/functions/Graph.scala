@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   * broadcastable whenever nodes ≪ edges; on a web-scale graph this
   * becomes a co-partitioned shuffle join on src with both sides
   * pre-partitioned once) plus one map-side-combined groupBy(dst).
-  * Iterations are a FIXED count (3) — the driver never inspects data
-  * between rounds, so the whole loop submits as chained narrow stages
-  * over the persisted edges.
+  * Iterations are a FIXED count (3) — no convergence check reads
+  * data back to the driver, so the loop is one lazily-composed plan
+  * whose only materialization points are the per-round rank
+  * broadcasts over the persisted edges.
   */
 object Graph extends QueryModule {
 

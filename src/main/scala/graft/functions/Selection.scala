@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *     LM than under the raw-corpus LM; training-set selection then
   *     keeps the top-scoring docs, up-weighting data that looks like
   *     the target distribution.
+  *   - stable global sequence ids (`q_global_index`): the
+  *     zipWithIndex replacement for numbering selected examples,
+  *     built on the same prefix-sum hierarchy as the sampler.
   *
-  * Scale shape: both are linear scans plus bounded aggregations — the
+  * Scale shape: all three are linear scans plus bounded aggregations — the
   * DSIR LMs have HASHED vocabularies (fixed bucket count, so agg state
   * is O(buckets) regardless of corpus size — the paper's own trick),
   * and the sampler's only global state is one prefix-sum hierarchy.
