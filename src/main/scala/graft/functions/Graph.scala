@@ -49,23 +49,36 @@ object Graph extends QueryModule {
   private[graft] def pagerank(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // deg and the per-node base table are PINNED alongside the edge
+    // table: every round's rank plan references them through the
+    // nested broadcast subtrees, and unpinned their lineage is the
+    // FULL raw edge build (join, distinct, union) once per round per
+    // reference. At sf0.1 Spark's exchange reuse already dedupes the
+    // identical subtrees (pinning measured time-neutral), but reuse
+    // is a planner optimization, not a contract — the pins make "one
+    // cached-edge join + one groupBy + one cached base join per
+    // round" guaranteed rather than plan-shape-dependent, which is
+    // the difference that matters when the edge build is a 100 TB
+    // join.
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edged = edges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select($"src".as("node"))
     val nb = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val r0 = nodes.crossJoin(nb)
-      .select($"node", expr(s"$RankScale div n").as("rank"))
+    val base = nodes.crossJoin(nb)
+      .select($"node", expr(s"$RankScale div n").as("init"),
+        expr(s"(15 * ($RankScale div n)) div 100").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r0 = base.select($"node", $"init".as("rank"))
     (1 to Rounds).foldLeft(r0) { (r, _) =>
       val inc = edged
         .join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"))
         .select($"dst", expr("rank div outdeg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("inc"))
-      nodes.crossJoin(nb)
-        .join(inc, $"node" === $"dst", "left")
+      base.join(inc, $"node" === $"dst", "left")
         .select($"node",
-          (expr(s"(15 * ($RankScale div n)) div 100")
-            + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+          ($"b" + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
     }
   }
 
@@ -119,7 +132,7 @@ object Graph extends QueryModule {
          |nn AS (SELECT COUNT(*) AS n FROM nodes),
          |r0 AS (SELECT node, $RankScale // n AS rank FROM nodes CROSS JOIN nn),
          |${(1 to Rounds).map(roundCte).mkString(",\n")}
-         |SELECT node, rank FROM r$Rounds
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$Rounds
          |ORDER BY rank DESC, node LIMIT $TopK""".stripMargin,
   )
 }

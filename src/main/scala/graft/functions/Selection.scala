@@ -173,8 +173,9 @@ object Selection extends QueryModule {
          |t AS (SELECT GREATEST(COALESCE(SUM(w), 0) // $SampleK, 1) AS step FROM d),
          |c AS (
          |  SELECT doc_id, w,
-         |    COALESCE(SUM(w) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
          |  FROM d)
          |SELECT doc_id, w, cum_before,
          |  CAST((cum_before + w) // step - cum_before // step AS INT) AS multiplicity
