@@ -25,10 +25,56 @@ object Curation extends QueryModule {
   /** Per-source token budget (q_token_budget). */
   val TokenBudget = 500
 
-  /** Span length for duplicated-span coverage (q_dup_span_coverage) —
-    * 8-token grams, the substring-dedup unit.
+  /** Span length for the substring-dedup pair (q_dup_span_coverage /
+    * q_span_scrub) — 8-token grams, the substring-dedup unit.
     */
   val SpanLen = 8
+
+  /** `(doc_id, tk)` token table — the ONE tokenize pass each span
+    * query pins and reads everywhere (grams, position explode, token
+    * counts). Re-tokenizing per consumer measured as a real cost in
+    * this codebase (the shinglesFromTokens note).
+    */
+  private def tokTable(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+
+  /** Per-start span grams `(doc_id, start, gram)` of a PINNED token
+    * table. ONE implementation feeds both the coverage signal and the
+    * scrub transform — CurationSpec asserts their per-doc agreement
+    * (removed == covered), which only holds while the gram definition
+    * cannot drift between them. Gram construction is
+    * explode-the-starts THEN codegen'd slice+array_join — NOT a
+    * transform() lambda building (start, gram) structs. Higher-order
+    * functions evaluate interpreted, and a struct-building lambda
+    * doing 8 element_at + concat per element measured 43 s for 236k
+    * grams at sf0.1; this formulation is 0.2 s for identical output
+    * (the q_doc_chunks shape — an instance of the per-element
+    * re-evaluation trap family documented at q_top_bigrams). The
+    * `size < SpanLen` guard is load-bearing: sequence(1, n-7) with
+    * n < 8 would generate DESCENDING [1, 0, ...].
+    */
+  private def spanGrams(toks: org.apache.spark.sql.DataFrame) =
+    toks
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) < SpanLen, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk")) - (SpanLen - 1)))).as("start"),
+        col("tk"))
+      .select(col("doc_id"), col("start"),
+        array_join(slice(col("tk"), col("start"), lit(SpanLen)), " ").as("gram"))
+
+  /** The DuckDB twin of [[tokTable]] + [[spanGrams]] as a shared CTE
+    * prefix (`t`, `g`) — generated once so the two span oracles can
+    * never drift from each other.
+    */
+  private val spanGramCte: String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS start,
+       |    array_to_string(list_slice(tk, i, i + ${SpanLen - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t))""".stripMargin
 
   override def queries: Map[String, Query] = Map(
     // [EXT] per-domain quota cap — crawl corpora are dominated by a few
@@ -159,14 +205,9 @@ object Curation extends QueryModule {
     // empty, distinguishable by n_tokens.
     "q_span_scrub" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select($"doc_id", Text.tokens($"text").as("tk"))
-      val grams = toks
-        .select($"doc_id", $"tk",
-          explode(when(size($"tk") < SpanLen, array().cast("array<int>"))
-            .otherwise(sequence(lit(1), size($"tk") - (SpanLen - 1)))).as("start"))
-        .select($"doc_id", $"start",
-          array_join(slice($"tk", $"start", lit(SpanLen)), " ").as("gram"))
+      val toks = tokTable(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = spanGrams(toks)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupGrams = grams.select($"doc_id", $"gram").distinct()
         .groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -184,7 +225,7 @@ object Curation extends QueryModule {
           array_join(
             transform(array_sort(collect_list(struct($"pos", $"tok"))),
               x => x.getField("tok")), " ").as("scrub"))
-      docs.select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+      toks.select($"doc_id", size($"tk").as("n_tokens"))
         .join(kept, Seq("doc_id"), "left")
         .select($"doc_id", $"n_tokens",
           ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("int").as("n_removed"),
@@ -207,26 +248,13 @@ object Curation extends QueryModule {
     // is hashing the gram (xxhash64) instead of carrying the string,
     // kept as text here so the oracle can reproduce it exactly.
     //
-    // Gram construction is explode-the-starts THEN codegen'd
-    // slice+array_join — NOT a transform() lambda building
-    // (start, gram) structs. Higher-order functions evaluate
-    // interpreted, and a struct-building lambda doing 8 element_at +
-    // concat per element measured 43 s for 236k grams at sf0.1; this
-    // formulation is 0.2 s for the identical output (the q_doc_chunks
-    // shape — a new instance of the per-element re-evaluation trap
-    // family documented at q_top_bigrams).
+    // Gram construction shared with q_span_scrub via [[spanGrams]] —
+    // see the perf/trap notes there.
     "q_dup_span_coverage" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val grams = docs
-        .select($"doc_id", Text.tokens($"text").as("tk"))
-        // sequence(1, n-7) with n < 8 would generate DESCENDING
-        // [1, 0, ...] — the guard is load-bearing, not cosmetic.
-        .select($"doc_id", $"tk",
-          explode(when(size($"tk") < SpanLen, array().cast("array<int>"))
-            .otherwise(sequence(lit(1), size($"tk") - (SpanLen - 1)))).as("start"))
-        .select($"doc_id", $"start",
-          array_join(slice($"tk", $"start", lit(SpanLen)), " ").as("gram"))
+      val toks = tokTable(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = spanGrams(toks)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docFreq = grams.select($"doc_id", $"gram").distinct()
         .groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -240,11 +268,11 @@ object Curation extends QueryModule {
             .otherwise(least(lit(SpanLen), $"next" - $"start")))
         .groupBy($"doc_id")
         .agg(sum($"contrib").cast("long").as("n_covered"))
-      // Token counts come straight from the corpus, not from the gram
+      // Token counts come from the token table, not from the gram
       // rows — a doc shorter than the span emits no grams but still
       // has tokens, and 0/0 vs 0/n is the difference between "empty"
       // and "short and clean".
-      docs.select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+      toks.select($"doc_id", size($"tk").as("n_tokens"))
         .join(covered, Seq("doc_id"), "left")
         // Coalesce BEFORE the ratio projection: inside one select an
         // expression referencing "n_covered" binds to the INPUT (null
@@ -300,14 +328,7 @@ object Curation extends QueryModule {
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_span_scrub" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, i AS start,
-         |    array_to_string(list_slice(tk, i, i + ${SpanLen - 1}), ' ') AS gram
-         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t)),
+      s"""WITH $spanGramCte,
          |dup AS (
          |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
          |  GROUP BY gram HAVING COUNT(*) >= 2),
@@ -330,14 +351,7 @@ object Curation extends QueryModule {
          |FROM t LEFT JOIN kept USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     "q_dup_span_coverage" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, i AS start,
-         |    array_to_string(list_slice(tk, i, i + ${SpanLen - 1}), ' ') AS gram
-         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t)),
+      s"""WITH $spanGramCte,
          |df AS (
          |  SELECT gram, COUNT(*) AS df
          |  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram),

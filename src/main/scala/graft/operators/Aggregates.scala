@@ -349,10 +349,6 @@ object Aggregates extends QueryModule {
         .orderBy($"l_returnflag")
     }),
 
-    // [EXT] exact percentiles (linear interpolation, matching
-    // ANSI/DuckDB quantile_cont) per group. At 100 TB prefer
-    // approx_percentile (below); the exact operator is the
-    // correctness anchor.
     // [EXT] shuffle-key skew profile — the diagnostic you run BEFORE
     // choosing a join/agg strategy (salt? AQE skew split? broadcast?):
     // the per-key row-count distribution of the prospective shuffle
@@ -380,6 +376,10 @@ object Aggregates extends QueryModule {
           round(max($"c") / avg($"c"), 4).as("skew_factor"))
     }),
 
+    // [EXT] exact percentiles (linear interpolation, matching
+    // ANSI/DuckDB quantile_cont) per group. At 100 TB prefer
+    // approx_percentile (below); the exact operator is the
+    // correctness anchor.
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
