@@ -39,8 +39,16 @@ class EmptyInputSpec extends SparkSpec {
     */
   private val skip: Set[String] = Set("q_local_rows")
 
+  /** Deterministic no-oracle keys (the PartitionInvarianceSpec list)
+    * must also survive empty input — none of them is a model fit.
+    */
+  private val deterministicNoOracle: Set[String] = Set(
+    "q_ann_lsh", "q_dedup_groups", "q_dedup_minhash", "q_dedup_simhash",
+    "q_embed_neardup", "q_minhash_incremental", "q_multimodal_decode",
+    "q_ngram_jaccard", "q_simhash_neardup", "q_approx_distinct")
+
   test("every oracle-eligible query runs on zero-row tables with an unchanged schema") {
-    val keys = SparkEntry.oracleSql.keySet -- skip
+    val keys = (SparkEntry.oracleSql.keySet ++ deterministicNoOracle) -- skip
     val failures = keys.toSeq.sorted.flatMap { k =>
       try {
         val fn = SparkEntry.queries(k)

@@ -46,7 +46,20 @@ class PartitionInvarianceSpec extends SparkSpec {
   private def canonical(df: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) =
     (df.schema.fieldNames.toSeq, df.collect().map(_.toString).sorted.toSeq)
 
-  SparkEntry.oracleSql.keys.toSeq.sorted.foreach { key =>
+  /** No-oracle keys that are nonetheless DETERMINISTIC by
+    * construction — fixed hash families, total-ordered limits,
+    * min-label components, commutative sketch merges — and therefore
+    * must also be partition-invariant. The rest of the no-oracle set
+    * is excluded for cause: KMeans/PCA depend on partitioning, the
+    * seeded samplers and frequent-items/GK sketches fold in partition
+    * order.
+    */
+  private val deterministicNoOracle: Seq[String] = Seq(
+    "q_ann_lsh", "q_dedup_groups", "q_dedup_minhash", "q_dedup_simhash",
+    "q_embed_neardup", "q_minhash_incremental", "q_multimodal_decode",
+    "q_ngram_jaccard", "q_simhash_neardup", "q_approx_distinct")
+
+  (SparkEntry.oracleSql.keys.toSeq ++ deterministicNoOracle).sorted.foreach { key =>
     test(s"$key is invariant under input partitioning (1 vs 7)") {
       val (schemaOne, rowsOne) = canonical(SparkEntry.queries(key)(spark, dirOne))
       val (schemaSeven, rowsSeven) = canonical(SparkEntry.queries(key)(spark, dirSeven))
