@@ -115,4 +115,38 @@ class PropertiesSpec extends SparkSpec {
       assert(lo.unionByName(hi).count() === o.count())
     }
   }
+
+  test("prop: fixed-point pagerank conserves mass within truncation bounds on random graphs") {
+    import spark.implicits._
+    import graft.functions.Graph
+    // Random undirected graphs (both directions materialized, so no
+    // dangling nodes) of varying shape — including multi-component
+    // ones, where conservation must hold per the whole graph anyway.
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 120)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (s"n$a", s"n$b"))
+      if pairs.nonEmpty
+    } yield pairs.distinct
+    samples(graphGen, 6).foreach { pairs =>
+      val p = pairs.toDF("a", "b")
+      val edges = p.select($"a".as("src"), $"b".as("dst"))
+        .union(p.select($"b".as("src"), $"a".as("dst"))).distinct()
+      val ranks = Graph.pagerank(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val nodes = edges.select($"src").distinct().count()
+      assert(ranks.length == nodes, "pagerank must rank every node exactly once")
+      assert(ranks.forall(_._2 > 0), "every rank keeps a positive damping floor")
+      val total = ranks.map(_._2).sum
+      val nEdges = edges.count()
+      val bound = Graph.Rounds * (nEdges + 2 * nodes) + nodes
+      assert(total <= Graph.RankScale, s"mass created: $total")
+      assert(total >= Graph.RankScale - bound,
+        s"mass lost beyond truncation: $total vs ${Graph.RankScale} (bound $bound)")
+      spark.catalog.clearCache()
+    }
+  }
 }
