@@ -97,11 +97,16 @@ object Bench {
       .mkString("{", ",", "}")
     // Queries absent from the baseline are silently unchecked by the
     // gate — surface them so a grown query set is visible in the same
-    // line instead of only via baseline_n < queries_n.
+    // line instead of only via baseline_n < queries_n. The list is
+    // CAPPED: the driver parses only a ~2000-char stdout tail, and an
+    // uncapped list is longest exactly when the query set just grew —
+    // the moment the signal matters — so the full count rides in
+    // unbaselined_n and only the first few names are spelled out.
     val unbaselined =
       if (baseline.isEmpty) Seq.empty
       else warm.keys.filterNot(baseline.contains).toSeq.sorted
-    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size},"unbaselined":${unbaselined.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    val unbaselinedShown = unbaselined.take(8)
+    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size},"unbaselined_n":${unbaselined.size},"unbaselined":${unbaselinedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and

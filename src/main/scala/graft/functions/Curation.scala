@@ -69,7 +69,7 @@ object Curation extends QueryModule {
   private val spanGramCte: String =
     s"""t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+       |    list_filter(string_split_regex(text, '${Text.Ws}+'), x -> length(x) > 0) AS tk
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, i AS start,
@@ -299,7 +299,7 @@ object Curation extends QueryModule {
     "q_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, n_chars,
-         |    CAST(length(list_filter(string_split_regex(text, '\\s+'),
+         |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
          |      x -> length(x) > 0)) AS INT) AS n_toks
          |  FROM documents),
          |c AS (
@@ -312,9 +312,9 @@ object Curation extends QueryModule {
          |SELECT doc_id, source, n_toks, cum_before FROM c
          |WHERE cum_before < $TokenBudget ORDER BY source, doc_id""".stripMargin,
     "q_unigram_lm" ->
-      """WITH terms AS (
+      s"""WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |    string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0)) AS term
         |  FROM documents),
         |cnt AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY term),
         |tot AS (SELECT COUNT(*) AS n FROM terms),
@@ -373,9 +373,9 @@ object Curation extends QueryModule {
          |FROM t LEFT JOIN c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     "q_ngram_novelty" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |    list_filter(string_split_regex(text, '${Text.Ws}+'), x -> length(x) > 0) AS tk
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),

@@ -699,9 +699,9 @@ object Dedup extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+      s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents
-        |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |GROUP BY ${Text.fingerprintSql("text")}
         |ORDER BY keep_id""".stripMargin,
     "q_distinct_pairs" ->
       """SELECT DISTINCT lang, source FROM documents
@@ -709,25 +709,25 @@ object Dedup extends QueryModule {
     "q_dedup_incremental" ->
       s"""WITH d AS (
          |  SELECT doc_id, ${graft.Tables.docBatchIdxSql("source")} AS bi,
-         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |    ${Text.fingerprintSql("text")} AS fp
          |  FROM documents)
          |SELECT doc_id, fp FROM d n
          |WHERE bi >= ${graft.Tables.HistoryBatches} AND NOT EXISTS (
          |  SELECT 1 FROM d h WHERE h.bi < ${graft.Tables.HistoryBatches} AND h.fp = n.fp)
          |ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" ->
-      """WITH snap AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      s"""WITH snap AS (
+        |  SELECT doc_id, ${Text.fingerprintSql("text")} AS fp
         |  FROM documents),
         |batch AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(text || ' v2'), '\s+', ' ', 'g')) AS fp
+        |  SELECT doc_id, ${Text.fingerprintSql("text || ' v2'")} AS fp
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  SELECT doc_id, ${Text.fingerprintSql("text")} AS fp
         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 0
         |  UNION ALL
         |  SELECT -doc_id - 1 AS doc_id,
-        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |    ${Text.fingerprintSql("text")} AS fp
         |  FROM documents WHERE doc_id % 50 = 0)
         |SELECT COALESCE(s.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN b.fp IS NULL THEN 'keep'
@@ -738,9 +738,9 @@ object Dedup extends QueryModule {
         |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_survivor" ->
-      """SELECT doc_id, fp, CAST(length(text) AS INT) AS len
+      s"""SELECT doc_id, fp, CAST(length(text) AS INT) AS len
         |FROM (SELECT doc_id, text,
-        |        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |        ${Text.fingerprintSql("text")} AS fp
         |      FROM documents)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
         |  ORDER BY length(text) DESC, doc_id) = 1

@@ -178,10 +178,10 @@ object Retrieval extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_sparse_cosine" ->
-      """WITH tf AS (
+      s"""WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |    string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0)) AS term
         |  FROM documents)
         |  GROUP BY doc_id, term),
         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
@@ -201,7 +201,7 @@ object Retrieval extends QueryModule {
     "q_bm25" ->
       s"""WITH d AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS tk
+         |    list_filter(string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0) AS tk
          |  FROM documents),
          |dl AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM d),
          |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
@@ -218,7 +218,7 @@ object Retrieval extends QueryModule {
     "q_contamination" ->
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS tk
+         |    list_filter(string_split_regex(text, '${Text.Ws}+'), x -> length(x) > 0) AS tk
          |  FROM documents),
          |g AS (
          |  SELECT doc_id, list_transform(range(1, len(tk) - ${ContamN - 2}),

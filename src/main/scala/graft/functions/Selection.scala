@@ -189,7 +189,7 @@ object Selection extends QueryModule {
     "q_dsir_select" ->
       s"""WITH terms AS (
          |  SELECT doc_id, lang,
-         |    ${dsirBucketSql("unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0))")} AS b
+         |    ${dsirBucketSql(s"unnest(list_filter(string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0))")} AS b
          |  FROM documents),
          |tc AS (SELECT b, COUNT(*) AS tc FROM terms WHERE lang = 'en' GROUP BY b),
          |rc AS (SELECT b, COUNT(*) AS rc FROM terms GROUP BY b),

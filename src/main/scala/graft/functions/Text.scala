@@ -23,6 +23,19 @@ object Text extends QueryModule {
     */
   val ShuffleShards = 8
 
+  /** The tokenizer's whitespace, spelled out as an explicit character
+    * class shared VERBATIM by the Spark regexes and every DuckDB twin
+    * (interpolated into the oracle SQL, so the two engines cannot
+    * drift). Java's `\s` and RE2's `\s` disagree on U+000B vertical
+    * tab — Java includes it, RE2 does not — so a document containing
+    * `\x0B` would tokenize differently under the shorthand; the
+    * explicit class pins ONE semantics on both sides.
+    */
+  private[graft] val WsChars: String = " \\t\\n\\x0B\\f\\r"
+
+  /** `[ \t\n\x0B\f\r]` — the pinned whitespace class. */
+  private[graft] val Ws: String = s"[$WsChars]"
+
   /** Whitespace tokens of a text column: split on runs of whitespace
     * and drop empties. (Round 2 split on a single space, so whitespace
     * runs inflated `n_tokens` and skewed `q_quality_score` — bug-
@@ -30,7 +43,7 @@ object Text extends QueryModule {
     * tokenizer shared by the text metrics and the dedup suite.)
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, s"$Ws+"), t => length(t) > 0)
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -54,7 +67,7 @@ object Text extends QueryModule {
     * on punctuation/digit boundaries via regex.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "[\\s.,;:!?]+|(?=\\d)"), t => length(t) > 0))
+    size(filter(split(text, s"[$WsChars.,;:!?]+|(?=\\d)"), t => length(t) > 0))
 
   /** Stopword hits among tokens. */
   def stopwordCount(text: Column): Column =
@@ -68,7 +81,14 @@ object Text extends QueryModule {
     * text — the exact-dedup key that survives trivial reformatting.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(lower(text), s"$Ws+", " ").cast("binary"))
+
+  /** DuckDB twin of [[fingerprint]] — generated from the same pinned
+    * whitespace class, so every oracle that fingerprints text shares
+    * one spelling and cannot drift from the Spark side.
+    */
+  private[graft] def fingerprintSql(textExpr: String): String =
+    s"md5(regexp_replace(lower($textExpr), '$Ws+', ' ', 'g'))"
 
   /** Language-ID heuristic: non-ASCII script detection first, then an
     * English stopword signal, else unknown. (A real n-gram model slots
@@ -446,8 +466,8 @@ object Text extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_bpe_pairs" ->
-      """WITH w AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      s"""WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
         |    t -> length(t) > 0)) AS w
         |  FROM documents),
         |p AS (
@@ -458,11 +478,11 @@ object Text extends QueryModule {
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id,
-         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS INT) AS n_tokens,
+         |  CAST(length(list_filter(string_split_regex(text, '$Ws+'), t -> length(t) > 0)) AS INT) AS n_tokens,
          |  CAST(length(list_filter(string_split_regex(
-         |    regexp_replace(text, '([0-9])', ' \\1', 'g'), '[\\s.,;:!?]+'),
+         |    regexp_replace(text, '([0-9])', ' \\1', 'g'), '[$WsChars.,;:!?]+'),
          |    t -> length(t) > 0)) AS INT) AS n_subwords,
-         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> t IN $stopList)) AS INT) AS n_stop,
+         |  CAST(length(list_filter(string_split_regex(text, '$Ws+'), t -> t IN $stopList)) AS INT) AS n_stop,
          |  CAST(length(text) AS INT) AS len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
@@ -475,7 +495,7 @@ object Text extends QueryModule {
     "q_quality_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
+         |    list_filter(string_split_regex(text, '$Ws+'), t -> length(t) > 0) AS tk
          |  FROM documents)
          |SELECT doc_id, ROUND(
          |    LEAST(CAST(length(tk) AS DOUBLE) / 100.0, 1.0)
@@ -486,13 +506,13 @@ object Text extends QueryModule {
          |  4) AS quality
          |FROM toks ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      s"""SELECT doc_id,
+        |  ${fingerprintSql("text")} AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
-      """WITH terms AS (
+      s"""WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS term
+        |    string_split_regex(lower(text), '$Ws+'), t -> length(t) > 0)) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
         |df AS (SELECT term, COUNT(*) AS df
@@ -510,8 +530,8 @@ object Text extends QueryModule {
         |WHERE a.lang = 'en' AND b.lang = 'en'
         |ORDER BY id_a""".stripMargin,
     "q_top_bigrams" ->
-      """WITH toks AS (
-        |  SELECT list_filter(string_split_regex(text, '\s+'),
+      s"""WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '$Ws+'),
         |                     t -> length(t) > 0) AS tk
         |  FROM documents),
         |bg AS (
@@ -520,9 +540,9 @@ object Text extends QueryModule {
         |SELECT bigram, COUNT(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q_doc_chunks" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |    list_filter(string_split_regex(text, '$Ws+'), x -> length(x) > 0) AS tk
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, tk,
@@ -533,9 +553,9 @@ object Text extends QueryModule {
         |  array_to_string(list_slice(tk, start + 1, start + 50), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q_seq_pack" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |    list_filter(string_split_regex(text, '$Ws+'), x -> length(x) > 0) AS tk
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, tk,
@@ -554,9 +574,9 @@ object Text extends QueryModule {
         |    0) / 512.0) AS INT) AS seq_id
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_repetition" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS tk
+        |    list_filter(string_split_regex(text, '$Ws+'), x -> length(x) > 0) AS tk
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, list_transform(range(1, len(tk) - 1),

@@ -81,11 +81,24 @@ object Clustering extends QueryModule {
       .limit(limit)
 
   /** UDF-free vector/array → "[1, 2, 3]" string (elements floored to
-    * longs so float rendering can't differ across engines).
+    * longs so float rendering can't differ across engines). Array
+    * form; for discrete source columns prefer [[colsToString]], which
+    * stays fully inside whole-stage codegen (higher-order lambdas
+    * evaluate interpreted).
     */
   def arrayToString(arr: Column): Column =
     concat(lit("["),
       array_join(transform(arr, x => floor(x).cast("long").cast("string")), ", "),
+      lit("]"))
+
+  /** [[arrayToString]] over discrete columns — no array, no lambda:
+    * `concat_ws` over per-column floor/cast chains, entirely
+    * codegen'd. Renders identically to `arrayToString(array(cols…))`
+    * (MlSpec pins the parity).
+    */
+  def colsToString(cols: Column*): Column =
+    concat(lit("["),
+      concat_ws(", ", cols.map(c => floor(c).cast("long").cast("string")): _*),
       lit("]"))
 
   override def queries: Map[String, Query] = Map(
@@ -138,11 +151,14 @@ object Clustering extends QueryModule {
     }),
 
     // Vector stringification, UDF-free (`Code/flight_analysis.py:227-241`).
+    // Built from the four source columns directly — the array+transform
+    // form evaluated its lambda interpreted on every row (1.9 s warm at
+    // sf0.1 for a 4-element stringify); this one is plain column math.
     "q_udf_vec_str" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir).select(
         $"l_orderkey", $"l_linenumber",
-        arrayToString(array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"))
+        colsToString($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
           .as("features_str"))
         .orderBy($"l_orderkey", $"l_linenumber")
     }),

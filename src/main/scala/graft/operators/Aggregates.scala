@@ -730,8 +730,8 @@ object Aggregates extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_incremental" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '${graft.functions.Text.Ws}+'),
         |    t -> length(t) > 0))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin,

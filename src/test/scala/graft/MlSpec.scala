@@ -82,4 +82,14 @@ class MlSpec extends SparkSpec {
       .select(Clustering.arrayToString($"a")).collect().head.getString(0)
     assert(out === "[1, 2, 3]")
   }
+
+  test("colsToString renders identically to arrayToString over the same values") {
+    import spark.implicits._
+    val df = Seq((1.9, 2.0, -3.7, 0.0), (41.0, 0.07, 5.5, -0.2))
+      .toDF("a", "b", "c", "d")
+    val rows = df.select(
+      Clustering.arrayToString(array($"a", $"b", $"c", $"d")).as("viaArray"),
+      Clustering.colsToString($"a", $"b", $"c", $"d").as("viaCols")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
 }

@@ -103,7 +103,12 @@ class TextDedupVectorSpec extends SparkSpec {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     Tables.documents(spark, sf).select($"text").collect().foreach { r =>
       r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
-        w.sliding(2).filter(_.length == 2).foreach { p =>
+        // Pair CODE POINTS, not UTF-16 units: the query's Column.substr
+        // slices by code point, and String.sliding(2) would split a
+        // supplementary-plane character (emoji) into surrogate halves.
+        val cps = w.codePoints.toArray
+        cps.indices.dropRight(1).foreach { i =>
+          val p = new String(cps, i, 2)
           counts(p) = counts.getOrElse(p, 0L) + 1
         }
       }
