@@ -49,17 +49,49 @@ object Selection extends QueryModule {
     s"CAST(('0x' || substr(md5($termExpr), 1, 8)) AS BIGINT) % $DsirBuckets"
 
   /** Exclusive prefix offsets of a per-bucket total table `(bkt, v)` —
-    * the TINY single-partition step of the distributed prefix-sum
-    * hierarchy (one row per [[PrefixBucket]] source rows; at 100 TB
-    * the hierarchy recurses another level instead of widening).
-    * Shared by the sampler and the global indexer so the hierarchy
-    * has exactly one implementation.
+    * the upper levels of the distributed prefix-sum hierarchy, shared
+    * by the sampler and the global indexer so the hierarchy has
+    * exactly one implementation.
+    *
+    * RECURSIVE: while the subtotal table is wider than [[PrefixBucket]]
+    * rows, it is itself bucketed (`bkt div PrefixBucket`) and this
+    * function computes the super-bucket offsets one level up; only a
+    * table of ≤ PrefixBucket rows ever runs through the terminal
+    * single-partition window. Depth is log_PrefixBucket(n) — 5 levels
+    * covers 10^9 subtotal rows — so NO single-partition step grows
+    * with corpus size (the q_share_of_total rule, applied to the
+    * hierarchy itself; a 2-level version windowed the whole subtotal
+    * table on one partition, which at 100 TB is 10^8–10^9 rows).
+    *
+    * The input is pinned before the one driver-side `count()` that
+    * picks the level shape (the same cheap size read AQE's join
+    * planning does) — the count materializes the pinned table, so the
+    * aggregation lineage behind it runs once, not once per consumer.
+    * Level-k offsets re-enter level k-1 by an un-hinted equi-join on
+    * the super-bucket key: the offset side is 1/PrefixBucket the size
+    * of its input, so the planner broadcasts it at any realistic
+    * scale and can fall back to a co-partitioned shuffle when even
+    * the offset table is huge.
     */
-  private def exclusiveOffsets(btot: org.apache.spark.sql.DataFrame,
-                               valCol: String): org.apache.spark.sql.DataFrame = {
-    val wB = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    btot.withColumn("off", coalesce(sum(col(valCol)).over(wB), lit(0L)))
-      .select(col("bkt"), col("off"))
+  private[graft] def exclusiveOffsets(btot: org.apache.spark.sql.DataFrame,
+                                      valCol: String): org.apache.spark.sql.DataFrame = {
+    val pinned = btot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (pinned.count() <= PrefixBucket) {
+      val wB = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+      pinned.withColumn("off", coalesce(sum(col(valCol)).over(wB), lit(0L)))
+        .select(col("bkt"), col("off"))
+    } else {
+      val sup = pinned.groupBy(expr(s"bkt div $PrefixBucket").as("bkt"))
+        .agg(sum(col(valCol)).as("sv"))
+      val soff = exclusiveOffsets(sup, "sv")
+        .select(col("bkt").as("sup"), col("off").as("soff"))
+      val wIn = Window.partitionBy(col("sup")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pinned.withColumn("sup", expr(s"bkt div $PrefixBucket"))
+        .join(soff, Seq("sup"))
+        .withColumn("off", col("soff") + coalesce(sum(col(valCol)).over(wIn), lit(0L)))
+        .select(col("bkt"), col("off"))
+    }
   }
 
   override def queries: Map[String, Query] = Map(
@@ -77,12 +109,12 @@ object Selection extends QueryModule {
     //
     // The global prefix sum is the textbook DISTRIBUTED formulation,
     // not a global window: per-bucket subtotals (one shuffle,
-    // map-side combined), an exclusive prefix over the TINY subtotal
-    // table (the only single-partition step — one row per
-    // PrefixBucket docs; at 100 TB the hierarchy recurses one more
-    // level instead of widening), then a per-bucket window seeded by
-    // the broadcast offsets. The q_share_of_total rule: nothing
-    // row-scale ever passes through one partition.
+    // map-side combined), exclusive offsets over the subtotal table
+    // (exclusiveOffsets recurses while that table is wider than
+    // PrefixBucket rows, so the terminal single-partition window sees
+    // ≤ PrefixBucket rows at ANY corpus size), then a per-bucket
+    // window seeded by the broadcast offsets. The q_share_of_total
+    // rule: nothing row-scale ever passes through one partition.
     "q_weighted_sample" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)

@@ -72,6 +72,37 @@ class SelectionGraphSpec extends SparkSpec {
     assert(got.map(_._4.toLong).sum == total / step)
   }
 
+  test("exclusiveOffsets recursion (subtotals > PrefixBucket) matches a sequential scan") {
+    import spark.implicits._
+    // 300 buckets > PrefixBucket=64 forces one recursion level (super
+    // table of 5 rows); sparse, unsorted, with gaps and zero values so
+    // the per-super window and the bucket ordering both get exercised.
+    val rows = (0L until 300L).map(b => (b * 7 % 300, b % 13))
+      .filterNot { case (b, _) => b % 11 == 3 }
+    val seq = rows.sortBy(_._1)
+    var cum = 0L
+    val expected = seq.map { case (b, v) => val off = cum; cum += v; b -> off }.toMap
+    val got = Selection.exclusiveOffsets(rows.toDF("bkt", "v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "recursive offsets differ from the sequential scan")
+    spark.catalog.clearCache()
+  }
+
+  test("exclusiveOffsets: terminal and recursive shapes agree across the PrefixBucket boundary") {
+    import spark.implicits._
+    // n = PrefixBucket runs the terminal window; n = PrefixBucket+1
+    // recurses — both must produce the same exclusive prefix law.
+    Seq(Selection.PrefixBucket, Selection.PrefixBucket + 1).foreach { n =>
+      val rows = (0L until n.toLong).map(b => (b, b + 1))
+      val got = Selection.exclusiveOffsets(rows.toDF("bkt", "v"), "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (b, _) =>
+        assert(got(b) === b * (b + 1) / 2, s"n=$n bkt=$b")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_global_index: idx is dense 1..n in doc_id order") {
     val rows = run("q_global_index").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
