@@ -24,15 +24,16 @@ import org.apache.spark.sql.functions._
   * 1e12 scale factor.
   *
   * Scale shape: the edge table is built once, persisted, and reused
-  * by every round (the loop invariant); each round is one broadcast
-  * join of the rank table into the edges (ranks are |nodes| rows —
-  * broadcastable whenever nodes ≪ edges; on a web-scale graph this
-  * becomes a co-partitioned shuffle join on src with both sides
-  * pre-partitioned once) plus one map-side-combined groupBy(dst).
-  * Iterations are a FIXED count (3) — no convergence check reads
-  * data back to the driver, so the loop is one lazily-composed plan
-  * whose only materialization points are the per-round rank
-  * broadcasts over the persisted edges.
+  * by every round (the loop invariant); each round joins the rank
+  * table (|nodes| rows) into the edges — by BROADCAST while nodes ≤
+  * [[BroadcastNodeLimit]], and above it as a co-partitioned shuffle
+  * join against edges hash-partitioned on src once at build (the
+  * web-scale fallback; each round then moves only the rank table) —
+  * plus one map-side-combined groupBy(dst). Iterations are a FIXED
+  * count (3) — no convergence check reads data back to the driver.
+  * Dangling nodes (no out-edge) keep their mass in the graph: their
+  * rank is re-shared equally each round via a one-row broadcast
+  * aggregate, skipped entirely for graphs constructed dangling-free.
   */
 object Graph extends QueryModule {
 
@@ -41,47 +42,98 @@ object Graph extends QueryModule {
   val Rounds = 3
   val TopK = 20
 
-  /** Fixed-point PageRank over a directed `(src, dst)` edge table in
-    * which every node has at least one out-edge (callers union both
-    * directions, so there is no dangling-mass term). Returns the full
-    * `(node, rank)` table after [[Rounds]] rounds.
+  /** Above this node count the per-round rank table stops fitting a
+    * broadcast (≈32 B/row → ~100 MB at the limit) and the rounds run
+    * as co-partitioned shuffle joins instead — the web-scale path.
     */
-  private[graft] def pagerank(edges: DataFrame): DataFrame = {
+  val BroadcastNodeLimit = 3000000L
+
+  /** Fixed-point PageRank over a directed `(src, dst)` edge table.
+    * Returns the full `(node, rank)` table after [[Rounds]] rounds.
+    * Handles the general shape: nodes are `src ∪ dst`, and rank
+    * parked on DANGLING nodes (no out-edge) is redistributed as an
+    * equal integer share to every node each round — without the term,
+    * a general edge table would silently lose the dangling mass
+    * (PropertiesSpec pins conservation on random directed graphs).
+    *
+    * Per-round join strategy: the rank table is |nodes| rows. While
+    * nodes ≤ [[BroadcastNodeLimit]] it broadcasts into the persisted
+    * edge table (no edge movement at all); above the limit the edges
+    * are instead hash-partitioned on `src` ONCE at build, and each
+    * round shuffles only the rank table to meet them — the
+    * co-partitioned fallback a web-scale graph needs, selected by the
+    * same kind of cheap size read AQE's join planning uses
+    * (`broadcastRanks` forces either path; SelectionGraphSpec pins
+    * exact result parity between the two). No convergence check reads data
+    * back to the driver — iterations are a fixed count.
+    */
+  private[graft] def pagerank(edges: DataFrame,
+                              broadcastRanks: Option[Boolean] = None): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // Pin discipline: the RAW edge build (join, distinct, union — the
-    // expensive part at 100 TB) is pinned because BOTH deg's lineage
-    // and edged's probe side read it; without the pin it executes
-    // twice at first materialization. edged and the per-node base are
-    // pinned because every round references them through the nested
-    // broadcast subtrees — at sf0.1 Spark's exchange reuse already
-    // dedupes identical subtrees (pinning measured time-neutral), but
-    // reuse is a planner optimization, not a contract, and the pins
-    // make "one cached-edge join + one groupBy + one cached base join
-    // per round" guaranteed rather than plan-shape-dependent. deg
-    // itself stays unpinned: its two consumers (edged, base) are both
-    // cached after first fill, so it re-derives at most twice from
-    // the pinned edges — a 16k-row groupBy over a cache hit.
+    // expensive part at 100 TB) is pinned because deg's lineage, the
+    // node set, and edged's probe side all read it; without the pin it
+    // executes once per consumer at first materialization. edged and
+    // the per-node base are pinned because every round references
+    // them through the nested per-round subtrees — at sf0.1 Spark's
+    // exchange reuse already dedupes identical subtrees (pinning
+    // measured time-neutral), but reuse is a planner optimization,
+    // not a contract, and the pins make "one cached-edge join + one
+    // groupBy + one cached base join per round" guaranteed rather
+    // than plan-shape-dependent. deg itself stays unpinned: its two
+    // consumers (edged, base) are both cached after first fill, so it
+    // re-derives at most twice from the pinned edges — a 16k-row
+    // groupBy over a cache hit.
     val pinnedEdges = edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = pinnedEdges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edged = pinnedEdges.join(deg, Seq("src"))
+    val nodes = pinnedEdges.select($"src".as("node"))
+      .union(pinnedEdges.select($"dst".as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select($"src".as("node"))
-    val nb = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val base = nodes.crossJoin(nb)
-      .select($"node", expr(s"$RankScale div n").as("init"),
-        expr(s"(15 * ($RankScale div n)) div 100").as("b"))
+    // The one driver-side size read: picks the join strategy and
+    // inlines n into the fixed-point constants (it was previously a
+    // crossJoin'd one-row aggregate — same value, one less subtree).
+    val n = nodes.count()
+    if (n == 0) return nodes.select($"node", lit(0L).as("rank"))
+    val useBroadcast = broadcastRanks.getOrElse(n <= BroadcastNodeLimit)
+    val edgedRaw = pinnedEdges.join(deg, Seq("src"))
+    val edged = (if (useBroadcast) edgedRaw else edgedRaw.repartition($"src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select($"node", $"outdeg".isNull.as("dangling"),
+        lit(RankScale / n).as("init"),
+        lit((15L * (RankScale / n)) / 100L).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dangNodes = base.filter($"dangling").select($"node")
+    // Graphs built with both edge directions (the trade graph) have no
+    // dangling nodes; skip the per-round dangling aggregate entirely
+    // so they pay nothing for the general case.
+    val hasDangling = dangNodes.limit(1).count() > 0
     val r0 = base.select($"node", $"init".as("rank"))
     (1 to Rounds).foldLeft(r0) { (r, _) =>
+      val rsrc = r.withColumnRenamed("node", "src")
       val inc = edged
-        .join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"))
+        .join(if (useBroadcast) broadcast(rsrc) else rsrc, Seq("src"))
         .select($"dst", expr("rank div outdeg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("inc"))
-      base.join(inc, $"node" === $"dst", "left")
-        .select($"node",
+      val blended = base.join(inc, $"node" === $"dst", "left")
+      if (!hasDangling)
+        blended.select($"node",
           ($"b" + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      else {
+        // Dangling mass D = Σ rank over out-edge-less nodes; every
+        // node receives the integer share D div n inside the damped
+        // blend. One-row aggregate, broadcast — the same scalar-funnel
+        // shape as q_share_of_total.
+        val dshare = broadcast(
+          r.join(dangNodes, Seq("node"), "left_semi")
+            .agg(expr(s"coalesce(sum(rank), 0L) div $n").as("dshare")))
+        blended.crossJoin(dshare)
+          .select($"node",
+            ($"b" + expr("(85 * (coalesce(inc, 0L) + dshare)) div 100")).as("rank"))
+      }
     }
   }
 

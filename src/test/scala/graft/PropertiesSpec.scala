@@ -116,12 +116,13 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("prop: fixed-point pagerank conserves mass within truncation bounds on random graphs") {
+  test("prop: fixed-point pagerank conserves mass within truncation bounds on random DIRECTED graphs") {
     import spark.implicits._
     import graft.functions.Graph
-    // Random undirected graphs (both directions materialized, so no
-    // dangling nodes) of varying shape — including multi-component
-    // ones, where conservation must hold per the whole graph anyway.
+    // Random DIRECTED graphs of varying shape — multi-component ones,
+    // and ones with DANGLING nodes (a dst that never appears as src),
+    // where conservation additionally exercises the per-round
+    // redistribution of dangling mass.
     val graphGen = for {
       n <- Gen.chooseNum(2, 40)
       m <- Gen.chooseNum(1, 120)
@@ -132,17 +133,19 @@ class PropertiesSpec extends SparkSpec {
       if pairs.nonEmpty
     } yield pairs.distinct
     samples(graphGen, 6).foreach { pairs =>
-      val p = pairs.toDF("a", "b")
-      val edges = p.select($"a".as("src"), $"b".as("dst"))
-        .union(p.select($"b".as("src"), $"a".as("dst"))).distinct()
+      val edges = pairs.toDF("src", "dst")
       val ranks = Graph.pagerank(edges).collect()
         .map(r => r.getString(0) -> r.getLong(1))
-      val nodes = edges.select($"src").distinct().count()
+      val nodes = edges.select($"src").union(edges.select($"dst"))
+        .distinct().count()
       assert(ranks.length == nodes, "pagerank must rank every node exactly once")
       assert(ranks.forall(_._2 > 0), "every rank keeps a positive damping floor")
       val total = ranks.map(_._2).sum
       val nEdges = edges.count()
-      val bound = Graph.Rounds * (nEdges + 2 * nodes) + nodes
+      // Truncation per round: <1 unit per in-edge (rank div outdeg),
+      // <2 per node (the div-100 blends), <1 per node for the dangling
+      // share (D div n); plus the initial RankScale div n remainder.
+      val bound = Graph.Rounds * (nEdges + 3 * nodes) + nodes
       assert(total <= Graph.RankScale, s"mass created: $total")
       assert(total >= Graph.RankScale - bound,
         s"mass lost beyond truncation: $total vs ${Graph.RankScale} (bound $bound)")

@@ -142,4 +142,34 @@ class SelectionGraphSpec extends SparkSpec {
     assert(r("a") == r("c"), "symmetric ends must tie exactly (integer arithmetic)")
     assert(r("b") > r("a"), "the 2-degree middle must outrank the ends")
   }
+
+  test("pagerank: shuffle-join fallback is rank-for-rank identical to the broadcast path") {
+    val edges = Graph.tradeEdges(spark, sf)
+    val viaBroadcast = Graph.pagerank(edges, broadcastRanks = Some(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val viaShuffle = Graph.pagerank(edges, broadcastRanks = Some(false))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaShuffle === viaBroadcast,
+      "join strategy must never change the fixed-point arithmetic")
+    spark.catalog.clearCache()
+  }
+
+  test("pagerank: dangling node is ranked and its mass redistributed, not lost") {
+    import spark.implicits._
+    // a -> b with no out-edge from b: b holds mass that a pure
+    // contribution pass would drop. Hand arithmetic at RankScale=1e12:
+    // round 1 shares b's 5e11 equally (dshare 2.5e11), so
+    // a = 75e9 + 85*(2.5e11) div 100 and b = 75e9 + 85*(7.5e11) div 100.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pagerank(edges).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set("a", "b"), "dangling dst must still be ranked")
+    assert(r("b") > r("a"), "the sink accumulates more than the source")
+    val total = r.values.sum
+    val bound = Graph.Rounds * (1 + 3 * 2) + 2
+    assert(total <= Graph.RankScale && total >= Graph.RankScale - bound,
+      s"dangling mass lost: $total vs ${Graph.RankScale}")
+    spark.catalog.clearCache()
+  }
 }
