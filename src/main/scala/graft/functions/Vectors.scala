@@ -135,21 +135,49 @@ object Vectors extends QueryModule {
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
 
-  /** IVF-probed ANN: score only the query's cell — at scale `cell` is
-    * the partition key, so a probe reads one partition (`nprobe`
-    * generalizes to the n nearest cells; 1 here keeps the oracle
-    * one-to-one). Recall vs brute force is the classic IVF tradeoff;
-    * the candidate set itself is deterministic and oracle-verified.
+  /** IVF-probed ANN: score only the query's `nprobe` nearest cells —
+    * at scale `cell` is the partition key, so a probe reads `nprobe`
+    * partitions instead of the full corpus. Multi-probe is the
+    * standard IVF recall knob (a vector near a cell boundary has its
+    * true neighbors in the adjacent cell); recall vs brute force
+    * grows monotonically in `nprobe` because the candidate set only
+    * widens (DedupScaleSpec pins both properties). The probe list is
+    * deterministic — cells ranked by squared distance, ties by cell
+    * id, exactly as the SQL twin's `ORDER BY dist, cell` — so even
+    * the candidate set stays oracle-verified.
+    *
+    * `nprobe = 1` keeps the original one-cell equality join; wider
+    * probes join on `array_contains` over the broadcast one-row probe
+    * list, which plans the same one-row BroadcastNestedLoop the other
+    * scalar funnels use.
     */
-  def annIvf(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, queryId: Long, k: Int,
+             nprobe: Int = 1): DataFrame = {
     val assigned = ivfAssigned(
       Tables.embeddings(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))
-    val query = broadcast(assigned.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("cell").as("qcell")))
-    assigned.join(query, col("cell") === col("qcell"))
-      .select(col("vec_id"), col("cell"), round(cosine(col("v"), col("qv")), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    if (nprobe <= 1) {
+      val query = broadcast(assigned.filter(col("vec_id") === queryId)
+        .select(col("v").as("qv"), col("cell").as("qcell")))
+      assigned.join(query, col("cell") === col("qcell"))
+        .select(col("vec_id"), col("cell"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k)
+    } else {
+      // (dist, cell) structs sort field-by-field: ascending distance,
+      // then cell id — the deterministic probe order.
+      val ranked = array_sort(array(ivfCells.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("qv"), c).as("d"), lit(i).as("cell"))
+      }.toIndexedSeq: _*))
+      val query = broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+          .select(asDouble(col("embedding")).as("qv"))
+          .withColumn("qcells",
+            transform(slice(ranked, 1, nprobe), s => s.getField("cell"))))
+      assigned.join(query, array_contains(col("qcells"), col("cell")))
+        .select(col("vec_id"), col("cell"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k)
+    }
   }
 
   /** Brute-force cosine top-k against the embedding of `queryId`. */
@@ -239,6 +267,12 @@ object Vectors extends QueryModule {
     // IVF-probed ANN — same output shape as the LSH probe but fully
     // deterministic, so even the candidate set is oracle-verified.
     "q_ann_ivf" -> ((s, dir) => annIvf(s, dir, queryId = 0L, k = 10)),
+
+    // [EXT] multi-probe IVF ANN — the recall knob: probe the TWO
+    // nearest cells (boundary vectors find neighbors in the adjacent
+    // cell). Candidate set widens monotonically with nprobe and stays
+    // deterministic, so this one is oracle-verified end-to-end too.
+    "q_ann_ivf_probe2" -> ((s, dir) => annIvf(s, dir, queryId = 0L, k = 10, nprobe = 2)),
 
     // [EXT] int8 symmetric quantization readiness check: per vector,
     // the scale (amax) and the reconstruction error of quantizing to
@@ -478,6 +512,17 @@ object Vectors extends QueryModule {
          |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
          |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
          |  FROM a, q WHERE a.cell = q.qcell)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_probe2" ->
+      s"""$ivfAssignCte,
+         |qcells AS (SELECT cell FROM d WHERE vec_id = 0 ORDER BY dist, cell LIMIT 2),
+         |q AS (SELECT vv AS qv FROM a WHERE vec_id = 0)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, sim FROM (
+         |  SELECT a.vec_id, a.cell, ROUND(
+         |    list_sum(list_transform(list_zip(a.vv, q.qv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+         |  FROM a, q WHERE a.cell IN (SELECT cell FROM qcells))
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_assemble" ->
       """SELECT l_orderkey, l_linenumber,

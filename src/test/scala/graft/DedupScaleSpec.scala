@@ -245,6 +245,22 @@ class DedupScaleSpec extends SparkSpec {
       "the query vector ranks itself first at sim 1")
   }
 
+  test("IVF multi-probe: probe2 recall vs brute force >= single-probe recall; self ranks first") {
+    val truth = run("q_cosine_topk").collect().map(_.getLong(0)).toSet
+    val p1 = run("q_ann_ivf").collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val p2 = run("q_ann_ivf_probe2").collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(p2.head._1 === 0L && p2.head._3 === 1.0,
+      "the query vector ranks itself first at sim 1")
+    assert(p2.map(_._2).distinct.length <= 2, "probe2 touches at most two cells")
+    val r1 = p1.count(t => truth(t._1))
+    val r2 = p2.count(t => truth(t._1))
+    info(s"recall@10: probe1=$r1/10 probe2=$r2/10")
+    assert(r2 >= r1, "widening the probe list must not lose recall")
+    // Top-k dominance over a widened candidate set: every probe1 hit
+    // that is globally top-10 must survive into the probe2 list.
+    assert(p1.map(_._1).toSet.intersect(truth).subsetOf(p2.map(_._1).toSet))
+  }
+
   test("LSH plane count scales with corpus size; bucket occupancy bounded (sf0.01)") {
     import spark.implicits._
     assert(Vectors.planeCount(100) === 4)
