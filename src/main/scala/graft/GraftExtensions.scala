@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]),
   * `simhash_sig` ([[graft.plans.SimHashSig]]), `vec_dot`
-  * ([[graft.plans.VecDot]]), `rolling_hash`
+  * ([[graft.plans.VecDot]]), `vec_sqdist` ([[graft.plans.VecSqDist]]),
+  * `vec_eq_count` ([[graft.plans.VecEqCount]]), `rolling_hash`
   * ([[graft.plans.RollingHash]]), and the explicit bloom semi-join
   * pair `graft_bloom_agg` / `graft_might_contain`
   * ([[graft.plans.BloomFunctions]]).
@@ -21,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     plans.MinHashSig.register(ext)
     plans.SimHashSig.register(ext)
     plans.VecDot.register(ext)
+    plans.VecSqDist.register(ext)
+    plans.VecEqCount.register(ext)
     plans.RollingHash.register(ext)
     plans.BloomFunctions.register(ext)
   }

@@ -637,12 +637,24 @@ object Dedup extends QueryModule {
   }
 
   /** Estimated Jaccard of two equal-length signature attributes:
-    * fraction of agreeing minhash members, rounded to 4dp.
+    * fraction of agreeing minhash members, rounded to 4dp. The
+    * agreement count is the codegen'd `vec_eq_count` expression
+    * ([[graft.plans.VecEqCount]]) — the previous HOF chain ran two
+    * interpreted lambda frames per member per CANDIDATE PAIR, the hot
+    * inner loop of the banding paths (ExpressionSpec pins count
+    * parity; the division and rounding are unchanged, so thresholds
+    * cannot flip).
     */
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
-    round(aggregate(zip_with(a, b,
+    round(call_function(graft.plans.VecEqCount.FunctionName, a, b) / numHashes, 4)
+
+  /** The pre-expression higher-order formulation — retained as the
+    * reference implementation for the ExpressionSpec parity test.
+    */
+  private[graft] def eqFracHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
         (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, v) => acc + v) / numHashes, 4)
+      lit(0.0), (acc, v) => acc + v)
 
   /** New-batch docs near-duplicating the historical corpus: band the
     * two sides separately, join on the bucket key, estimate Jaccard

@@ -95,7 +95,10 @@ object Graph extends QueryModule {
     // inlines n into the fixed-point constants (it was previously a
     // crossJoin'd one-row aggregate — same value, one less subtree).
     val n = nodes.count()
-    if (n == 0) return nodes.select($"node", lit(0L).as("rank"))
+    // Zero nodes → zero rows: the rank value never materializes, and
+    // the null literal keeps the column NULLABLE like the normal
+    // path's join-produced rank (no schema drift on empty input).
+    if (n == 0) return nodes.select($"node", lit(null).cast("long").as("rank"))
     val useBroadcast = broadcastRanks.getOrElse(n <= BroadcastNodeLimit)
     val edgedRaw = pinnedEdges.join(deg, Seq("src"))
     val edged = (if (useBroadcast) edgedRaw else edgedRaw.repartition($"src"))

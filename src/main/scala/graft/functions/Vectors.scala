@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** [EXT] Embedding similarity for LLM-data pipelines over
   * `embeddings` (64-dim float vectors).
   *
-  * Dot product / norm / cosine are built from higher-order array
-  * functions (`zip_with` + `aggregate`) — codegen'd, sequential
-  * left-fold accumulation in doubles, so the result is bit-identical
-  * to any engine that folds the list in element order.
+  * Dot product / norm / cosine / squared distance are native codegen'd
+  * expressions (`vec_dot`, `vec_sqdist` — higher-order lambdas
+  * evaluate interpreted, so the hot per-element loops are custom
+  * Catalyst expressions instead), with sequential left-fold
+  * accumulation in doubles, so the result is bit-identical to any
+  * engine that folds the list in element order.
   *
   * Search paths:
   *   - brute-force cosine top-k: broadcast the query vector, score
@@ -117,9 +119,21 @@ object Vectors extends QueryModule {
   private[graft] val ClusterCap = 40
   private[graft] lazy val ivfCells: Array[Array[Double]] = ivfCentroids(IvfK, 64, IvfSeed)
 
-  /** Squared L2 distance to a constant centroid (sequential fold). */
+  /** Squared L2 distance to a constant centroid — the codegen'd
+    * `vec_sqdist` expression ([[graft.plans.VecSqDist]]), bit-identical
+    * to the sequential-fold HOF chain it replaced (the IVF assignment
+    * evaluated that chain once per centroid per row, interpreted;
+    * ExpressionSpec pins the parity so argmin tie-breaks cannot move).
+    */
   private def sqDist(v: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(v, array(centroid.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
+    call_function(graft.plans.VecSqDist.FunctionName,
+      v, array(centroid.toIndexedSeq.map(lit): _*))
+
+  /** The pre-expression higher-order formulation — retained as the
+    * reference implementation for the ExpressionSpec parity test.
+    */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
   /** `(…, cell)` — each vector assigned to its nearest centroid (the

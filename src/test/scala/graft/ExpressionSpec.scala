@@ -191,6 +191,59 @@ class ExpressionSpec extends SparkSpec {
     assert(edge(3L) === null)
   }
 
+  test("vec_sqdist is bit-identical to the HOF fold; null/mismatch semantics match") {
+    import spark.implicits._
+    // Real embeddings against a shifted copy — nonzero distances with
+    // the full range of element magnitudes the IVF assignment sees.
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select(graft.functions.Vectors.asDouble($"embedding").as("v"))
+      .withColumn("w", transform($"v", x => x * 0.5 + 0.1))
+    val rows = emb.select(
+        call_function("vec_sqdist", $"v", $"w").as("expr_d"),
+        graft.functions.Vectors.sqDistHof($"v", $"w").as("hof_d"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) === r.getDouble(1)),
+      "accumulation order must be bit-identical to the left fold")
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(3.0, 0.0))),   // 4 + 4 = 8.0
+      (2L, Some(Seq(1.0)), Some(Seq(1.0, 2.0))),        // length mismatch → null
+      (3L, None: Option[Seq[Double]], Some(Seq(1.0))))  // null array → null
+      .toDF("id", "a", "b")
+      .select($"id", call_function("vec_sqdist", $"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(edge(1L) === 8.0)
+    assert(edge(2L) === null)
+    assert(edge(3L) === null)
+  }
+
+  test("vec_eq_count matches the HOF agreement fold on equal-length signatures") {
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(
+      Tables.documents(spark, sf), "doc_id", "text", numHashes = 32)
+      .select($"doc_id", $"sig")
+    val pairs = sigs.crossJoin(
+        sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")))
+      .filter($"doc_id" < $"id_b").limit(500)
+    val rows = pairs.select(
+        call_function("vec_eq_count", $"sig", $"sig_b").as("cnt"),
+        graft.functions.Dedup.eqFracHof($"sig", $"sig_b").as("hof_sum"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0).toDouble === r.getDouble(1)),
+      "agreement count must equal the HOF 1.0-per-match sum")
+    val edge = Seq(
+      (1L, Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 9L, 3L))),  // 2 agreements
+      (2L, Some(Seq(1L)), Some(Seq(1L, 2L))),              // mismatch → null
+      (3L, None: Option[Seq[Long]], Some(Seq(1L))))        // null array → null
+      .toDF("id", "a", "b")
+      .select($"id", call_function("vec_eq_count", $"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(1L) === 2L)
+    assert(edge(2L) === null)
+    assert(edge(3L) === null)
+  }
+
   test("bloom pair: zero false negatives on inserted keys, bounded false positives off them") {
     import spark.implicits._
     // The q_bloom_join contract rests on two properties of the
