@@ -73,25 +73,13 @@ object Bench {
     // the driver contract line stays last.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_WARM_BASELINE",
       "tools/warm_baseline.json")
-    val baseline: Map[String, Double] = {
-      val f = new java.io.File(baselinePath)
-      if (!f.isFile) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        // The baseline is only meaningful at the scale it was recorded
-        // at — a local sf0.01 iteration run must not compare against
-        // sf0.1 numbers (nor vice versa).
-        val baseSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!baseSf.contains(sfDir)) Map.empty
-        else """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
-    val regressions = warm.toSeq
-      .flatMap { case (k, w) => baseline.get(k).map(b => (k, w, b)) }
-      // Sub-100ms queries sit at measurement noise; a 2× there is ms.
-      .filter { case (_, w, b) => w > 2.0 * b && w - b > 0.1 }
-      .sortBy { case (_, w, b) => -(w / b) }
+    // The baseline is only accepted at the scale it was recorded at
+    // (its "sf" tag must equal this run's SF dir); when it is refused
+    // the status names the reason in the output line — a refused
+    // baseline must never silently degrade to "0 regressions"
+    // (WarmBaselineSpec pins the acceptance rules).
+    val (baseline, baselineStatus) = WarmBaseline.load(baselinePath, sfDir)
+    val regressions = WarmBaseline.regressions(warm, baseline)
     val regJson = regressions
       .map { case (k, w, b) => "\"" + k + "\":{\"warm\":" + fmt(w) + ",\"baseline\":" + fmt(b) + "}" }
       .mkString("{", ",", "}")
@@ -106,7 +94,7 @@ object Bench {
       if (baseline.isEmpty) Seq.empty
       else warm.keys.filterNot(baseline.contains).toSeq.sorted
     val unbaselinedShown = unbaselined.take(8)
-    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","queries":$regJson,"baseline_n":${baseline.size},"unbaselined_n":${unbaselined.size},"unbaselined":${unbaselinedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","baseline":"${baselineStatus.tag}","queries":$regJson,"baseline_n":${baseline.size},"unbaselined_n":${unbaselined.size},"unbaselined":${unbaselinedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and

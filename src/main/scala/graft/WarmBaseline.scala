@@ -1,0 +1,66 @@
+package graft
+
+/** Loader for the committed per-query warm baseline
+  * (`tools/warm_baseline.json`) that feeds Bench's
+  * `warm_regressions` gate.
+  *
+  * Extracted from Bench so the acceptance rules are unit-testable:
+  * the gate spent two rounds vacuously green because the committed
+  * file lacked the `"sf"` scale tag the loader requires, and the only
+  * symptom was `baseline_n: 0` in a line nobody alerted on. The
+  * loader now returns an explicit status that Bench prints, so an
+  * ignored baseline names its reason instead of degrading to an
+  * empty map.
+  */
+object WarmBaseline {
+  /** Why the returned baseline map is (or isn't) populated. */
+  sealed abstract class Status(val tag: String)
+  /** File present, `"sf"` tag matches the run's SF dir. */
+  case object Loaded extends Status("loaded")
+  /** No baseline file at the path — a fresh checkout or an
+    * SPARK_GRAFT_WARM_BASELINE override pointing nowhere. */
+  case object NoFile extends Status("no_file")
+  /** File present but carries no `"sf"` tag, so the scale it was
+    * recorded at is unknown — refuse rather than guess. */
+  case object SfMissing extends Status("sf_missing")
+  /** File present but recorded at a different SF dir than this run
+    * (a local sf0.01 iteration must not compare against sf0.1
+    * numbers, nor vice versa). */
+  case object SfMismatch extends Status("sf_mismatch")
+
+  /** Parse the baseline file; the map is non-empty only for
+    * [[Loaded]]. Regex-parsed on purpose — the file is a flat
+    * `{"sf": dir, "q_*": seconds}` object and Spark ships no JSON
+    * library worth a dependency for this.
+    */
+  def load(path: String, sfDir: String): (Map[String, Double], Status) = {
+    val f = new java.io.File(path)
+    if (!f.isFile) (Map.empty, NoFile)
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val baseSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      baseSf match {
+        case None => (Map.empty, SfMissing)
+        case Some(s) if s != sfDir => (Map.empty, SfMismatch)
+        case Some(_) =>
+          (""""(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+            Loaded)
+      }
+    }
+  }
+
+  /** Warm times exceeding their baseline by more than `factor`, with
+    * an absolute floor so sub-100ms measurement noise can't flag
+    * (a 2× there is milliseconds). Sorted worst-first.
+    */
+  def regressions(
+      warm: Iterable[(String, Double)],
+      baseline: Map[String, Double],
+      factor: Double = 2.0,
+      absFloorSec: Double = 0.1): Seq[(String, Double, Double)] =
+    warm.toSeq
+      .flatMap { case (k, w) => baseline.get(k).map(b => (k, w, b)) }
+      .filter { case (_, w, b) => w > factor * b && w - b > absFloorSec }
+      .sortBy { case (_, w, b) => -(w / b) }
+}
