@@ -139,19 +139,93 @@ object Windows extends QueryModule {
 
     // Distribution window functions: quartile bucketing, percent_rank,
     // cume_dist per group — unique orderkey tiebreak keeps every rank
-    // deterministic.
-    "q_window_ntile" -> ((s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
-      Tables.orders(s, dir)
-        .select($"o_orderpriority", $"o_orderkey",
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cume"))
-        .orderBy($"o_orderpriority", $"o_orderkey")
-    }),
+    // deterministic. Computed by the range-chunked formulation below:
+    // a plain window here would put each of the FIVE priority groups
+    // on one task, the scale-killer shape for a full-distribution
+    // window over a low-cardinality key (q_window_rank survives that
+    // via WindowGroupLimit pruning; a distribution needs EVERY row
+    // ranked, so the fix has to be structural).
+    "q_window_ntile" -> ((s, dir) =>
+      distributionScaled(Tables.orders(s, dir))),
   )
+
+  /** The distribution triple of `q_window_ntile` — ntile(4),
+    * percent_rank, cume_dist per group — with NO per-group
+    * single-task step, so it scales with cluster size however few
+    * groups there are:
+    *
+    *   1. range-partition on (group, sort key): each task holds one
+    *      contiguous chunk of one-or-more groups, sized by data/tasks
+    *      — never by group size;
+    *   2. count rows per (chunk, group) — a subtotal table of at most
+    *      chunks × groups rows;
+    *   3. one window pass over that TINY table yields each chunk's
+    *      exclusive offset within its group and the group total n
+    *      (per-group partitions of this window are ≤ #chunks rows —
+    *      bounded by cluster size, not data size);
+    *   4. global rank i = broadcast offset + row_number within
+    *      (chunk, group); those window partitions are single chunks.
+    *
+    * With the unique-orderkey tiebreak there are no rank ties, so the
+    * distribution triple is pure integer arithmetic on (i, n):
+    * Spark's ntile deals bucket sizes ⌈n/k⌉ to the first n mod k
+    * buckets and ⌊n/k⌋ to the rest; percent_rank = (i−1)/(n−1);
+    * cume_dist = i/n. AggJoinWindowSpec pins row-identical parity
+    * against [[distributionWindowed]], including the n<k / n=k /
+    * n≡k±1 group-size edges, and the result is partition-count
+    * invariant by construction: chunk ids cancel out of (i, n).
+    */
+  private[graft] def distributionScaled(
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import orders.sparkSession.implicits._
+    val ranged = orders
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .repartitionByRange($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .withColumn("pid", spark_partition_id())
+      // pinned: the subtotal pass and the rank pass must see ONE
+      // materialization — chunk ids are deterministic for a given
+      // input, but two executions would still range-sample twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy($"o_orderpriority").orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy($"o_orderpriority")
+    val meta = ranged.groupBy($"pid", $"o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(wOff), lit(0L)))
+      .withColumn("n", sum($"c").over(wTot))
+      .select($"pid", $"o_orderpriority", $"off", $"n")
+    val wChunk = Window.partitionBy($"pid", $"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    ranged.join(broadcast(meta), Seq("pid", "o_orderpriority"))
+      .withColumn("i", $"off" + row_number().over(wChunk))
+      .withColumn("q", expr("n div 4"))
+      .withColumn("r", $"n" % 4)
+      .select($"o_orderpriority", $"o_orderkey",
+        (when($"i" <= $"r" * ($"q" + 1), expr("(i - 1) div (q + 1)"))
+          .otherwise($"r" + expr("(i - r * (q + 1) - 1) div q"))
+          .cast("int") + 1).as("quartile"),
+        when($"n" > 1, round(($"i" - 1).cast("double") / ($"n" - 1), 4))
+          .otherwise(lit(0.0)).as("pct_rank"),
+        round($"i".cast("double") / $"n", 4).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  /** The single-window formulation — every group on one task; retained
+    * as the independent reference implementation AggJoinWindowSpec
+    * checks [[distributionScaled]] against.
+    */
+  private[graft] def distributionWindowed(
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import orders.sparkSession.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    orders
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_window_rank" ->

@@ -79,6 +79,42 @@ class AggJoinWindowSpec extends SparkSpec {
     assert(top === maxByHand)
   }
 
+  test("distribution triple: range-chunked formulation ≡ single-window formulation on orders") {
+    val scaled = operators.Windows.distributionScaled(Tables.orders(spark, sf))
+      .collect().toSeq
+    val windowed = operators.Windows.distributionWindowed(Tables.orders(spark, sf))
+      .collect().toSeq
+    assert(scaled === windowed)
+  }
+
+  test("distribution triple parity on adversarial group sizes (n<k, n=k, n≡k±1, skew)") {
+    import spark.implicits._
+    // Group sizes straddling every ntile edge: 1 (pct_rank=0 branch),
+    // 2, 3 (n<k), 4 (n=k), 5 (one oversized bucket), 7, 8, 100 (the
+    // skewed group the chunked formulation exists for). Values are
+    // md5-derived so chunk boundaries can't align with group edges by
+    // construction.
+    val sizes = Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 7, 7 -> 8, 8 -> 100)
+    val rows = sizes.flatMap { case (g, n) =>
+      (1 to n).map(i => (s"grp_$g", (g * 1000 + i).toLong))
+    }
+    val fixture = rows.toDF("o_orderpriority", "o_orderkey")
+      .withColumn("o_totalprice",
+        round(conv(substring(md5($"o_orderkey".cast("string")), 1, 6), 16, 10)
+          .cast("double") / 100, 2))
+    val scaled = operators.Windows.distributionScaled(fixture).collect().toSeq
+    val windowed = operators.Windows.distributionWindowed(fixture).collect().toSeq
+    assert(scaled === windowed)
+    // And the chunked result must be invariant to the chunk count
+    // (= shuffle.partitions, what repartitionByRange targets) — chunk
+    // ids have to cancel out of (rank, group total).
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(operators.Windows.distributionScaled(fixture).collect().toSeq === windowed)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("running sum final value per customer equals the customer's total") {
     import spark.implicits._
     val finals = run("q_window_runsum").collect()
