@@ -147,6 +147,25 @@ class PlanSpec extends SparkSpec {
       s"grand total must arrive by broadcast:\n$p")
   }
 
+  test("q_window_ntile: rank pass windows by chunk, never by the 5-value group alone") {
+    // The structural point of distributionScaled: a full-distribution
+    // window over o_orderpriority alone puts each of five groups on one
+    // task. The scaled plan must (a) range-partition the rows into
+    // data-sized chunks, (b) ship the per-chunk offsets by broadcast,
+    // and (c) run the full-table row_number window partitioned by
+    // (pid, group) — single chunks — so no window partition over
+    // row-scale data is keyed by the group column alone.
+    val p = plan("q_window_ntile")
+    assert(p.contains("rangepartitioning(o_orderpriority"), p)
+    assert(p.contains("BroadcastHashJoin"), s"chunk offsets must arrive by broadcast:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(pid#".r.findFirstIn(p).isDefined,
+      s"the row-scale rank window must be chunk-partitioned (pid leading):\n$p")
+    // the group-keyed windows (offset/total) may only run over the
+    // tiny (pid × group) subtotal aggregate, which sits below them
+    assert(!"windowspecdefinition\\(o_orderpriority#\\d+, o_orderkey".r.findFirstIn(p).isDefined,
+      s"found a row-scale window keyed by the group column alone:\n$p")
+  }
+
   test("q_knn_join: per-query top-k rewrites to Partial+Final WindowGroupLimit") {
     // The batch k-NN join's one shuffle must be bounded at O(queries ×
     // k × mappers) by the partial group-limit — without the rewrite
