@@ -103,24 +103,17 @@ object Curation extends QueryModule {
     // within each source, take documents in priority order (longest
     // first, doc_id tiebreak) while the EXCLUSIVE running token count
     // is under budget, so the doc that crosses the boundary is kept
-    // and every source lands within one doc of its budget. One
-    // per-source window over (source, n_toks) pairs — the same
-    // exclusive-running-sum shape as q_seq_pack, partitioned by source
-    // instead of doc.
-    "q_token_budget" -> ((s, dir) => {
-      import s.implicits._
-      val w = Window.partitionBy($"source")
-        .orderBy($"n_chars".desc, $"doc_id".asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
-        .select($"doc_id", $"source", $"n_chars",
-          Text.tokenCount($"text").as("n_toks"))
-        .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
-        .filter($"cum_before" < TokenBudget)
-        .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
-          $"cum_before".cast("long").as("cum_before"))
-        .orderBy($"source", $"doc_id")
-    }),
+    // and every source lands within one doc of its budget. Computed
+    // by [[tokenBudgetScaled]]: `source` is a low-cardinality key and
+    // the budget filter is on a running SUM, not a rank — no
+    // WindowGroupLimit rescue — so a plain per-source window would
+    // put each source's whole corpus on one task. The chunked
+    // PrefixScan keeps per-task work data-sized, and its chunk prune
+    // drops every chunk whose starting offset is already over budget
+    // before any per-row work: only the qualifying prefix of each
+    // source is ever scanned.
+    "q_token_budget" -> ((s, dir) =>
+      tokenBudgetScaled(Tables.documents(s, dir))),
 
     // [EXT] corpus unigram-LM scoring — the CCNet-style quality
     // signal: score each document by the mean log-probability of its
@@ -286,6 +279,49 @@ object Curation extends QueryModule {
         .orderBy($"doc_id")
     }),
   )
+
+  /** The budget cut over [[graft.operators.PrefixScan.scan]]: chunked
+    * exclusive running token count in (n_chars desc, doc_id) order
+    * within each source, whole chunks pruned once their starting
+    * offset is over budget. CurationSpec pins row-identical parity
+    * against [[tokenBudgetWindowed]] plus invariance to the chunk
+    * count.
+    */
+  private[graft] def tokenBudgetScaled(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.operators.PrefixScan.scan(
+        docs.select($"doc_id", $"source", $"n_chars",
+          Text.tokenCount($"text").as("n_toks")),
+        group = Seq("source"),
+        sort = Seq($"n_chars".desc, $"doc_id".asc),
+        weight = $"n_toks",
+        chunkPrune = _ < TokenBudget)
+      .filter($"cum_before" < TokenBudget)
+      .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
+        $"cum_before".cast("long").as("cum_before"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** The single-window formulation — every source on one task;
+    * retained as the independent reference implementation
+    * CurationSpec checks [[tokenBudgetScaled]] against.
+    */
+  private[graft] def tokenBudgetWindowed(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select($"doc_id", $"source", $"n_chars",
+        Text.tokenCount($"text").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .filter($"cum_before" < TokenBudget)
+      .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
+        $"cum_before".cast("long").as("cum_before"))
+      .orderBy($"source", $"doc_id")
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_domain_cap" ->

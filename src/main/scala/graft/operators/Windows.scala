@@ -152,19 +152,9 @@ object Windows extends QueryModule {
   /** The distribution triple of `q_window_ntile` — ntile(4),
     * percent_rank, cume_dist per group — with NO per-group
     * single-task step, so it scales with cluster size however few
-    * groups there are:
-    *
-    *   1. range-partition on (group, sort key): each task holds one
-    *      contiguous chunk of one-or-more groups, sized by data/tasks
-    *      — never by group size;
-    *   2. count rows per (chunk, group) — a subtotal table of at most
-    *      chunks × groups rows;
-    *   3. one window pass over that TINY table yields each chunk's
-    *      exclusive offset within its group and the group total n
-    *      (per-group partitions of this window are ≤ #chunks rows —
-    *      bounded by cluster size, not data size);
-    *   4. global rank i = broadcast offset + row_number within
-    *      (chunk, group); those window partitions are single chunks.
+    * groups there are. The chunked scan is [[PrefixScan.scan]] with
+    * weight 1: global rank i = exclusive count of predecessors + 1,
+    * group size n = the group's total count.
     *
     * With the unique-orderkey tiebreak there are no rank ties, so the
     * distribution triple is pure integer arithmetic on (i, n):
@@ -178,26 +168,13 @@ object Windows extends QueryModule {
   private[graft] def distributionScaled(
       orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import orders.sparkSession.implicits._
-    val ranged = orders
-      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
-      .repartitionByRange($"o_orderpriority", $"o_totalprice", $"o_orderkey")
-      .withColumn("pid", spark_partition_id())
-      // pinned: the subtotal pass and the rank pass must see ONE
-      // materialization — chunk ids are deterministic for a given
-      // input, but two executions would still range-sample twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wOff = Window.partitionBy($"o_orderpriority").orderBy($"pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy($"o_orderpriority")
-    val meta = ranged.groupBy($"pid", $"o_orderpriority")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum($"c").over(wOff), lit(0L)))
-      .withColumn("n", sum($"c").over(wTot))
-      .select($"pid", $"o_orderpriority", $"off", $"n")
-    val wChunk = Window.partitionBy($"pid", $"o_orderpriority")
-      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
-    ranged.join(broadcast(meta), Seq("pid", "o_orderpriority"))
-      .withColumn("i", $"off" + row_number().over(wChunk))
+    PrefixScan.scan(
+        orders.select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+        group = Seq("o_orderpriority"),
+        sort = Seq($"o_totalprice".asc, $"o_orderkey".asc),
+        weight = lit(1L))
+      .withColumn("i", $"cum_before" + 1)
+      .withColumn("n", $"grp_total")
       .withColumn("q", expr("n div 4"))
       .withColumn("r", $"n" % 4)
       .select($"o_orderpriority", $"o_orderkey",

@@ -116,6 +116,47 @@ class CurationSpec extends SparkSpec {
     assert(sawCrossing, "no source produced a budget-crossing doc at this sf")
   }
 
+  test("token budget: chunked formulation ≡ single-window formulation on documents") {
+    val docs = Tables.documents(spark, sf)
+    val scaled = Curation.tokenBudgetScaled(docs).collect().toSeq
+    val windowed = Curation.tokenBudgetWindowed(docs).collect().toSeq
+    assert(scaled === windowed)
+  }
+
+  test("token budget parity on adversarial source shapes (crossing-first, all-kept, deep-prune)") {
+    import spark.implicits._
+    // Three boundary shapes the documents table may not cover at this
+    // sf: a source whose FIRST doc alone crosses the budget (only it
+    // kept), a source whose docs sum under budget (all kept, no chunk
+    // ever pruned), and a source long enough that most of its chunks
+    // start past the budget (the prune path does real work). Token
+    // counts are exact: text is k repetitions of one word.
+    val rows =
+      Seq(("crossfirst", 1, Curation.TokenBudget + 50)) ++
+        (1 to 5).map(i => ("crossfirst", 1 + i, 10)) ++
+        (1 to 7).map(i => ("tiny", 10 + i, 3)) ++
+        (1 to 400).map(i => ("deep", 100 + i, 7))
+    val fixture = rows.toDF("source", "id", "k")
+      .select(($"id" * 1000).cast("long").as("doc_id"), $"source",
+        // n_chars descending order must agree with k descending so the
+        // windowed walk and the chunked walk see one priority order
+        ($"k" * 2).as("n_chars"),
+        concat_ws(" ", array_repeat(lit("w"), $"k")).as("text"))
+    val scaled = Curation.tokenBudgetScaled(fixture).collect().toSeq
+    val windowed = Curation.tokenBudgetWindowed(fixture).collect().toSeq
+    assert(scaled === windowed)
+    assert(scaled.count(_.getString(1) == "crossfirst") == 1,
+      "the over-budget first doc must be the only crossfirst survivor")
+    assert(scaled.count(_.getString(1) == "tiny") == 7, "under-budget source must keep all docs")
+    // and chunk-count invariance: the kept set cannot depend on where
+    // chunk boundaries fall inside the deep source
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(Curation.tokenBudgetScaled(fixture).collect().toSeq === windowed)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("q_unigram_lm scores rare-token docs below common-token docs") {
     import spark.implicits._
     // Build a corpus where "common" appears everywhere and "rareX"

@@ -148,22 +148,45 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_window_ntile: rank pass windows by chunk, never by the 5-value group alone") {
-    // The structural point of distributionScaled: a full-distribution
-    // window over o_orderpriority alone puts each of five groups on one
-    // task. The scaled plan must (a) range-partition the rows into
+    // The structural point of PrefixScan: a full-distribution window
+    // over o_orderpriority alone puts each of five groups on one task.
+    // The scaled plan must (a) range-partition the rows into
     // data-sized chunks, (b) ship the per-chunk offsets by broadcast,
-    // and (c) run the full-table row_number window partitioned by
-    // (pid, group) — single chunks — so no window partition over
-    // row-scale data is keyed by the group column alone.
+    // and (c) run the row-scale scan window partitioned by
+    // (chunk, group) — so no window over row-scale data is keyed by
+    // the group column alone.
     val p = plan("q_window_ntile")
     assert(p.contains("rangepartitioning(o_orderpriority"), p)
     assert(p.contains("BroadcastHashJoin"), s"chunk offsets must arrive by broadcast:\n$p")
-    assert("row_number\\(\\) windowspecdefinition\\(pid#".r.findFirstIn(p).isDefined,
-      s"the row-scale rank window must be chunk-partitioned (pid leading):\n$p")
-    // the group-keyed windows (offset/total) may only run over the
-    // tiny (pid × group) subtotal aggregate, which sits below them
-    assert(!"windowspecdefinition\\(o_orderpriority#\\d+, o_orderkey".r.findFirstIn(p).isDefined,
+    assert("windowspecdefinition\\(_pid#".r.findFirstIn(p).isDefined,
+      s"the row-scale scan window must be chunk-partitioned (_pid leading):\n$p")
+    // the group-alone windows (offset/total) may only run over the
+    // tiny (chunk × group) subtotal aggregate — a window keyed by the
+    // group and ORDERED BY THE DATA SORT KEY is the single-task shape
+    assert(!"windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice".r.findFirstIn(p).isDefined,
       s"found a row-scale window keyed by the group column alone:\n$p")
+  }
+
+  test("q_token_budget: budget scan windows by chunk and prunes over-budget chunks early") {
+    // Same PrefixScan contract on the sum-weighted instance: `source`
+    // is low-cardinality and the budget filter is on a running sum
+    // (no WindowGroupLimit rescue), so the row-scale window must be
+    // chunk-partitioned, offsets broadcast, and the chunk-level
+    // budget prune present BELOW the broadcast exchange (whole chunks
+    // drop before any per-row window work).
+    val p = plan("q_token_budget")
+    assert(p.contains("rangepartitioning(source"), p)
+    assert(p.contains("BroadcastHashJoin"), s"chunk offsets must arrive by broadcast:\n$p")
+    assert("windowspecdefinition\\(_pid#".r.findFirstIn(p).isDefined,
+      s"the row-scale scan window must be chunk-partitioned (_pid leading):\n$p")
+    assert(!"windowspecdefinition\\(source#\\d+, n_chars".r.findFirstIn(p).isDefined,
+      s"found a row-scale window keyed by source alone:\n$p")
+    // the subtotal-side filter (the alias onto _off is collapsed into
+    // the coalesce by the optimizer); the row-level budget filter has
+    // the distinct `_off + coalesce(...)` shape, so this can only
+    // match the chunk-level prune
+    assert("Filter \\(coalesce\\(_we0#\\d+L?, 0\\) < 500\\)".r.findFirstIn(p).isDefined,
+      s"chunk-level budget prune missing:\n$p")
   }
 
   test("q_knn_join: per-query top-k rewrites to Partial+Final WindowGroupLimit") {
