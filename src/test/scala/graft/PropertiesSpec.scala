@@ -106,6 +106,36 @@ class PropertiesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("prop: PrefixScan equals a driver-side per-group exclusive prefix walk on random tables") {
+    import graft.operators.PrefixScan
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Random (group, key, weight) rows — few groups (the shape the
+    // chunked scan exists for), zero weights included, one row per
+    // (group, key) so the sort is a total order.
+    val g = for {
+      grp <- Gen.chooseNum(0, 3)
+      key <- Gen.chooseNum(0L, 1000000L)
+      w <- Gen.chooseNum(0L, 50L)
+    } yield (s"g$grp", key, w)
+    val rows = samples(g, 200)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = PrefixScan.scan(rows.toDF("grp", "key", "w"),
+        Seq("grp"), Seq(col("key").asc), col("w"))
+      .select("grp", "key", "cum_before", "grp_total")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val total = rs.map(_._3).sum
+      ordered.scanLeft(0L)(_ + _._3).zip(ordered).map {
+        case (cum, (grp, k, _)) => (grp, k) -> (cum, total)
+      }
+    }
+    assert(got === expected)
+  }
+
   test("prop: union count additivity over random splits") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)
