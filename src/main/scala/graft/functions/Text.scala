@@ -274,6 +274,14 @@ object Text extends QueryModule {
         .limit(30)
     }),
 
+    // [EXT] iterative BPE merge training — the full tokenizer-training
+    // loop q_bpe_pairs is one round of (Sennrich '16): learn BpeRounds
+    // merges, each round = count adjacent symbol pairs, adopt the most
+    // frequent, rewrite the vocabulary. See [[bpeMerges]] for why every
+    // round is vocabulary-sized, not corpus-sized, and how the greedy
+    // merge stays codegen'd.
+    "q_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))),
+
     // [EXT] Context-window chunking — the step that turns a cleaned
     // corpus into training rows: fixed-size token windows (50 tokens)
     // with overlap (stride 40 → 10-token overlap) so no span is lost
@@ -421,6 +429,89 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
   )
+
+  /** Merge rounds learned by q_bpe_merges. */
+  val BpeRounds = 6
+
+  /** Distributed BPE merge training: `rounds` iterations of
+    * count-pairs → adopt-argmax → rewrite, returning the learned merge
+    * table `(step, left, right, cnt)`.
+    *
+    * The corpus is touched ONCE — the word-frequency aggregation —
+    * and every round after that runs over the VOCABULARY (one row per
+    * distinct word, frequency-weighted), the classic trick that makes
+    * corpus-scale BPE feasible: pair counts are identical whether
+    * counted over words × freq or over raw text, and the vocabulary
+    * is bounded by language, not data size.
+    *
+    * Per round, all in codegen'd built-ins (no UDF, no interpreted
+    * higher-order fold in the rewrite):
+    *   - pair counts: explode adjacent symbol pairs weighted by word
+    *     freq — agg state bounded by the symbol-pair vocabulary;
+    *   - argmax pair: exact integer counts with (cnt desc, left asc,
+    *     right asc) total-order tiebreak — deterministic, and it
+    *     arrives at the rewrite by BROADCAST (one row), never a
+    *     driver-side collect, so the loop plans end-to-end lazily
+    *     like q_pagerank's rounds;
+    *   - rewrite: words are kept as sentinel-padded double-spaced
+    *     symbol strings `" s1  s2  … "`, so greedy leftmost
+    *     non-overlapping BPE merging is a PLAIN string replace of
+    *     `" l  r "` with `" lr "`: the surrounding single spaces
+    *     anchor symbol boundaries (no substring false-match), the
+    *     double separator keeps back-to-back merges adjacent
+    *     (`" a  a  a  a "` → `" aa  aa "` in one pass, exactly
+    *     leftmost-greedy), and no regex means no metacharacter
+    *     escaping for symbols mined from arbitrary text. Tokens are
+    *     whitespace-split, so the space sentinel can never collide
+    *     with symbol content.
+    *
+    * Per-round tables are pinned (the q_pagerank discipline): the
+    * argmax row feeds both the result union and the rewrite, and each
+    * vocabulary generation feeds the next round's count and rewrite.
+    * PropertiesSpec/TextSpec pin parity against an independent
+    * driver-side merge walk and the classic hand fixture.
+    */
+  private[graft] def bpeMerges(docs: DataFrame,
+                               rounds: Int = BpeRounds): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val pin = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = docs
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      // code-point split: zero-width regex boundaries never split a
+      // surrogate pair, so supplementary-plane text merges correctly
+      .select(concat(lit(" "), array_join(split($"w", ""), "  "), lit(" "))
+        .as("syms"), $"freq")
+      .persist(pin)
+    val tops = Seq.newBuilder[DataFrame]
+    for (step <- 1 to rounds) {
+      val top = vocab
+        .select($"freq", split(trim($"syms"), "  ").as("a"))
+        .select($"freq", explode(when(size($"a") < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(1), size($"a") - 1),
+            i => struct(element_at($"a", i).as("l"),
+              element_at($"a", i + 1).as("r"))))).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1)
+        .withColumn("step", lit(step))
+        .persist(pin)
+      tops += top
+      vocab = vocab
+        .crossJoin(broadcast(top.select($"l", $"r")))
+        .select(replace($"syms",
+            concat(lit(" "), $"l", lit("  "), $"r", lit(" ")),
+            concat(lit(" "), $"l", $"r", lit(" "))).as("syms"),
+          $"freq")
+        .persist(pin)
+    }
+    tops.result().reduce(_ unionByName _)
+      .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
+      .orderBy($"step")
+  }
 
   /** Context-window chunking as a reusable `DataFrame => DataFrame`
     * transform (stateless, per-row) — the same function runs under

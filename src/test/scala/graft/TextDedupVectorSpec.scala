@@ -119,6 +119,72 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_bpe_merges matches an independent driver-side merge walk") {
+    import spark.implicits._
+    // Full BPE reference in plain Scala — no Spark expressions shared
+    // with the query under test. Symbols are code points (see the
+    // q_bpe_pairs recount for why), the merge is leftmost-greedy
+    // non-overlapping, argmax tiebreak (cnt desc, left asc, right asc).
+    def refMerges(wordFreq: Map[String, Long],
+                  rounds: Int): Seq[(Int, String, String, Long)] = {
+      def cps(w: String): Vector[String] =
+        w.codePoints.toArray.map(cp => new String(Character.toChars(cp))).toVector
+      var vocab: Map[Vector[String], Long] =
+        wordFreq.map { case (w, f) => cps(w) -> f }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.indices.dropRight(1).foreach { i =>
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+          out += ((step, l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result() -> f
+          }
+        }
+      }
+      out.result()
+    }
+    // Corpus word freqs (tokenization itself is pinned by the
+    // q_bpe_pairs recount above — here the subject is the merge LOOP).
+    val wf = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(r => r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expected = refMerges(wf, functions.Text.BpeRounds)
+    val got = run("q_bpe_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // (The rewrite-feeds-back property — a later round consuming a
+    // MERGED symbol — is pinned by the classic fixture below; this
+    // corpus's top-6 pairs happen to all be fresh single-char pairs.)
+  }
+
+  test("q_bpe_merges on the classic fixture: back-to-back merges stay leftmost-greedy") {
+    import spark.implicits._
+    // 'aaaa'×3 + 'aaa': pair (a,a) counts 3·3+2 = 11; after merging,
+    // 'aaaa' → [aa, aa] (greedy non-overlap) and 'aaa' → [aa, a], so
+    // round 2 must see (aa, aa):3 and (aa, a):1 — an implementation
+    // whose single-pass replace breaks back-to-back merges (the
+    // single-space separator trap) yields [aa, a, a] for 'aaaa' and
+    // fails the round-2 row.
+    val docs = Seq((1L, "aaaa aaaa aaaa aaa")).toDF("doc_id", "text")
+    val got = functions.Text.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, "a", "a", 11L), (2, "aa", "aa", 3L)))
+  }
+
   test("q_minhash_incremental: flagged set brackets exact cross-batch Jaccard") {
     import spark.implicits._
     // Exact cross-batch shingle Jaccard, brute force (new × history),
