@@ -28,7 +28,13 @@ import org.apache.spark.storage.StorageLevel
   *      recursion of [[graft.functions.Selection.exclusiveOffsets]]
   *      applies verbatim);
   *   4. join the offsets back by broadcast and finish with a window
-  *      partitioned by (chunk, group) — single chunks.
+  *      partitioned by (chunk, group) — single chunks. The broadcast
+  *      carries the same chunks × groups rows as the subtotal table —
+  *      bounded by cluster size × group cardinality, not data size —
+  *      so it holds exactly when step 3's window does; if group
+  *      cardinality ever grows past broadcast range, this join (and
+  *      step 3) switch to a shuffle on (chunk, group), which the
+  *      range partitioning of step 1 already co-locates.
   *
   * The result is partition-count invariant by construction: chunk ids
   * cancel out of (offset + within-chunk position).
