@@ -290,9 +290,18 @@ object Curation extends QueryModule {
   private[graft] def tokenBudgetScaled(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
+    // Staged (persisted) BEFORE the scan: repartitionByRange runs a
+    // sampling job that executes its whole child plan, so an
+    // unpersisted input would pay the regex tokenization TWICE over
+    // the corpus (once to sample the range bounds, once to shuffle).
+    // Persisting the four small columns makes the sample pass the one
+    // materialization and the shuffle a cache read — tokenize once.
+    val staged = docs
+      .select($"doc_id", $"source", $"n_chars",
+        Text.tokenCount($"text").as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.PrefixScan.scan(
-        docs.select($"doc_id", $"source", $"n_chars",
-          Text.tokenCount($"text").as("n_toks")),
+        staged,
         group = Seq("source"),
         sort = Seq($"n_chars".desc, $"doc_id".asc),
         weight = $"n_toks",
