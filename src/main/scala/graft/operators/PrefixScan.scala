@@ -48,6 +48,12 @@ object PrefixScan {
     *     order `sort` (0 for each group's first row);
     *   - `grp_total`  — the group's total `weight`.
     *
+    * Callers with an EXPENSIVE upstream (regex tokenization, hashing)
+    * should persist `df` before calling: `repartitionByRange` runs a
+    * range-bound sampling job that executes its whole child plan, so
+    * an unpersisted expensive projection is computed twice over the
+    * data (see `Curation.tokenBudgetScaled` for the staged pattern).
+    *
     * `sort` must be a total order (unique tiebreak) or `cum_before`
     * is nondeterministic. `weight` must be non-negative for
     * `chunkPrune` to be sound: a chunk whose starting offset already
