@@ -448,4 +448,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
       s"expected exactly one hash exchange (the session agg):\n$p")
   }
+
+  test("q_bpe_merges: argmax is top-1 (no global sort), rewrite join is a one-row broadcast, pair counts partial-agg") {
+    val p = plan("q_bpe_merges")
+    // each round's most-frequent pair is TakeOrderedAndProject — a
+    // per-partition top-1 + driver merge, never a full sort of the
+    // pair table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the adopted pair reaches the vocabulary rewrite by broadcasting
+    // ONE row (the deliberate BNLJ class, like q_cosine_topk's query
+    // vector) — a shuffle join here would move the vocabulary per
+    // round
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // pair counting map-side combines before its one exchange — the
+    // agg state is bounded by the symbol-pair vocabulary
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // every multi-consumer vocabulary generation reads a cache: the
+    // word-freq corpus agg materializes once however many rounds
+    // re-reference it
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+  }
 }
