@@ -146,6 +146,57 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prop: bpe merge training matches a driver-side reference walk on random corpora") {
+    import spark.implicits._
+    // A 3-letter alphabet forces dense pair collisions, so later
+    // rounds routinely adopt pairs with a MERGED (multi-char) side —
+    // the feedback path the fixed corpus fixture can't reach — and
+    // single-char-word corpora exercise the pairless-round edge
+    // (training goes quiet without emptying the result).
+    def refBpe(wf: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wf.map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (s, f) =>
+          s.indices.dropRight(1).foreach { i =>
+            counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+          out += ((step, l, r, c))
+          vocab = vocab.groupMapReduce { case (s, _) =>
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            b.result()
+          }(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    val word3 = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, word3).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(3, 15).flatMap(n => Gen.listOfN(n, doc))
+    var sawMergedSide = false
+    samples(corpus, 4).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.functions.Text.bpeMerges(df, rounds = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val wf = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      assert(got === refBpe(wf, 4), s"corpus: $docs")
+      sawMergedSide ||= got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 }
+      spark.catalog.clearCache()
+    }
+    assert(sawMergedSide,
+      "no sample ever merged a merged symbol - the generator stopped covering the feedback path")
+  }
+
   test("prop: fixed-point pagerank conserves mass within truncation bounds on random DIRECTED graphs") {
     import spark.implicits._
     import graft.functions.Graph
