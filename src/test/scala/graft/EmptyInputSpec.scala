@@ -39,13 +39,12 @@ class EmptyInputSpec extends SparkSpec {
     */
   private val skip: Set[String] = Set("q_local_rows")
 
-  /** Deterministic no-oracle keys (the PartitionInvarianceSpec list)
-    * must also survive empty input — none of them is a model fit.
+  /** Deterministic no-oracle keys must also survive empty input —
+    * none of them is a model fit. Shared with
+    * PartitionInvarianceSpec via [[SparkSpec.DeterministicNoOracle]].
     */
-  private val deterministicNoOracle: Set[String] = Set(
-    "q_ann_lsh", "q_dedup_groups", "q_dedup_minhash", "q_dedup_simhash",
-    "q_embed_neardup", "q_minhash_incremental", "q_multimodal_decode",
-    "q_ngram_jaccard", "q_simhash_neardup", "q_approx_distinct")
+  private val deterministicNoOracle: Set[String] =
+    SparkSpec.DeterministicNoOracle.toSet
 
   test("every oracle-eligible query runs on zero-row tables with an unchanged schema") {
     val keys = (SparkEntry.oracleSql.keySet ++ deterministicNoOracle) -- skip

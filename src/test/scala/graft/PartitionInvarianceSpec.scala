@@ -54,11 +54,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     * seeded samplers and frequent-items/GK sketches fold in partition
     * order.
     */
-  private val deterministicNoOracle: Seq[String] = Seq(
-    "q_ann_lsh", "q_bpe_merges", "q_dedup_groups", "q_dedup_minhash",
-    "q_dedup_simhash", "q_embed_neardup", "q_minhash_incremental",
-    "q_multimodal_decode", "q_ngram_jaccard", "q_simhash_neardup",
-    "q_approx_distinct")
+  private val deterministicNoOracle: Seq[String] =
+    SparkSpec.DeterministicNoOracle
 
   (SparkEntry.oracleSql.keys.toSeq ++ deterministicNoOracle).sorted.foreach { key =>
     test(s"$key is invariant under input partitioning (1 vs 7)") {

@@ -22,6 +22,21 @@ object SparkSpec {
     s
   }
   val Sf: String = "/root/testdata/sf0.001"
+
+  /** No-oracle keys that are nonetheless fully deterministic (hashed
+    * priorities, fixed planes/seeds, integer fixed-point) — the shared
+    * subject of the adversarial sweeps: PartitionInvarianceSpec (1-vs-7
+    * partitions) and EmptyInputSpec (zero-row robustness). One list so
+    * a key added to one sweep cannot silently miss the other; the
+    * genuinely partition-dependent no-oracle keys (model fits, seeded
+    * samplers, order-folding sketches) are excluded here and each
+    * documented in ContractSpec.
+    */
+  val DeterministicNoOracle: Seq[String] = Seq(
+    "q_ann_lsh", "q_bpe_merges", "q_dedup_groups", "q_dedup_minhash",
+    "q_dedup_simhash", "q_embed_neardup", "q_minhash_incremental",
+    "q_multimodal_decode", "q_ngram_jaccard", "q_simhash_neardup",
+    "q_approx_distinct")
 }
 
 abstract class SparkSpec extends AnyFunSuite
