@@ -185,6 +185,19 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", 11L), (2, "aa", "aa", 3L)))
   }
 
+  test("q_bpe_merges: supplementary-plane symbols merge as code points, not surrogate halves") {
+    import spark.implicits._
+    // U+1F600 is two UTF-16 chars; if the symbol split broke surrogate
+    // pairs, each word would contribute (high,low) half-pairs — three
+    // across the corpus — instead of the two whole-code-point pairs,
+    // and the adopted pair would be garbage halves.
+    val g = "😀"
+    val docs = Seq((1L, s"$g$g $g$g ${g}a")).toDF("doc_id", "text")
+    val got = functions.Text.bpeMerges(docs, rounds = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, g, g, 2L)))
+  }
+
   test("q_minhash_incremental: flagged set brackets exact cross-batch Jaccard") {
     import spark.implicits._
     // Exact cross-batch shingle Jaccard, brute force (new × history),
