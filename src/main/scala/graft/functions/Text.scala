@@ -132,28 +132,12 @@ object Text extends QueryModule {
 
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select($"doc_id", langGuess($"text").as("lang_guess"), $"lang")
-        .orderBy($"doc_id")
+      langIdentified(Tables.documents(s, dir)).orderBy($"doc_id")
     }),
 
-    // Same projected-tokens shape; the quality formula reads the token
-    // array three times, the raw text twice — all attribute reads.
     "q_quality_score" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select($"doc_id", $"text", tokens($"text").as("tk"))
-        .select($"doc_id", {
-          val nTok = size($"tk").cast("double")
-          val lenScore = least(nTok / 100.0, lit(1.0))
-          val stopRatio = size(filter($"tk", t => t.isin(Stopwords.map(lit): _*)))
-            .cast("double") / greatest(nTok, lit(1.0))
-          val punctRatio = punctCount($"text").cast("double") /
-            greatest(length($"text").cast("double"), lit(1.0))
-          round(lenScore * (lit(1.0) - punctRatio) *
-            least(stopRatio * 5.0, lit(1.0)), 4).as("quality")
-        })
-        .orderBy($"doc_id")
+      qualityScored(Tables.documents(s, dir)).orderBy($"doc_id")
     }),
 
     "q_fingerprint" -> ((s, dir) => {
@@ -512,6 +496,35 @@ object Text extends QueryModule {
       .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
       .orderBy($"step")
   }
+
+  /** Language-ID as a reusable stateless transform (see [[chunked]]
+    * for the streaming-parity story): the n-gram/stopword heuristic is
+    * pure per-row column math, so incremental corpus ingestion runs
+    * the SAME body under `readStream`.
+    */
+  def langIdentified(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"),
+      col("lang"))
+
+  /** Quality scoring as a reusable stateless transform (see
+    * [[chunked]]). Tokens are projected ONCE to an attribute, then the
+    * formula's three token reads and two text reads are all attribute
+    * reads — the inline helpers would re-run the regex split per
+    * metric (the per-element trap, see Dedup.shinglesFromTokens).
+    */
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), {
+        val nTok = size(col("tk")).cast("double")
+        val lenScore = least(nTok / 100.0, lit(1.0))
+        val stopRatio = size(filter(col("tk"),
+            t => t.isin(Stopwords.map(lit): _*)))
+          .cast("double") / greatest(nTok, lit(1.0))
+        val punctRatio = punctCount(col("text")).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0))
+        round(lenScore * (lit(1.0) - punctRatio) *
+          least(stopRatio * 5.0, lit(1.0)), 4).as("quality")
+      })
 
   /** Context-window chunking as a reusable `DataFrame => DataFrame`
     * transform (stateless, per-row) — the same function runs under

@@ -18,7 +18,7 @@ class StreamingTextSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = Scratch.dir("stream_docs_src")
-    Tables.documents(s, sf).select($"doc_id", $"text")
+    Tables.documents(s, sf).select($"doc_id", $"text", $"lang")
       .write.mode("overwrite").parquet(dir)
     (dir, s.read.parquet(dir))
   }
@@ -37,6 +37,40 @@ class StreamingTextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
     val batch = functions.Text.chunked(static)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("language-ID under readStream matches the batch transform") {
+    val s = spark
+    val (dir, static) = docsDirAndStatic()
+    val q = functions.Text.langIdentified(
+        s.readStream.schema(static.schema).parquet(dir))
+      .writeStream.format("memory").queryName("lang_stream_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql(
+        "SELECT doc_id, lang_guess, lang FROM lang_stream_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = functions.Text.langIdentified(static)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("quality scoring under readStream matches the batch transform") {
+    val s = spark
+    val (dir, static) = docsDirAndStatic()
+    val q = functions.Text.qualityScored(
+        s.readStream.schema(static.schema).parquet(dir))
+      .writeStream.format("memory").queryName("quality_stream_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.sql(
+        "SELECT doc_id, quality FROM quality_stream_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = functions.Text.qualityScored(static)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
