@@ -452,8 +452,12 @@ object Text extends QueryModule {
     * Per-round tables are pinned (the q_pagerank discipline): the
     * argmax row feeds both the result union and the rewrite, and each
     * vocabulary generation feeds the next round's count and rewrite.
-    * PropertiesSpec/TextSpec pin parity against an independent
-    * driver-side merge walk and the classic hand fixture.
+    * TextDedupVectorSpec pins parity against an independent
+    * driver-side merge walk, the classic hand fixture, and
+    * supplementary-plane symbols; PropertiesSpec sweeps random
+    * corpora against a full reference walk; PlanSpec pins the
+    * TakeOrdered argmax / one-row-broadcast rewrite / partial-agg
+    * shapes.
     */
   private[graft] def bpeMerges(docs: DataFrame,
                                rounds: Int = BpeRounds): DataFrame = {
