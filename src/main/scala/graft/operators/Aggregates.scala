@@ -382,13 +382,21 @@ object Aggregates extends QueryModule {
     // correctness anchor.
     "q_percentiles" -> ((s, dir) => {
       import s.implicits._
+      // One percentile buffer per column, not per quantile: the array
+      // form computes all three quantity quantiles from a single
+      // sorted value buffer — three scalar percentile() calls would
+      // each keep (and sort) their own copy of every group's values.
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          round(percentile($"l_quantity", lit(0.25)), 4).as("p25"),
-          round(percentile($"l_quantity", lit(0.5)), 4).as("p50"),
-          round(percentile($"l_quantity", lit(0.75)), 4).as("p75"),
+          percentile($"l_quantity",
+            array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
           round(percentile($"l_extendedprice", lit(0.5)), 4).as("median_price"))
+        .select($"l_returnflag",
+          round(element_at($"qs", 1), 4).as("p25"),
+          round(element_at($"qs", 2), 4).as("p50"),
+          round(element_at($"qs", 3), 4).as("p75"),
+          $"median_price")
         .orderBy($"l_returnflag")
     }),
 
