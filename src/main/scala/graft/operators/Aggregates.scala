@@ -303,9 +303,11 @@ object Aggregates extends QueryModule {
       // exactly on an unrounded clip bound could flip membership
       // between engines (round-4 ADVICE). From cent-rounded inputs both
       // engines compute bit-identical doubles for the BETWEEN bounds.
-      val q = o.agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+      // Both quantiles from ONE percentile buffer (array form) — two
+      // scalar calls would each keep a full copy of every price.
+      val q = o.agg(expr("percentile(o_totalprice, array(0.25, 0.75))").as("qs"))
+        .select(round(element_at($"qs", 1), 2).as("p25"),
+          round(element_at($"qs", 2), 2).as("p75"))
       val iqr = $"p75" - $"p25"
       o.crossJoin(broadcast(q))
         .filter($"o_totalprice".between($"p25" - iqr * 1.5, $"p75" + iqr * 1.5))
@@ -370,10 +372,17 @@ object Aggregates extends QueryModule {
           min($"c").as("min_c"),
           max($"c").as("max_c"),
           round(avg($"c"), 4).as("avg_c"),
-          round(percentile($"c", lit(0.5)), 4).as("p50"),
-          round(percentile($"c", lit(0.9)), 4).as("p90"),
-          round(percentile($"c", lit(0.99)), 4).as("p99"),
+          // one buffer for all three quantiles (the q_percentiles
+          // pattern) — the |keys|-row count table is the largest
+          // thing this global agg holds
+          percentile($"c",
+            array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
           round(max($"c") / avg($"c"), 4).as("skew_factor"))
+        .select($"n_keys", $"min_c", $"max_c", $"avg_c",
+          round(element_at($"ps", 1), 4).as("p50"),
+          round(element_at($"ps", 2), 4).as("p90"),
+          round(element_at($"ps", 3), 4).as("p99"),
+          $"skew_factor")
     }),
 
     // [EXT] exact percentiles (linear interpolation, matching
