@@ -596,10 +596,17 @@ object Aggregates extends QueryModule {
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          round(approx_percentile($"l_quantity", lit(0.25), lit(10000)), 4).as("p25"),
-          round(approx_percentile($"l_quantity", lit(0.5), lit(10000)), 4).as("p50"),
-          round(approx_percentile($"l_quantity", lit(0.75), lit(10000)), 4).as("p75"),
+          // one GK sketch serves all three quantity quantiles (the
+          // q_percentiles buffer pattern; here it also means one
+          // sketch update per value instead of three)
+          approx_percentile($"l_quantity",
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"),
           round(approx_percentile($"l_extendedprice", lit(0.5), lit(10000)), 4).as("median_price"))
+        .select($"l_returnflag",
+          round(element_at($"qs", 1), 4).as("p25"),
+          round(element_at($"qs", 2), 4).as("p50"),
+          round(element_at($"qs", 3), 4).as("p75"),
+          $"median_price")
         .orderBy($"l_returnflag")
     }),
   )
