@@ -27,19 +27,27 @@ object Tables {
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.getOrElseUpdate(s"$dir/$name", table(spark, dir, name).count())
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy nanosAsLong — the
-    * session builders in Verify/Bench/SparkSpec set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; table loaders never
-    * mutate session conf) and rebuild a proper timestamp with exact
-    * integer arithmetic — `ts div 1000` keeps full precision (a double
-    * round-trip would not: epoch-nanos exceeds 2^53).
+  /** `events.ts` normalization — the testdata generator has shipped
+    * two physical types for it, so the loader branches on the READ
+    * schema rather than assuming either:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; the
+    *     session builders set `spark.sql.legacy.parquet.nanosAsLong=
+    *     true` so it arrives as a raw LONG, rebuilt here with exact
+    *     integer arithmetic — `ts div 1000` keeps full precision (a
+    *     double round-trip would not: epoch-nanos exceeds 2^53).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP every
+    *     downstream query and oracle was written against — value-
+    *     preserving because the sessions pin UTC.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 
   /** Batch index of a documents row, decoded from its source name
