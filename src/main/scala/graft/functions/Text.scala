@@ -449,56 +449,101 @@ object Text extends QueryModule {
     *     whitespace-split, so the space sentinel can never collide
     *     with symbol content.
     *
-    * Per-round tables are pinned (the q_pagerank discipline): the
-    * argmax row feeds both the result union and the rewrite, and each
-    * vocabulary generation feeds the next round's count and rewrite.
+    * Each round TRUNCATES its lineage with [[CheckpointStrategy]]
+    * (the connectedComponents discipline, not the q_pagerank pin):
+    * the round-k vocabulary is referenced TWICE downstream — by the
+    * argmax and by the rewrite that embeds that argmax — so a lazy
+    * loop's logical plan DOUBLES per round, and analysis, cache-
+    * lookup normalization, AQE re-planning, and codegen all walk the
+    * O(2^rounds) tree on every one of the loop's ~2·rounds actions.
+    * Measured at sf0.1: 50–180 s per invocation lazy vs ~5 s
+    * truncated — the round-9 warm-gate flag was exactly this.
+    * Persist alone does NOT fix it (caching replaces subtrees only
+    * AFTER the full tree is analyzed and normalized per lookup);
+    * eager checkpointing cuts the plan to an O(1) leaf per round.
     * TextDedupVectorSpec pins parity against an independent
     * driver-side merge walk, the classic hand fixture, and
     * supplementary-plane symbols; PropertiesSpec sweeps random
     * corpora against a full reference walk; PlanSpec pins the
     * TakeOrdered argmax / one-row-broadcast rewrite / partial-agg
-    * shapes.
+    * shapes on the per-round builders and leaf-only lineage on the
+    * assembled result.
     */
   private[graft] def bpeMerges(docs: DataFrame,
-                               rounds: Int = BpeRounds): DataFrame = {
+                               rounds: Int = BpeRounds,
+                               strategy: CheckpointStrategy =
+                                 CheckpointStrategy.Local): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val pin = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var vocab = docs
+    var vocab = strategy.truncate(bpeVocab(docs))
+    val tops = Seq.newBuilder[DataFrame]
+    for (step <- 1 to rounds) {
+      val top = strategy.truncate(bpeArgmax(vocab, step))
+      tops += top
+      // release AFTER the next generation materializes: the rewrite
+      // below is the old generation's last reader.
+      val next = strategy.truncate(bpeRewrite(vocab, top))
+      strategy.release(vocab)
+      vocab = next
+    }
+    // the final generation feeds nothing — only the argmax rows do.
+    strategy.release(vocab)
+    tops.result().reduce(_ unionByName _)
+      .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
+      .orderBy($"step")
+  }
+
+  /** Corpus → weighted symbol vocabulary `(syms, freq)`: the ONE
+    * corpus-sized pass of BPE training.
+    */
+  private[graft] def bpeVocab(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs
       .select(explode(tokens(lower($"text"))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       // code-point split: zero-width regex boundaries never split a
       // surrogate pair, so supplementary-plane text merges correctly
       .select(concat(lit(" "), array_join(split($"w", ""), "  "), lit(" "))
         .as("syms"), $"freq")
-      .persist(pin)
-    val tops = Seq.newBuilder[DataFrame]
-    for (step <- 1 to rounds) {
-      val top = vocab
-        .select($"freq", split(trim($"syms"), "  ").as("a"))
-        .select($"freq", explode(when(size($"a") < 2,
-            array().cast("array<struct<l:string,r:string>>"))
-          .otherwise(transform(sequence(lit(1), size($"a") - 1),
-            i => struct(element_at($"a", i).as("l"),
-              element_at($"a", i + 1).as("r"))))).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-        .limit(1)
-        .withColumn("step", lit(step))
-        .persist(pin)
-      tops += top
-      vocab = vocab
-        .crossJoin(broadcast(top.select($"l", $"r")))
-        .select(replace($"syms",
-            concat(lit(" "), $"l", lit("  "), $"r", lit(" ")),
-            concat(lit(" "), $"l", $"r", lit(" "))).as("syms"),
-          $"freq")
-        .persist(pin)
-    }
-    tops.result().reduce(_ unionByName _)
-      .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
-      .orderBy($"step")
+  }
+
+  /** One round's most-frequent adjacent symbol pair as a ONE-ROW
+    * DataFrame `(l, r, cnt, step)` — TakeOrdered top-1 with a total-
+    * order tiebreak, never a full sort or a driver collect.
+    */
+  private[graft] def bpeArgmax(vocab: DataFrame, step: Int): DataFrame = {
+    val ss = vocab.sparkSession
+    import ss.implicits._
+    vocab
+      .select($"freq", split(trim($"syms"), "  ").as("a"))
+      .select($"freq", explode(when(size($"a") < 2,
+          array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(transform(sequence(lit(1), size($"a") - 1),
+          i => struct(element_at($"a", i).as("l"),
+            element_at($"a", i + 1).as("r"))))).as("p"))
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+      .limit(1)
+      .withColumn("step", lit(step))
+  }
+
+  /** Apply one adopted merge to the vocabulary: the one-row argmax
+    * arrives by BROADCAST (a deliberate one-row BNLJ, like
+    * q_cosine_topk's query vector) and the sentinel-padded string
+    * replace performs exact leftmost-greedy merging (see
+    * [[bpeMerges]]).
+    */
+  private[graft] def bpeRewrite(vocab: DataFrame, top: DataFrame): DataFrame = {
+    val ss = vocab.sparkSession
+    import ss.implicits._
+    vocab
+      .crossJoin(broadcast(top.select($"l", $"r")))
+      .select(replace($"syms",
+          concat(lit(" "), $"l", lit("  "), $"r", lit(" ")),
+          concat(lit(" "), $"l", $"r", lit(" "))).as("syms"),
+        $"freq")
   }
 
   /** Language-ID as a reusable stateless transform (see [[chunked]]

@@ -450,23 +450,36 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_bpe_merges: argmax is top-1 (no global sort), rewrite join is a one-row broadcast, pair counts partial-agg") {
-    val p = plan("q_bpe_merges")
+    // The loop truncates lineage per round (see Text.bpeMerges — a
+    // lazy loop's plan doubles per round because each vocabulary is
+    // read by both the argmax and the rewrite that embeds it), so the
+    // round shapes are pinned on the per-round BUILDERS, lazily.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val vocab = functions.Text.bpeVocab(docs)
+    val argmax = functions.Text.bpeArgmax(vocab, 1)
+    val pArg = argmax.queryExecution.executedPlan.toString
     // each round's most-frequent pair is TakeOrderedAndProject — a
     // per-partition top-1 + driver merge, never a full sort of the
     // pair table
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(pArg.contains("TakeOrderedAndProject"), pArg)
+    // pair counting map-side combines before its one exchange — the
+    // agg state is bounded by the symbol-pair vocabulary
+    assert(pArg.contains("partial_sum") || pArg.contains("partial_count"), pArg)
     // the adopted pair reaches the vocabulary rewrite by broadcasting
     // ONE row (the deliberate BNLJ class, like q_cosine_topk's query
     // vector) — a shuffle join here would move the vocabulary per
     // round
-    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    // pair counting map-side combines before its one exchange — the
-    // agg state is bounded by the symbol-pair vocabulary
-    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-    // every multi-consumer vocabulary generation reads a cache: the
-    // word-freq corpus agg materializes once however many rounds
-    // re-reference it
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+    val pRw = functions.Text.bpeRewrite(vocab, argmax)
+      .queryExecution.executedPlan.toString
+    assert(pRw.contains("BroadcastNestedLoopJoin") && pRw.contains("BuildRight"), pRw)
+    assert(!pRw.contains("SortMergeJoin"), pRw)
+    // the assembled result reads ONLY the per-round checkpoint leaves:
+    // no file scan may survive into the final plan — the corpus was
+    // touched once, inside the loop, and the plan stays O(rounds) no
+    // matter how many merges are learned (the round-9 warm-gate fix)
+    val pAll = plan("q_bpe_merges")
+    assert(pAll.contains("Scan ExistingRDD"), pAll)
+    assert(!pAll.contains("FileScan") && !pAll.contains("BroadcastNestedLoopJoin"), pAll)
   }
 }
