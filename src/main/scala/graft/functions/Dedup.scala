@@ -195,13 +195,24 @@ object Dedup extends QueryModule {
   private def bitOf(h: Column, i: Column): Column =
     call_function("getbit", h, i)
 
-  /** SimHash packed from the LOW 48 bits of each token's xxhash64 —
+  /** 48-bit cross-engine token hash: the first 12 hex chars of md5,
+    * parsed as an integer — shared VERBATIM with the DuckDB twins
+    * ([[simhashSigCte]]), the same trick the fingerprint / hash-bucket
+    * family uses. The simhash path previously hashed tokens with
+    * xxhash64 (cheaper per token, but engine-private, which capped
+    * the whole simhash family at spec-only verification); md5-48
+    * buys full-oracle verification of signatures AND near-dup pairs.
+    */
+  private[graft] def tokenHash48(t: Column): Column =
+    conv(substring(md5(t), 1, 12), 16, 10).cast("long")
+
+  /** SimHash packed from the 48-bit [[tokenHash48]] of each token —
     * integer bit extraction end-to-end, so every bit is exact and the
     * packed signature fits a long exactly (< 2^48).
     */
   def simhash48(text: Column): Column =
     // Hash each distinct token ONCE in a transform (hashing inside a
-    // nested lambda would re-run xxhash64 once per BIT — per-element
+    // nested lambda would re-run the hash once per BIT — per-element
     // re-evaluation, see [[shinglesFromTokens]]), then one codegen'd
     // simhash_sig loop ([[graft.plans.SimHashSig]]) sign-sums the 48
     // bit positions — bit-identical to the higher-order `aggregate` +
@@ -209,14 +220,14 @@ object Dedup extends QueryModule {
     // parity) but a two-instruction inner loop instead of 48
     // interpreted lambda frames per token.
     call_function(graft.plans.SimHashSig.FunctionName,
-      transform(array_distinct(robustTokens(text)), t => xxhash64(t)))
+      transform(array_distinct(robustTokens(text)), t => tokenHash48(t)))
 
   /** The pre-expression higher-order-function formulation — retained
     * as the independent reference implementation the ExpressionSpec
     * parity test checks `simhash_sig` against.
     */
   private[graft] def simhash48Hof(text: Column): Column = {
-    val hashes = transform(array_distinct(robustTokens(text)), t => xxhash64(t))
+    val hashes = transform(array_distinct(robustTokens(text)), t => tokenHash48(t))
     val idx = sequence(lit(0), lit(47))
     val zeros = transform(idx, _ => lit(0L))
     val counters = aggregate(hashes, zeros, (acc, h) =>
@@ -348,7 +359,8 @@ object Dedup extends QueryModule {
     // graph is hash-family specific; union-find parity spec).
     "q_dedup_groups" -> ((s, dir) => dedupGroups(s, dir)),
 
-    // SimHash signatures (no oracle — hash-specific).
+    // SimHash signatures — fully oracle-checked since the token hash
+    // moved to the cross-engine md5-48 family (see [[tokenHash48]]).
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -367,12 +379,20 @@ object Dedup extends QueryModule {
     // signature splits into 4 bands of 12 bits; by pigeonhole, any
     // pair within hamming distance 3 agrees on at least one full band,
     // so the band-bucket self-join has GUARANTEED recall at d<=3 while
-    // unrelated docs collide on a 12-bit match (~1/4096). No oracle —
-    // signatures are hash-specific; the spec asserts parity with a
-    // brute-force hamming scan.
+    // unrelated docs collide on a 12-bit match (~1/4096). Oracle-
+    // checked (md5-48 signatures are cross-engine): the twin joins on
+    // exact (band, slice) equality where Spark buckets by
+    // xxhash64(band, slice) — a hash COLLISION can only add candidate
+    // pairs with hamming > 3, which the shared verify filter drops, so
+    // both engines emit exactly the hamming≤3 pair set (pigeonhole
+    // guarantees those pairs survive candidate generation in both).
+    // The spec additionally pins parity with a brute-force scan.
     "q_simhash_neardup" -> ((s, dir) => simhashNearDups(s, dir, maxHamming = 3)),
 
-    // Embedding-cosine near-dup pairs via LSH blocking (no oracle).
+    // Embedding-cosine near-dup pairs via LSH blocking — oracle-
+    // checked since the hyperplanes became shared 3-dp literals
+    // (Vectors.hyperplanes): the twin recomputes the seed-7 buckets
+    // and the same pair join, so even the candidate set is verified.
     // Plane count scales with corpus size (Vectors.planeCount) so
     // within-bucket pair work stays O(n · bucket-target), not O(n²).
     "q_embed_neardup" -> ((s, dir) => {
@@ -709,7 +729,78 @@ object Dedup extends QueryModule {
       .limit(200)
   }
 
+  /** SimHash signature CTE chain — the DuckDB mirror of [[simhash48]]:
+    * the pinned tokenizer, distinct tokens, [[tokenHash48]] as the
+    * first-12-hex-chars md5 parse, per-bit sign sums, MSB-first pack
+    * (counter i lands in packed bit 47−i, exactly the fold order of
+    * `simhash_sig`). Token-less docs sign-sum an empty set → 0, which
+    * the LEFT JOIN + COALESCE reproduces.
+    */
+  private lazy val simhashSigCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    string_split_regex(text, '${Text.Ws}+'), t -> length(t) > 0))) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+       |      FROM toks),
+       |bits AS (
+       |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM h CROSS JOIN (SELECT unnest(range(48)) AS i) ii
+       |  GROUP BY doc_id, i),
+       |sig0 AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+       |    THEN (CAST(1 AS BIGINT) << (47 - i)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |sig AS (
+       |  SELECT d.doc_id, CAST(COALESCE(s0.simhash, 0) AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN sig0 s0 USING (doc_id))""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      s"""$simhashSigCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // Band-blocked near-dup twin: exact (band, slice) equality where
+    // Spark buckets by xxhash64 of the same pair — candidate sets may
+    // differ only by hash collisions, every one of which fails the
+    // shared hamming≤3 verify filter (see the query comment), so the
+    // emitted pair sets are identical.
+    "q_simhash_neardup" ->
+      s"""$simhashSigCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (12 * b)) & 4095 AS bval
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.simhash AS sa, y.simhash AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH planes(pid, pv) AS (VALUES
+         |        ${Vectors.planesSql(seed = 7L)}),
+         |${Vectors.npCteSql},
+         |v AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |      FROM embeddings),
+         |b AS (SELECT v.vec_id, CAST(SUM(CASE WHEN
+         |          list_sum(list_transform(list_zip(v.vv, planes.pv),
+         |            p -> p[1] * p[2])) >= 0
+         |          THEN (CAST(1 AS BIGINT) << (np.np - 1 - planes.pid))
+         |          ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM v, np, planes WHERE planes.pid < np.np
+         |      GROUP BY v.vec_id),
+         |e AS (SELECT b.vec_id, b.bucket, v.vv FROM b JOIN v USING (vec_id)),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, ROUND(
+         |    list_sum(list_transform(list_zip(x.vv, y.vv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(x.vv, t -> t * t)))
+         |       * SQRT(list_sum(list_transform(y.vv, t -> t * t)))), 4) AS sim
+         |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.2
+         |ORDER BY sim DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents

@@ -48,10 +48,19 @@ object Vectors extends QueryModule {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplanes for sign-bit LSH. */
+  /** Deterministic pseudo-random hyperplanes for sign-bit LSH —
+    * 3-dp rounded gaussians for the same reason [[ivfCentroids]]
+    * rounds: the decimal text embeds verbatim in the DuckDB twin and
+    * parses back to the IDENTICAL double, so both engines compute the
+    * same dot signs and therefore the same buckets. The random stream
+    * fills plane-by-plane, so `hyperplanes(n, …)` is always a PREFIX
+    * of `hyperplanes(m ≥ n, …)` with the same seed — which lets the
+    * SQL twin embed the MAX family once and select the corpus-sized
+    * prefix with a `pid < np` filter.
+    */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Array.fill(nPlanes, dim)((rnd.nextGaussian() * 1000).round / 1000.0)
   }
 
   /** Plane count as a function of corpus size: enough sign bits that
@@ -89,9 +98,9 @@ object Vectors extends QueryModule {
     * q_ivf_assign / q_ann_ivf oracles). A
     * production IVF trains these with KMeans; fixing them keeps the
     * whole IVF path DETERMINISTIC and therefore DuckDB-oracle
-    * checkable end-to-end — the one ANN variant where even the
-    * candidate set is cross-engine verified (LSH buckets are
-    * hash-family specific, so q_ann_lsh only gets a spec).
+    * checkable end-to-end — candidate set included. The LSH family
+    * ([[hyperplanes]]) now uses the same shared-literal trick, so
+    * q_ann_lsh is candidate-set-verified too.
     */
   private[graft] def ivfCentroids(k: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -262,8 +271,11 @@ object Vectors extends QueryModule {
     // Brute-force cosine top-k (the ANN correctness baseline).
     "q_cosine_topk" -> ((s, dir) => cosineTopK(s, dir, queryId = 0L, k = 10)),
 
-    // LSH-bucketed ANN — scale path, same output shape (no oracle:
-    // bucketing is engine-specific).
+    // LSH-bucketed ANN — scale path, same output shape. Oracle-checked
+    // since the planes became shared 3-dp literals (see hyperplanes):
+    // the SQL twin recomputes the buckets from the same plane family
+    // and the same corpus-sized plane count, so even the candidate
+    // set is cross-engine verified, exactly like the IVF family.
     "q_ann_lsh" -> ((s, dir) => annLsh(s, dir, queryId = 0L, k = 10)),
 
     // IVF cell histogram: coarse-quantizer assignment of the whole
@@ -464,6 +476,29 @@ object Vectors extends QueryModule {
     .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
     .mkString(",\n        ")
 
+  /** The FULL (clamp-max) LSH hyperplane family as a DuckDB VALUES
+    * list — generated from the SAME `hyperplanes` stream the Spark
+    * query draws its corpus-sized prefix from (see [[hyperplanes]]:
+    * plane n is identical across family sizes), so the twin embeds 24
+    * planes once and filters `pid < np` with the SQL-computed count.
+    * Shared with the q_embed_neardup twin (seed 7) in [[Dedup]].
+    */
+  private[graft] def planesSql(seed: Long): String =
+    hyperplanes(24, 64, seed).zipWithIndex
+      .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")})" }
+      .mkString(",\n        ")
+
+  /** The corpus-sized plane-count CTE — the exact SQL mirror of
+    * [[planeCount]] (same LN-ratio ceil, same clamps), over
+    * `embeddings`' row count.
+    */
+  private[graft] val npCteSql: String =
+    """np AS (SELECT LEAST(24, GREATEST(4,
+      |         CAST(CEIL(LN(GREATEST(COUNT(*) / 64.0, 1.0)) / LN(2.0)) AS INT))) AS np
+      |       FROM embeddings)""".stripMargin
+
+  private lazy val lshPlanesSql: String = planesSql(seed = 42L)
+
   /** Shared assignment CTEs: per-vector nearest cell, first-occurrence
     * (= lowest cell id) on distance ties to match Spark's
     * array_position argmin.
@@ -517,6 +552,33 @@ object Vectors extends QueryModule {
          |  FROM a)
          |SELECT vec_id, cell, pos FROM p
          |WHERE pos <= $ClusterCap ORDER BY cell, pos""".stripMargin,
+    // Mirrors annLsh exactly: plane count from the corpus size (same
+    // LN-ratio ceil as Vectors.planeCount, so both engines round the
+    // same way), MSB-first bit fold as a left-shift sum, sign of the
+    // UNROUNDED dot (exact: 3-dp plane literals parse to identical
+    // doubles and both engines fold element-order), cosine rounded 4.
+    "q_ann_lsh" ->
+      s"""WITH planes(pid, pv) AS (VALUES
+         |        $lshPlanesSql),
+         |$npCteSql,
+         |v AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |      FROM embeddings),
+         |b AS (SELECT v.vec_id, CAST(SUM(CASE WHEN
+         |          list_sum(list_transform(list_zip(v.vv, planes.pv),
+         |            p -> p[1] * p[2])) >= 0
+         |          THEN (CAST(1 AS BIGINT) << (np.np - 1 - planes.pid))
+         |          ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM v, np, planes WHERE planes.pid < np.np
+         |      GROUP BY v.vec_id),
+         |cand AS (SELECT b.vec_id, b.bucket, v.vv FROM b JOIN v USING (vec_id)),
+         |q AS (SELECT vv AS qv, bucket AS qbucket FROM cand WHERE vec_id = 0)
+         |SELECT cand.vec_id, cand.bucket, ROUND(
+         |    list_sum(list_transform(list_zip(cand.vv, q.qv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(cand.vv, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+         |FROM cand, q WHERE cand.bucket = q.qbucket
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""$ivfAssignCte,
          |q AS (SELECT vv AS qv, cell AS qcell FROM a WHERE vec_id = 0)

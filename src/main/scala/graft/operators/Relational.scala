@@ -193,18 +193,30 @@ object Relational extends QueryModule {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
-    // [EXT] seeded stratified sampling — the training-data downsampler
-    // (per-language quotas when rebalancing a corpus). Bernoulli
-    // per-row with per-stratum fractions: one scan, no shuffle,
-    // deterministic under a fixed seed. No oracle (the kept set is
-    // sampler-specific — rows-only check; the spec asserts fractions
-    // and determinism).
+    // [EXT] stratified sampling — the training-data downsampler
+    // (per-language quotas when rebalancing a corpus). Per-stratum
+    // rates via SALTED md5 hash buckets instead of `stat.sampleBy`'s
+    // Bernoulli RNG: one scan, no shuffle, and membership is a pure
+    // function of the key — stable across runs, engines, AND
+    // incremental corpus refreshes (re-sampling an appended corpus
+    // keeps every historical decision), which RNG sampling cannot
+    // promise. The salt decorrelates this decision from the other
+    // hash-bucket consumers (q_train_split / q_mix_weighted bucket the
+    // raw id: an unsalted reuse would glue "sampled" to "test split").
+    // Engine-portable ⇒ fully oracle-checked — the kept SET, not just
+    // its size (`stat.sampleBy` itself stays exercised in
+    // OperatorBreadthSpec as API surface).
     "q_sample_stratified" -> ((s, dir) => {
       import s.implicits._
+      val rate = StratRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when($"lang" === l, lit(r)).otherwise(acc)
+      }
       Tables.documents(s, dir)
-        .stat.sampleBy("lang",
-          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25),
-          seed = 42L)
+        .select($"doc_id", $"lang",
+          graft.functions.Buckets.hashBucket(
+            concat(lit(StratSalt), $"doc_id".cast("string"))).as("bucket"),
+          rate.as("rate"))
+        .filter($"bucket" < $"rate")
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
     }),
@@ -235,7 +247,25 @@ object Relational extends QueryModule {
     s"(((gx >> $i) & 1) << ${2 * i}) + (((gy >> $i) & 1) << ${2 * i + 1})"
   }.mkString(" + ")
 
+  /** Per-language sampling rates in bucket points (of 100) and the
+    * decision salt — shared verbatim by the Spark query and its SQL
+    * twin so the two can never drift. Ordered (ListMap-like Seq) so
+    * the generated CASE chain is deterministic.
+    */
+  private val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 25, "fr" -> 25, "es" -> 25, "zh" -> 25)
+  private val StratSalt = "strat:"
+
+  private def stratRateCaseSql: String =
+    StratRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+
   override def oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.functions.Buckets.hashBucketSql(s"'$StratSalt' || doc_id")}
+         |  < $stratRateCaseSql
+         |ORDER BY doc_id""".stripMargin,
     "q_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

@@ -10,7 +10,6 @@ class ContractSpec extends SparkSpec {
 
   /** Every key here has a reason an ANSI-SQL twin cannot exist. */
   private val noOracleJustified: Map[String, String] = Map(
-    "q_ann_lsh" -> "LSH bucketing is hash-family specific",
     "q_approx_distinct" -> "HLL sketch internals differ across engines (exact twin + error-bound spec)",
     "q_approx_percentiles" -> "GK-sketch internals differ across engines (exact twin q_percentiles + error-bound spec)",
     "q_approx_top_terms" -> "frequent-items sketch internals and tie order are engine-specific (exact-count parity spec)",
@@ -18,17 +17,13 @@ class ContractSpec extends SparkSpec {
     "q_dedup_minhash" -> "minhash signatures are hash-family specific",
     "q_minhash_incremental" -> "minhash band collisions are hash-family specific (exact cross-batch Jaccard parity spec)",
     "q_dedup_groups" -> "candidate graph is hash-family specific (union-find parity spec)",
-    "q_dedup_simhash" -> "simhash signatures are hash-family specific",
-    "q_simhash_neardup" -> "band blocking over hash-specific signatures (pigeonhole parity spec)",
-    "q_embed_neardup" -> "LSH blocking is hash-family specific (occupancy spec)",
     "q_ngram_jaccard" -> "candidate set is hash-family specific (superset-parity spec)",
     "q_flight_pipeline" -> "KMeans labels are not SQL-expressible",
     "q_hll_merge" -> "DataSketches HLL internals are engine-specific (exact twin + lossless-union parity spec)",
     "q_kmeans_predict" -> "KMeans is not SQL-expressible (stability spec)",
     "q_kmeans_scaled" -> "KMeans is not SQL-expressible",
     "q_multimodal_decode" -> "stub codec kernel is not SQL (determinism spec)",
-    "q_pca_project" -> "SVD is not SQL-expressible (orthonormality + variance spec)",
-    "q_sample_stratified" -> "sampler RNG is engine-specific (fraction + determinism spec)")
+    "q_pca_project" -> "SVD is not SQL-expressible (orthonormality + variance spec)")
 
   test("every query has an oracle or a documented no-oracle justification") {
     val keys = SparkEntry.queries.keySet

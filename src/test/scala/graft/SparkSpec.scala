@@ -33,9 +33,9 @@ object SparkSpec {
     * documented in ContractSpec.
     */
   val DeterministicNoOracle: Seq[String] = Seq(
-    "q_ann_lsh", "q_bpe_merges", "q_dedup_groups", "q_dedup_minhash",
-    "q_dedup_simhash", "q_embed_neardup", "q_minhash_incremental",
-    "q_multimodal_decode", "q_ngram_jaccard", "q_simhash_neardup",
+    "q_bpe_merges", "q_dedup_groups", "q_dedup_minhash",
+    "q_minhash_incremental",
+    "q_multimodal_decode", "q_ngram_jaccard",
     "q_approx_distinct")
 }
 
