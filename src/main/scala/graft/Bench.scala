@@ -34,13 +34,20 @@ object Bench {
       // whatever small query runs next — observed up to 6× outliers.
       System.gc()
       val cold = run(name, fn)
-      // Second in-process iteration: the plan/codegen compile floor
-      // (~0.5–2 s per query) is paid by the cold pass, so this one
-      // approximates the per-row cost that dominates at 100 TB where
-      // compilation amortizes to nothing. Caches are cleared between
-      // passes — warm means a warm JVM/codegen cache, never cached
-      // data.
-      val warm = run(name, fn)
+      // Warm iterations: the plan/codegen compile floor (~0.5–2 s per
+      // query) is paid by the cold pass, so these approximate the
+      // per-row cost that dominates at 100 TB where compilation
+      // amortizes to nothing. Caches are cleared between passes —
+      // warm means a warm JVM/codegen cache, never cached data.
+      // A GC barrier first (the cold pass's garbage must not bill to
+      // the warm channel), then the MINIMUM of two passes: one-off
+      // host/GC spikes are one-sided slow and were rotating 2–5×
+      // false flags through the regression gate on loaded windows
+      // (round 10: two consecutive runs flagged 11 then 6 DISJOINT
+      // queries), while a real per-row regression shows in both
+      // passes — min kills the former and keeps the latter.
+      System.gc()
+      val warm = math.min(run(name, fn), run(name, fn))
       name -> (cold, warm)
     }
     // Locale-pinned formatting: the f-interpolator uses the JVM default
@@ -53,16 +60,6 @@ object Bench {
     def mapJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = cold.values.sum
-    val totalWarm = warm.values.sum
-    // Exactly ONE {"metric":"total"} record per run: the full per-query
-    // maps (too long for the driver's ~2000-char tail window) go out
-    // under distinct metric names so a sum-all-totals or
-    // parse-first-object consumer can't double-count or pick a
-    // truncated parse. The warm channel is informational: the cold
-    // line below stays the unchanged driver contract.
-    println(s"""{"metric":"queries_full","value":${fmt(total)},"unit":"sec","queries":${mapJson(cold)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries_full_warm","value":${fmt(totalWarm)},"unit":"sec","queries":${mapJson(warm)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_warm","value":${fmt(totalWarm)},"unit":"sec","queries_n":${results.size},"sf":"$sfDir"}""")
     // Per-query WARM regression gate: the cold total is dominated by
     // the per-query plan/codegen compile floor, which can hide a 5×
     // per-row regression in any one query — but the warm channel is
@@ -79,7 +76,28 @@ object Bench {
     // baseline must never silently degrade to "0 regressions"
     // (WarmBaselineSpec pins the acceptance rules).
     val (baseline, baselineStatus) = WarmBaseline.load(baselinePath, sfDir)
-    val regressions = WarmBaseline.regressions(warm, baseline)
+    // Confirm pass for flagged queries only: a spike that survived
+    // min-of-2 inside the sweep (some queries JIT-settle over more
+    // repeats, and a loaded window can spike twice) gets one more
+    // isolated measurement — GC barrier, quiet JVM — and keeps its
+    // best time. Zero cost when the gate is clean; a REAL per-row
+    // regression reproduces here and stays flagged.
+    val confirmed = WarmBaseline.regressions(warm, baseline).map(_._1).map { k =>
+      System.gc()
+      k -> math.min(warm(k), run(k, SparkEntry.queries(k)))
+    }.toMap
+    val warmFinal = warm ++ confirmed
+    val totalWarm = warmFinal.values.sum
+    // Exactly ONE {"metric":"total"} record per run: the full per-query
+    // maps (too long for the driver's ~2000-char tail window) go out
+    // under distinct metric names so a sum-all-totals or
+    // parse-first-object consumer can't double-count or pick a
+    // truncated parse. The warm channel is informational: the cold
+    // line below stays the unchanged driver contract.
+    println(s"""{"metric":"queries_full","value":${fmt(total)},"unit":"sec","queries":${mapJson(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_full_warm","value":${fmt(totalWarm)},"unit":"sec","queries":${mapJson(warmFinal)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":${fmt(totalWarm)},"unit":"sec","queries_n":${results.size},"sf":"$sfDir"}""")
+    val regressions = WarmBaseline.regressions(warmFinal, baseline)
     val regJson = regressions
       .map { case (k, w, b) => "\"" + k + "\":{\"warm\":" + fmt(w) + ",\"baseline\":" + fmt(b) + "}" }
       .mkString("{", ",", "}")
