@@ -183,6 +183,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("file-source stream ingests newly ARRIVING files incrementally (micro-batch E2E)") {
+    // The static-directory test above proves the file source reads a
+    // landed corpus; this one proves the incremental contract SURVEY
+    // §2.11 actually names — files that arrive AFTER the stream
+    // starts are discovered and folded into the running aggregate
+    // without reprocessing the past: exactly the landing-zone ingest
+    // shape (upstream jobs drop parquet, the stream keeps per-hour
+    // counts current).
+    val s = spark
+    import s.implicits._
+    val dir = Scratch.dir("stream_incr_src")
+    val ev = Tables.events(s, sf).select($"ts", $"event_type")
+    val firstWave = ev.filter($"event_type" =!= "purchase")
+    val lateWave = ev.filter($"event_type" === "purchase")
+    firstWave.write.mode("overwrite").parquet(dir)
+    val stream = s.readStream.schema(ev.schema).parquet(dir)
+    val q = EventWindows.streamingTumbling(stream)
+      .writeStream.format("memory").queryName("file_incr_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = s.sql("SELECT DISTINCT event_type FROM file_incr_out")
+        .collect().map(_.getString(0)).toSet
+      assert(afterFirst.nonEmpty)
+      assert(!afterFirst.contains("purchase"),
+        "rows from files that have not landed yet must not appear")
+      // second wave lands as NEW files in the watched directory
+      lateWave.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.sql("SELECT bucket, event_type, cnt FROM file_incr_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batchTwin = ev
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss"), $"event_type", $"cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchTwin)
+    assert(streamed.exists(_._2 == "purchase"),
+      "the late wave must be folded into the final state")
+  }
+
   test("batch session windows: per-user event totals are preserved") {
     val sessions = run("q_window_session").collect()
     val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
