@@ -40,6 +40,28 @@ class MlSpec extends SparkSpec {
     assert(cnts.sameElements(cnts.sorted.reverse))
   }
 
+  test("silhouette band holds on a SECOND fixture scale and seed (regression tripwire)") {
+    // The single-fixture band above could mask a KMeans-path
+    // regression that happens to leave that one (size, seed) point
+    // inside its band. A second measurement at a different corpus
+    // size AND a different KMeans seed pins the structural property —
+    // the unscaled feature regime is distance-dominated, so the
+    // silhouette is a function of the geometry, not of the init draw
+    // or the row count. Bands are measured values ±0.05, same
+    // tolerance discipline as the BASELINE band.
+    val s = spark
+    val prepped = FlightPipeline.conciliated(
+      FlightPipeline.clean2019(FlightPipeline.fixture2019(s, rows = 1200)),
+      "CancellationReason")
+    val feats = Clustering.assembler(FlightPipeline.ClusterFeatures)
+      .transform(FlightPipeline.sanitize(prepped, FlightPipeline.ClusterFeatures.toSeq))
+    val model = Clustering.fitKMeans(feats, FlightPipeline.K, seed = 7L)
+    val sil = Clustering.silhouette(model.transform(feats))
+    info(s"silhouette 2019 fixture rows=1200 seed=7 = $sil")
+    // measured 0.7322 on the pinned local[4]/shuffle=4 harness
+    assert(math.abs(sil - 0.73) <= 0.05, s"silhouette=$sil outside 0.73±0.05")
+  }
+
   test("2023 branch conciliates to the same schema as 2019") {
     val s = spark
     val c19 = FlightPipeline.conciliated(
