@@ -22,8 +22,14 @@ import org.apache.spark.storage.StorageLevel
   *     for MinHash-band candidate pairs — banding proposes (linear in
   *     bucket sizes), exact Jaccard verifies.
   *
-  * All hashing uses Spark's codegen'd xxhash64 — deterministic across
-  * runs and cluster layouts, no UDFs anywhere.
+  * Identity hashing (shingle/token bases) uses md5 prefixes shared
+  * verbatim with the DuckDB twins ([[Dedup.shingleHashBase]],
+  * [[Dedup.tokenHash48]]); signature families are plain arithmetic
+  * over them (affine minwise, sign-summed bits) so every consumer is
+  * oracle-checkable; only the band-bucket compaction uses Spark's
+  * codegen'd xxhash64 (a join-key compression whose collisions the
+  * verify stages absorb). Deterministic across runs and cluster
+  * layouts, no UDFs anywhere.
   *
   * Algorithms follow the published classics: MinHash resemblance
   * estimation (Broder, "On the resemblance and containment of
@@ -145,9 +151,9 @@ object Dedup extends QueryModule {
   /** MinHash signatures of a document table: tokenize → shingle →
     * hash → one `minhash_sig` per row (see [[minhashFromShingles]] for
     * the zero-exchange shape). The k-member family derives from each
-    * shingle's 64-bit hash by re-hashing with the member index —
-    * hashing (long, int) is far cheaper than re-hashing the full
-    * string k times, and equally deterministic.
+    * shingle's base hash by k affine maps ([[graft.plans.MinHashSig]])
+    * — two integer ops per member, far cheaper than re-hashing the
+    * full string k times, equally deterministic, and cross-engine.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame =
@@ -159,31 +165,47 @@ object Dedup extends QueryModule {
     // the materialized `sh` attribute, where it is a cheap size check.
     minhashFromShingles(pinned(shingleTable(docs, idCol, textCol, 3)), idCol, numHashes)
 
+  /** 28-bit cross-engine shingle base hash: the first 7 hex chars of
+    * md5 parsed as an integer — shared VERBATIM with the DuckDB twins
+    * (like [[tokenHash48]], narrower so the affine member derivation
+    * in [[graft.plans.MinHashSig]] both stays inside signed 64-bit
+    * AND wraps its 2^31−1 modulus ~2^28 times — see the modulus note
+    * there: without the wraps the family is order-preserving and
+    * minwise collapses). 28 bits of base only fold shingle IDENTITY —
+    * two shingles colliding merely merge their set membership (a
+    * ~n²/2^29 perturbation of the Jaccard estimate), they do not
+    * weaken the k-member minwise family, whose independence comes
+    * from the (a_j, b_j) draws.
+    */
+  private[graft] def shingleHashBase(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
   /** MinHash signatures from a pre-computed `(id, sh: array<string>)`
     * shingle table — callers that also need the raw shingle sets (the
     * exact-Jaccard verify stage) compute and persist that table ONCE
     * and feed it here, instead of re-tokenizing per reference.
     *
-    * Shape: hash each shingle string ONCE (`transform` + xxhash64),
-    * then one `minhash_sig` call ([[graft.plans.MinHashSig]], a native
-    * codegen'd expression injected by [[graft.GraftExtensions]])
-    * derives all k family members per row. Signatures are a property
-    * of a single row, so this is a pure map — ZERO exchanges. The
-    * previous shape (explode → groupBy(id) with k min-aggregates)
-    * shuffled every (doc, shingle-hash) pair for the same answer; the
-    * hash family is bit-identical (ExpressionSpec pins it), only the
-    * plan changed. Shingle-less docs are dropped — exactly the rows
-    * the aggregate shape never produced — via a `size(sh) > 0` filter
-    * on the (persisted) shingle attribute BEFORE the signature
-    * projection: filtering on `sig IS NOT NULL` after it would be
-    * pushed down by alias substitution and compute the signature twice
-    * per row. Callers pass a pinned table, so the size check reads the
-    * cache, never recomputes shingles.
+    * Shape: hash each shingle string ONCE (`transform` +
+    * [[shingleHashBase]]), then one `minhash_sig` call
+    * ([[graft.plans.MinHashSig]], a native codegen'd expression
+    * injected by [[graft.GraftExtensions]]) derives all k affine
+    * family members per row. Signatures are a property of a single
+    * row, so this is a pure map — ZERO exchanges. The previous shape
+    * (explode → groupBy(id) with k min-aggregates) shuffled every
+    * (doc, shingle-hash) pair for the same answer (ExpressionSpec
+    * pins family parity with the SQL composition). Shingle-less docs
+    * are dropped — exactly the rows the aggregate shape never
+    * produced — via a `size(sh) > 0` filter on the (persisted)
+    * shingle attribute BEFORE the signature projection: filtering on
+    * `sig IS NOT NULL` after it would be pushed down by alias
+    * substitution and compute the signature twice per row. Callers
+    * pass a pinned table, so the size check reads the cache, never
+    * recomputes shingles.
     */
   private[graft] def minhashFromShingles(sh: DataFrame, idCol: String,
                                          numHashes: Int): DataFrame =
     sh.filter(size(col("sh")) > 0)
-      .select(col(idCol), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col(idCol), transform(col("sh"), s => shingleHashBase(s)).as("hs"))
       .select(col(idCol),
         call_function(graft.plans.MinHashSig.FunctionName, col("hs"), lit(numHashes)).as("sig"))
 
@@ -277,8 +299,9 @@ object Dedup extends QueryModule {
     // maintained band-table index (appended per batch, never
     // rescanned from text), and the small new batch probes it — work
     // is linear in the batch's bucket occupancy, independent of
-    // corpus size. No oracle (hash-family specific); the spec checks
-    // the flagged set against exact cross-batch shingle Jaccard.
+    // corpus size. Oracle-checked (shared affine family); the spec
+    // additionally checks the flagged set against exact cross-batch
+    // shingle Jaccard.
     "q_minhash_incremental" -> ((s, dir) => incrementalNearDups(s, dir)),
 
     // [EXT] CDC MERGE/upsert — apply a change batch to a snapshot:
@@ -348,15 +371,20 @@ object Dedup extends QueryModule {
         .orderBy($"lang", $"source")
     }),
 
-    // MinHash LSH candidate pairs (no oracle — hash-family specific).
+    // MinHash LSH candidate pairs — fully oracle-checked since the
+    // family moved to affine members over the md5-32 base hash (see
+    // minhashFromShingles / plans.MinHashSig).
     "q_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
       minhashPairs(s, dir)
     }),
 
     // Near-dup group assignment: connected components of the candidate
-    // graph via distributed min-label propagation (no oracle — the
-    // graph is hash-family specific; union-find parity spec).
+    // graph via distributed min-label propagation. Oracle-checked: the
+    // twin computes the same candidate graph from the shared affine
+    // family and resolves components as a recursive reachability
+    // fixpoint; the union-find parity spec remains as an independent
+    // in-process check.
     "q_dedup_groups" -> ((s, dir) => dedupGroups(s, dir)),
 
     // SimHash signatures — fully oracle-checked since the token hash
@@ -369,7 +397,7 @@ object Dedup extends QueryModule {
     }),
 
     // Exact n-gram Jaccard, computed only on MinHash-band candidate
-    // pairs (no oracle — the candidate set is hash-family specific).
+    // pairs — oracle-checked end-to-end (shared affine family).
     // Round 1 blocked all-pairs on `lang` (5 values → n²/5 pairs, 63%
     // of the whole bench); banding makes candidate generation linear
     // in bucket sizes, never quadratic in corpus size.
@@ -729,6 +757,47 @@ object Dedup extends QueryModule {
       .limit(200)
   }
 
+  /** MinHash CTE chain for a k-member / b-band family — the DuckDB
+    * mirror of [[minhashSignatures]] + [[bandBuckets]]: the pinned
+    * tokenizer, distinct 3-word shingles, [[shingleHashBase]] as the
+    * first-7-hex-chars md5 parse, the affine member minima with the
+    * coefficients interpolated from [[graft.plans.MinHashSig.coeffs]],
+    * and per-(doc, band) ordered member CSV strings — the exact tuple
+    * the Spark side buckets with xxhash64(band, csv). Joining on the
+    * raw tuple where Spark joins on its 64-bit hash can differ only
+    * by a hash collision adding a candidate pair on the Spark side —
+    * every twin below either verifies candidates exactly (Jaccard) or
+    * thresholds on signature agreement, so a collision-added pair
+    * must still agree on the SAME statistic both engines compute.
+    * `bi` (batch index) rides along for the incremental twin.
+    * Starts its own `WITH RECURSIVE` (consumed by the dedup-groups
+    * twin's reachability CTE; legal with no recursive member).
+    */
+  private def minhashCtes(numHashes: Int, bands: Int): String = {
+    val rpb = numHashes / bands
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, ${graft.Tables.docBatchIdxSql("source")} AS bi,
+       |    list_filter(string_split_regex(text, '${Text.Ws}+'), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id, bi, unnest(list_distinct(list_transform(
+       |    range(0, len(tk) - 2),
+       |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS s
+       |  FROM toks WHERE len(tk) >= 3),
+       |hb AS (SELECT doc_id, bi,
+       |         CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h
+       |       FROM shl),
+       |co(j, a, b) AS (VALUES
+       |        ${graft.plans.MinHashSig.coeffsSqlValues(numHashes)}),
+       |msig AS (
+       |  SELECT doc_id, bi, j, MIN((a * h + b) % ${graft.plans.MinHashSig.P}) AS m
+       |  FROM hb CROSS JOIN co GROUP BY doc_id, bi, j),
+       |bnd AS (
+       |  SELECT doc_id, bi, j // $rpb AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bstr
+       |  FROM msig GROUP BY doc_id, bi, band)""".stripMargin
+  }
+
   /** SimHash signature CTE chain — the DuckDB mirror of [[simhash48]]:
     * the pinned tokenizer, distinct tokens, [[tokenHash48]] as the
     * first-12-hex-chars md5 parse, per-bit sign sums, MSB-first pack
@@ -757,6 +826,67 @@ object Dedup extends QueryModule {
        |  FROM documents d LEFT JOIN sig0 s0 USING (doc_id))""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""${minhashCtes(32, 8)},
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |       FROM bnd x JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |ej AS (SELECT pr.doc_a, pr.doc_b,
+         |         ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+         |       FROM pr JOIN msig sa ON sa.doc_id = pr.doc_a
+         |               JOIN msig sb ON sb.doc_id = pr.doc_b AND sb.j = sa.j
+         |       GROUP BY pr.doc_a, pr.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM ej
+         |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""${minhashCtes(32, 16)},
+         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |       FROM bnd x JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
+         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
+         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
+         |        GROUP BY pr.id_a, pr.id_b),
+         |jac AS (SELECT itr.id_a AS doc_a, itr.id_b AS doc_b,
+         |          ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
+         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
+         |                 JOIN szs nb ON nb.doc_id = itr.id_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.1
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+    "q_minhash_incremental" ->
+      s"""${minhashCtes(32, 16)},
+         |cand AS (SELECT DISTINCT f.doc_id AS doc_id, h.doc_id AS hist_id
+         |         FROM bnd f JOIN bnd h ON f.band = h.band AND f.bstr = h.bstr
+         |         WHERE f.bi >= ${graft.Tables.HistoryBatches}
+         |           AND h.bi < ${graft.Tables.HistoryBatches}),
+         |ej AS (SELECT c.doc_id, c.hist_id,
+         |         ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+         |       FROM cand c JOIN msig sa ON sa.doc_id = c.doc_id
+         |                  JOIN msig sb ON sb.doc_id = c.hist_id AND sb.j = sa.j
+         |       GROUP BY c.doc_id, c.hist_id)
+         |SELECT doc_id, COUNT(*) AS n_hist_dups, MAX(est_jaccard) AS max_est
+         |FROM ej WHERE est_jaccard >= 0.5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Connected components as a reachability fixpoint: the recursive
+    // CTE accumulates every (node, reachable-label) pair and the MIN
+    // per node is exactly the min-label component id the large-star/
+    // small-star alternation converges to.
+    "q_dedup_groups" ->
+      s"""${minhashCtes(32, 16)},
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM bnd x JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |ed AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+         |nodes AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, label) AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM ed e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+         |SELECT label AS group_id, COUNT(*) AS n_members, MAX(id) AS max_member
+         |FROM comp GROUP BY label HAVING COUNT(*) > 1
+         |ORDER BY group_id LIMIT 200""".stripMargin,
     "q_dedup_simhash" ->
       s"""$simhashSigCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

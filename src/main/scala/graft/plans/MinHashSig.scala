@@ -4,30 +4,49 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** `minhash_sig(hashes, k)` — the k-member MinHash signature of a
   * pre-hashed shingle set, as ONE codegen'd per-row expression.
   *
-  * Replaces the explode → groupBy(doc) with k `min(xxhash64(h, j))`
-  * aggregates shape: signatures are a property of a single row, so
-  * computing them through an aggregate paid a full hash-partition
-  * SHUFFLE of every (doc, shingle-hash) pair for what is
-  * embarrassingly parallel work. As an expression the signature stage
-  * is a pure map — no exchange at any corpus size, which is the
-  * difference between a scan-rate stage and a shuffle-bound stage at
-  * 100 TB (the reference's dedup pass streams its corpus once;
-  * `/root/reference/` has no counterpart operator — this is the [EXT]
-  * LLM-pipeline surface).
+  * Replaces the explode → groupBy(doc) with k min-aggregates shape:
+  * signatures are a property of a single row, so computing them
+  * through an aggregate paid a full hash-partition SHUFFLE of every
+  * (doc, shingle-hash) pair for what is embarrassingly parallel work.
+  * As an expression the signature stage is a pure map — no exchange at
+  * any corpus size, which is the difference between a scan-rate stage
+  * and a shuffle-bound stage at 100 TB (the reference's dedup pass
+  * streams its corpus once; `/root/reference/` has no counterpart
+  * operator — this is the [EXT] LLM-pipeline surface).
   *
-  * The hash family is bit-identical to the SQL composition it
-  * replaces: member j of the signature is
-  * `min over shingle-hashes h of xxhash64(h, j)` with Spark's fixed
-  * seed 42, i.e. `XXH64.hashInt(j, XXH64.hashLong(h, 42L))` — the
-  * ExpressionSpec pins that parity, so banding built on either path
-  * buckets identically.
+  * Hash family: the classic affine minwise family (Broder 1997 /
+  * Carter–Wegman universal hashing) — member j of the signature is
+  * `min over shingle base-hashes h of (a_j·h + b_j) mod p` with
+  * p = 2^31−1 (Mersenne prime) and (a_j, b_j) drawn once from a
+  * seeded generator ([[MinHashSig.coeffs]]). Chosen over re-hashing
+  * with an engine-private 64-bit hash for two reasons: the member
+  * derivation is two integer ops instead of a full hash evaluation
+  * per (shingle, member), and — decisive for the correctness story —
+  * the whole family is plain ANSI arithmetic, so every banding
+  * consumer gets a full DuckDB oracle (the coefficients interpolate
+  * into the twin via [[MinHashSig.coeffsSqlValues]] and can never
+  * drift).
+  *
+  * The modulus choice is LOAD-BEARING for minwise quality: a·h must
+  * overshoot p by many multiples, or the map stays order-preserving
+  * and every member's min collapses onto the minimum BASE hash (a
+  * first cut with p = 2^61−1 over 32-bit bases wrapped at most once —
+  * all 32 members agreed whenever two docs shared their smallest
+  * shingle hash, and the Jaccard estimate degenerated toward the 0/1
+  * indicator of that event). With 28-bit bases
+  * ([[graft.functions.Dedup.shingleHashBase]]), a_j ∈ [1, p):
+  * a·h < 2^59 spans ~2^28 multiples of p (proper permutation mixing)
+  * and stays overflow-safe in signed 64-bit. ExpressionSpec pins
+  * parity against the higher-order SQL composition of the same
+  * formula; the TextDedupVectorSpec incremental bracket is the
+  * quality gate that caught the degenerate family.
   *
   * Semantics: NULL for a null or effectively-empty (all-null / empty)
   * hash array — mirroring the aggregate shape, where a doc with no
@@ -42,7 +61,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  import MinHashSig.Seed
+  import MinHashSig.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -54,6 +73,8 @@ case class MinHashSig(left: Expression, right: Expression)
     * against a fixed-size array.
     */
   private lazy val k: Int = right.eval().asInstanceOf[Int]
+  private lazy val as: Array[Long] = MinHashSig.coeffs(k).map(_._1)
+  private lazy val bs: Array[Long] = MinHashSig.coeffs(k).map(_._2)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val leftOk = left.dataType match {
@@ -85,10 +106,10 @@ case class MinHashSig(left: Expression, right: Expression)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         seen = true
-        val base = XXH64.hashLong(arr.getLong(i), Seed)
+        val base = arr.getLong(i)
         var j = 0
         while (j < k) {
-          val h = XXH64.hashInt(j, base)
+          val h = (as(j) * base + bs(j)) % P
           if (h < out(j)) out(j) = h
           j += 1
         }
@@ -99,8 +120,9 @@ case class MinHashSig(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xxh = classOf[XXH64].getName
     val uad = classOf[UnsafeArrayData].getName
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, (arr, _) => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
@@ -117,9 +139,9 @@ case class MinHashSig(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) continue;
          |  $seen = true;
-         |  final long $base = $xxh.hashLong($arr.getLong($i), ${Seed}L);
+         |  final long $base = $arr.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
-         |    final long $h = $xxh.hashInt($j, $base);
+         |    final long $h = ($asRef[$j] * $base + $bsRef[$j]) % ${P}L;
          |    if ($h < $out[$j]) $out[$j] = $h;
          |  }
          |}
@@ -137,10 +159,38 @@ case class MinHashSig(left: Expression, right: Expression)
 }
 
 object MinHashSig {
-  /** Spark's fixed xxhash64 seed — keeps the family bit-identical to
-    * the `xxhash64(h, j)` SQL composition this expression replaces.
+  /** Mersenne prime modulus of the affine family (2^31−1). See the
+    * class doc: small enough that a·h wraps it ~2^28 times (the
+    * permutation mixing minwise needs), large enough that member
+    * collisions (~2^−31 per pair) cannot perturb a /32 Jaccard
+    * estimate.
     */
+  val P: Long = (1L << 31) - 1
+
+  /** Seed of the coefficient draw — part of the family definition. */
   val Seed: Long = 42L
+
+  /** The (a_j, b_j) coefficient pairs for a k-member family, drawn
+    * from one seeded stream (a prefix property like the LSH planes:
+    * `coeffs(k)` is a prefix of `coeffs(m ≥ k)`). a ∈ [1, P),
+    * b ∈ [0, P): with 28-bit base hashes the evaluation peaks below
+    * 2^59 + 2^31 — comfortably inside signed 64-bit on both engines.
+    */
+  def coeffs(k: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(Seed)
+    Array.fill(k)((
+      1L + rnd.nextLong(P - 1),
+      rnd.nextLong(P)))
+  }
+
+  /** The coefficients as DuckDB VALUES rows `(j, a, b)` — generated
+    * from the SAME array the expression evaluates, so the SQL twins
+    * can never drift.
+    */
+  def coeffsSqlValues(k: Int): String =
+    coeffs(k).zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}, ${b})" }
+      .mkString(",\n        ")
 
   val FunctionName = "minhash_sig"
 

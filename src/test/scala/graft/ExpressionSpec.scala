@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * injected via [[graft.GraftExtensions]]).
   *
   * What must hold:
-  *   - FAMILY PARITY: member j equals `min(xxhash64(h, j))` over the
-  *     hash array — the SQL composition the expression replaced.
-  *     Banding built on either path must bucket identically.
+  *   - FAMILY PARITY: member j equals `min((a_j·h + b_j) mod p)` over
+  *     the hash array — the affine SQL composition the expression
+  *     evaluates natively (the same formula the DuckDB twins
+  *     interpolate). Banding built on either path must bucket
+  *     identically.
   *   - interpreted eval == codegen eval (the spec calls the
   *     expression's `eval` directly and compares against the
   *     codegen'd DataFrame result).
@@ -24,21 +26,23 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 class ExpressionSpec extends SparkSpec {
 
-  test("minhash_sig matches the xxhash64(h, j) SQL composition member-for-member") {
+  test("minhash_sig matches the affine (a·h + b) mod p SQL composition member-for-member") {
     import spark.implicits._
     val k = 8
+    val cs = MinHashSig.coeffs(k)
     val df = Seq(
       (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")),
       (2L, Seq("one two three")),
       (3L, Seq("alpha beta gamma"))).toDF("id", "sh")
-      .select($"id", transform($"sh", s => xxhash64(s)).as("hs"))
+      .select($"id", transform($"sh", s => Dedup.shingleHashBase(s)).as("hs"))
     val viaExpr = df
       .select($"id", call_function("minhash_sig", $"hs", lit(k)).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val viaSql = df
       .select($"id", explode($"hs").as("h"))
       .groupBy($"id")
-      .agg(array((0 until k).map(j => min(xxhash64(col("h"), lit(j)))): _*).as("sig"))
+      .agg(array((0 until k).map(j =>
+        min((lit(cs(j)._1) * col("h") + lit(cs(j)._2)) % lit(MinHashSig.P))): _*).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaExpr === viaSql)
   }
@@ -53,9 +57,12 @@ class ExpressionSpec extends SparkSpec {
       .select(call_function("minhash_sig", $"hs", lit(6)).as("sig"))
       .collect().head.getSeq[Long](0)
     assert(interpreted === viaDf)
-    // and both equal a direct reimplementation of the family
+    // and both equal a direct reimplementation of the family (Scala
+    // Long arithmetic wraps exactly like the generated Java, so the
+    // parity holds even for out-of-contract 64-bit inputs)
+    val cs = MinHashSig.coeffs(6)
     val direct = (0 until 6).map(j =>
-      hashes.map(h => XXH64.hashInt(j, XXH64.hashLong(h, 42L))).min)
+      hashes.map(h => (cs(j)._1 * h + cs(j)._2) % MinHashSig.P).min)
     assert(interpreted === direct)
   }
 

@@ -33,10 +33,7 @@ object SparkSpec {
     * documented in ContractSpec.
     */
   val DeterministicNoOracle: Seq[String] = Seq(
-    "q_bpe_merges", "q_dedup_groups", "q_dedup_minhash",
-    "q_minhash_incremental",
-    "q_multimodal_decode", "q_ngram_jaccard",
-    "q_approx_distinct")
+    "q_bpe_merges", "q_multimodal_decode", "q_approx_distinct")
 }
 
 abstract class SparkSpec extends AnyFunSuite
