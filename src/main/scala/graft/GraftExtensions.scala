@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `simhash_sig` ([[graft.plans.SimHashSig]]), `vec_dot`
   * ([[graft.plans.VecDot]]), `vec_sqdist` ([[graft.plans.VecSqDist]]),
   * `vec_eq_count` ([[graft.plans.VecEqCount]]), `rolling_hash`
-  * ([[graft.plans.RollingHash]]), and the explicit bloom semi-join
+  * ([[graft.plans.RollingHash]]), `md5_prefix64`
+  * ([[graft.plans.Md5Prefix]]), and the explicit bloom semi-join
   * pair `graft_bloom_agg` / `graft_might_contain`
   * ([[graft.plans.BloomFunctions]]).
   */
@@ -25,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     plans.VecSqDist.register(ext)
     plans.VecEqCount.register(ext)
     plans.RollingHash.register(ext)
+    plans.Md5Prefix.register(ext)
     plans.BloomFunctions.register(ext)
   }
 }

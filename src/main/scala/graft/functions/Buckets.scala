@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Buckets {
 
-  /** Bucket in [0, 100) of a key column. */
+  /** Bucket in [0, 100) of a key column — the codegen'd
+    * `md5_prefix64` fold ([[graft.plans.Md5Prefix]]: one digest call,
+    * no hex-string materialization; value-identical to the conv chain
+    * the SQL twin spells out, pinned by ExpressionSpec/BucketsSpec).
+    */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    call_function(graft.plans.Md5Prefix.FunctionName,
+      key.cast("string"), lit(8)) % 100
 
   /** The DuckDB twin of [[hashBucket]] for an SQL expression `keyExpr`
     * (must already render as VARCHAR-castable).

@@ -178,7 +178,7 @@ object Dedup extends QueryModule {
     * from the (a_j, b_j) draws.
     */
   private[graft] def shingleHashBase(s: Column): Column =
-    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+    call_function(graft.plans.Md5Prefix.FunctionName, s, lit(7))
 
   /** MinHash signatures from a pre-computed `(id, sh: array<string>)`
     * shingle table — callers that also need the raw shingle sets (the
@@ -226,6 +226,12 @@ object Dedup extends QueryModule {
     * buys full-oracle verification of signatures AND near-dup pairs.
     */
   private[graft] def tokenHash48(t: Column): Column =
+    call_function(graft.plans.Md5Prefix.FunctionName, t, lit(12))
+
+  /** The conv-chain formulation — retained as the reference
+    * implementation for the ExpressionSpec `md5_prefix64` parity test.
+    */
+  private[graft] def tokenHash48Hof(t: Column): Column =
     conv(substring(md5(t), 1, 12), 16, 10).cast("long")
 
   /** SimHash packed from the 48-bit [[tokenHash48]] of each token —

@@ -131,6 +131,34 @@ class ExpressionSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getSeq[Long](0).length === 4))
   }
 
+  test("md5_prefix64 equals the conv(substring(md5)) chain it replaces, any width") {
+    import spark.implicits._
+    // corpus text plus edge shapes: empty string, multi-byte UTF-8
+    // (hashing is over UTF-8 bytes in both forms), null passthrough
+    val docs = Tables.documents(spark, sf).limit(200).select($"text".as("s"))
+      .unionAll(Seq("", "héllo wörld 漢字", "a").toDF("s"))
+    for (n <- Seq(1, 7, 8, 12, 15)) {
+      val rows = docs.select(
+          call_function("md5_prefix64", $"s", lit(n)).as("e"),
+          conv(substring(md5($"s"), 1, n), 16, 10).cast("long").as("c"))
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(0) === r.getLong(1)), s"width $n")
+    }
+    val nulls = Seq((1L, None: Option[String])).toDF("id", "s")
+      .select(call_function("md5_prefix64", $"s", lit(8)).as("e")).collect()
+    assert(nulls.head.isNullAt(0))
+    // interpreted eval == codegen'd result
+    val interpreted = graft.plans.Md5Prefix(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")),
+      org.apache.spark.sql.catalyst.expressions.Literal(8))
+      .eval().asInstanceOf[Long]
+    val viaDf = Seq("abc").toDF("s")
+      .select(call_function("md5_prefix64", $"s", lit(8))).collect().head.getLong(0)
+    assert(interpreted === viaDf)
+  }
+
   test("simhash_sig is bit-identical to the higher-order-function formulation") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(100)
