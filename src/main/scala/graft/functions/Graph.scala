@@ -148,14 +148,19 @@ object Graph extends QueryModule {
 
   /** The trade graph: one undirected edge per distinct
     * (customer, supplier) pair that ever traded, as two directed rows.
+    * The distinct runs on the RAW key pair (two longs) and the typed
+    * node ids are built after: the dedup shuffle then moves and
+    * compares 16 bytes per row instead of two materialized strings
+    * (the string form exists only for the n-distinct output rows).
     */
   private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey")
+      .distinct()
       .select(concat(lit("c"), $"o_custkey").as("a"),
         concat(lit("s"), $"l_suppkey").as("b"))
-      .distinct()
     pairs.select($"a".as("src"), $"b".as("dst"))
       .union(pairs.select($"b".as("src"), $"a".as("dst")))
   }
