@@ -25,7 +25,12 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Self-join queries persist their signature subtrees; drop the
       // blocks so no run benefits from (or pays for) another's cache.
-      spark.catalog.clearCache()
+      // releaseAll (not clearCache) also drops the iterative queries'
+      // checkpoint blocks, which live outside the SQL cache manager —
+      // without it the sweep accumulates one materialized result per
+      // iterative query in the shared block-manager budget (round-10's
+      // sweep-context q_pagerank amplification).
+      Storage.releaseAll(spark)
       elapsed
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

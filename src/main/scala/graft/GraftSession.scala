@@ -18,6 +18,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The AppStatus/SQL listeners retain job/stage/task/plan state
+      // even with the UI off (defaults: 1000 jobs/stages, 100k tasks,
+      // 1000 SQL executions with full plan graphs). A 150-query × 3-pass
+      // sweep fills every one of those caps, and the retained state is
+      // driver heap + linear cleanup scans billed to whatever query is
+      // running — part of the round-10 "slow only inside the sweep"
+      // signature. The harness never reads status APIs; keep a short
+      // diagnostic window only.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "30")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -22,7 +22,7 @@ object QBench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[qbench] $key run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.catalog.clearCache()
+      Storage.releaseAll(spark)
     }
     spark.stop()
   }

@@ -36,8 +36,9 @@ object Verify {
       }
       // Self-join queries pin their signature subtrees (persist) so
       // both join sides share one computation; drop the blocks so no
-      // query's cache outlives it.
-      spark.catalog.clearCache()
+      // query's cache outlives it — including checkpoint blocks the
+      // SQL cache manager can't see (Storage.releaseAll vs clearCache).
+      Storage.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -74,6 +74,16 @@ object CheckpointStrategy {
     def release(df: DataFrame): Unit = checkpointRdd(df).foreach(_.unpersist(false))
   }
 
+  /** Identity: no truncation, no storage. ONLY for plan inspection
+    * (PlanSpec reads the lazy tree an eager strategy would collapse to
+    * a `LogicalRDD` leaf) — an iterative solver run with this strategy
+    * re-grows the O(2^rounds) logical plan the strategies exist to cut.
+    */
+  case object Noop extends CheckpointStrategy {
+    def truncate(df: DataFrame): DataFrame = df
+    def release(df: DataFrame): Unit = ()
+  }
+
   /** A checkpointed Dataset's plan is a `LogicalRDD` leaf over the
     * materialized RDD — the handle `release` needs to drop its blocks
     * (`Dataset.unpersist` only reaches cache-manager entries, not
@@ -653,10 +663,17 @@ object Dedup extends QueryModule {
         "— structurally impossible for any graph smaller than 2^50 nodes; " +
         "this indicates a bug in the star operators, not an input too large")
     // Fixpoint = stars: every hi points at its component minimum (lo),
-    // and each minimum labels itself.
-    edges.select(col("hi").as("id"), col("lo").as("label"))
-      .unionAll(edges.select(col("lo").as("id"), col("lo").as("label")))
-      .distinct()
+    // and each minimum labels itself. The label table is truncated and
+    // the last round's edge storage released HERE — returning a lazy
+    // view over `edges` would pin the final round's blocks for the
+    // caller's lifetime with no handle to free them (the round-10
+    // sweep leak: clearCache never reaches checkpoint blocks).
+    val labels = strategy.truncate(
+      edges.select(col("hi").as("id"), col("lo").as("label"))
+        .unionAll(edges.select(col("lo").as("id"), col("lo").as("label")))
+        .distinct())
+    strategy.release(edges)
+    labels
   }
 
   /** Near-dup GROUP assignment — the step after pair generation that

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.{QueryModule, Tables}
+import graft.{Pins, QueryModule, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -68,7 +68,9 @@ object Graph extends QueryModule {
     * back to the driver — iterations are a fixed count.
     */
   private[graft] def pagerank(edges: DataFrame,
-                              broadcastRanks: Option[Boolean] = None): DataFrame = {
+                              broadcastRanks: Option[Boolean] = None,
+                              strategy: CheckpointStrategy = CheckpointStrategy.Local,
+                              pins: Pins = new Pins): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // Pin discipline: the RAW edge build (join, distinct, union — the
@@ -85,12 +87,19 @@ object Graph extends QueryModule {
     // consumers (edged, base) are both cached after first fill, so it
     // re-derives at most twice from the pinned edges — a 16k-row
     // groupBy over a cache hit.
-    val pinnedEdges = edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // LIFECYCLE (the round-10 sweep regression): every pin goes
+    // through `pins` — including any the caller created building
+    // `edges` (tradeEdges' pairs subtree) — and ALL of them are
+    // released here once the final round is eagerly truncated, so an
+    // invocation leaves behind exactly one |nodes|-row checkpoint, not
+    // four MEMORY_AND_DISK tables parked until someone clears the
+    // whole cache.
+    val pinnedEdges = pins(edges)
     val deg = pinnedEdges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val nodes = pinnedEdges.select($"src".as("node"))
-      .union(pinnedEdges.select($"dst".as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = pins(
+      pinnedEdges.select($"src".as("node"))
+        .union(pinnedEdges.select($"dst".as("node"))).distinct())
     // The ONE driver-side size read: node count and dangling-node
     // presence come from the same tiny aggregate (a second probe job
     // per invocation — the previous dangNodes.limit(1).count() — was
@@ -104,24 +113,29 @@ object Graph extends QueryModule {
     // Zero nodes → zero rows: the rank value never materializes, and
     // the null literal keeps the column NULLABLE like the normal
     // path's join-produced rank (no schema drift on empty input).
-    if (n == 0) return nodes.select($"node", lit(null).cast("long").as("rank"))
+    // Pins release before the return — unpersist only drops caching,
+    // the (empty) lineage still evaluates.
+    if (n == 0) {
+      val empty = nodes.select($"node", lit(null).cast("long").as("rank"))
+      if (strategy ne CheckpointStrategy.Noop) pins.releaseAll()
+      return empty
+    }
     // Graphs built with both edge directions (the trade graph) have no
     // dangling nodes; they skip the per-round dangling aggregate
     // entirely, paying nothing for the general case.
     val hasDangling = nd.getLong(1) < n
     val useBroadcast = broadcastRanks.getOrElse(n <= BroadcastNodeLimit)
     val edgedRaw = pinnedEdges.join(deg, Seq("src"))
-    val edged = (if (useBroadcast) edgedRaw else edgedRaw.repartition($"src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = nodes
+    val edged = pins(
+      if (useBroadcast) edgedRaw else edgedRaw.repartition($"src"))
+    val base = pins(nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select($"node", $"outdeg".isNull.as("dangling"),
         lit(RankScale / n).as("init"),
-        lit((15L * (RankScale / n)) / 100L).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lit((15L * (RankScale / n)) / 100L).as("b")))
     val dangNodes = base.filter($"dangling").select($"node")
     val r0 = base.select($"node", $"init".as("rank"))
-    (1 to Rounds).foldLeft(r0) { (r, _) =>
+    val ranks = (1 to Rounds).foldLeft(r0) { (r, _) =>
       val rsrc = r.withColumnRenamed("node", "src")
       val inc = edged
         .join(if (useBroadcast) broadcast(rsrc) else rsrc, Seq("src"))
@@ -144,6 +158,13 @@ object Graph extends QueryModule {
             ($"b" + expr("(85 * (coalesce(inc, 0L) + dshare)) div 100")).as("rank"))
       }
     }
+    // Eagerly materialize the final (|nodes|-row) rank table, then
+    // free every pin this invocation created. Under Noop (plan
+    // inspection only) both steps are skipped: the caller reads the
+    // lazy tree and owns the pins.
+    val out = strategy.truncate(ranks)
+    if (strategy ne CheckpointStrategy.Noop) pins.releaseAll()
+    out
   }
 
   /** The trade graph: one undirected edge per distinct
@@ -152,15 +173,24 @@ object Graph extends QueryModule {
     * node ids are built after: the dedup shuffle then moves and
     * compares 16 bytes per row instead of two materialized strings
     * (the string form exists only for the n-distinct output rows).
+    *
+    * `pairs` is PINNED (through the caller's [[Pins]] scope, so
+    * [[pagerank]] releases it with its own): the self-union reads it
+    * twice, and without the pin the orders⋈lineitem + distinct — the
+    * dominant stage — executes once per union branch whenever the
+    * planner's exchange reuse doesn't fire (the round-10 sweep
+    * observed exactly that: exchange reuse is an optimization, not a
+    * contract).
     */
-  private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+                                pins: Pins = new Pins): DataFrame = {
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
+    val pairs = pins(Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey", $"l_suppkey")
       .distinct()
       .select(concat(lit("c"), $"o_custkey").as("a"),
-        concat(lit("s"), $"l_suppkey").as("b"))
+        concat(lit("s"), $"l_suppkey").as("b")))
     pairs.select($"a".as("src"), $"b".as("dst"))
       .union(pairs.select($"b".as("src"), $"a".as("dst")))
   }
@@ -168,7 +198,11 @@ object Graph extends QueryModule {
   override def queries: Map[String, Query] = Map(
     "q_pagerank" -> ((s, dir) => {
       import s.implicits._
-      pagerank(tradeEdges(s, dir)).orderBy($"rank".desc, $"node").limit(TopK)
+      // ONE pin scope spans the edge build and the solver: pagerank
+      // releases tradeEdges' pairs pin together with its own.
+      val pins = new Pins
+      pagerank(tradeEdges(s, dir, pins), pins = pins)
+        .orderBy($"rank".desc, $"node").limit(TopK)
     }),
   )
 

@@ -488,9 +488,17 @@ object Text extends QueryModule {
     }
     // the final generation feeds nothing — only the argmax rows do.
     strategy.release(vocab)
-    tops.result().reduce(_ unionByName _)
-      .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
-      .orderBy($"step")
+    // Assemble the merge table, truncate it, and release the per-round
+    // argmax checkpoints: the rounds × 1-row frames otherwise outlive
+    // the query as unreleasable checkpoint blocks (clearCache cannot
+    // reach them), one leak per invocation in a long-lived session.
+    val built = tops.result()
+    val merges = strategy.truncate(
+      built.reduce(_ unionByName _)
+        .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
+        .orderBy($"step"))
+    built.foreach(strategy.release)
+    merges
   }
 
   /** Corpus → weighted symbol vocabulary `(syms, freq)`: the ONE

@@ -410,15 +410,27 @@ class PlanSpec extends SparkSpec {
     // Three rounds = three broadcast joins of the rank table into the
     // edge table (ranks ≪ edges), plus the degree/edge builds; a
     // rank-side shuffle join would mean re-shuffling the edge table
-    // once per round — the iterative-join scale trap.
-    val p = plan("q_pagerank")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
-      s"rank tables must broadcast into the edges each round:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the edge table must be persisted across rounds:\n$p")
-    assert(!p.contains("Exchange rangepartitioning") ||
-      p.contains("TakeOrderedAndProject"),
-      s"final top-K must not globally sort:\n$p")
+    // once per round — the iterative-join scale trap. The registered
+    // query eagerly truncates its result (its executed plan is just a
+    // TakeOrdered over a LogicalRDD), so the round shape is read via
+    // the Noop strategy — the lazy tree the eager path executes.
+    import graft.functions.{CheckpointStrategy, Graph}
+    val pins = new Pins
+    try {
+      val lazyRanks = Graph.pagerank(Graph.tradeEdges(spark, sf, pins),
+        strategy = CheckpointStrategy.Noop, pins = pins)
+      val p = lazyRanks.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+        s"rank tables must broadcast into the edges each round:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the edge table must be persisted across rounds:\n$p")
+    } finally pins.releaseAll()
+    // The registered query's own plan: top-K must be a
+    // TakeOrderedAndProject over the truncated rank table, never a
+    // global sort.
+    val pq = plan("q_pagerank")
+    assert(pq.contains("TakeOrderedAndProject"),
+      s"final top-K must not globally sort:\n$pq")
   }
 
   test("q_cluster_balance: per-cell cap rewrites to Partial+Final WindowGroupLimit") {
