@@ -388,8 +388,10 @@ object Dedup extends QueryModule {
     }),
 
     // MinHash LSH candidate pairs — fully oracle-checked since the
-    // family moved to affine members over the md5-32 base hash (see
-    // minhashFromShingles / plans.MinHashSig).
+    // family moved to affine members over the md5-28 base hash
+    // (7 hex chars = 28 bits — MinHashSig's signed-64 overflow bound
+    // depends on exactly that width; see minhashFromShingles /
+    // plans.MinHashSig).
     "q_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
       minhashPairs(s, dir)
@@ -788,11 +790,16 @@ object Dedup extends QueryModule {
     * and per-(doc, band) ordered member CSV strings — the exact tuple
     * the Spark side buckets with xxhash64(band, csv). Joining on the
     * raw tuple where Spark joins on its 64-bit hash can differ only
-    * by a hash collision adding a candidate pair on the Spark side —
-    * every twin below either verifies candidates exactly (Jaccard) or
-    * thresholds on signature agreement, so a collision-added pair
-    * must still agree on the SAME statistic both engines compute.
-    * `bi` (batch index) rides along for the incremental twin.
+    * by a hash collision ADDING a candidate pair on the Spark side.
+    * That residual risk is accepted, not eliminated: its probability
+    * is ~n²/2⁶⁴ per corpus (vanishing at any test scale), and the
+    * THRESHOLDED twins (q_minhash_incremental's 0.5 cut) additionally
+    * absorb a collision pair, whose random signatures agree on ~1/P
+    * of members. q_dedup_minhash's top-200 candidate list has no such
+    * filter — a collision there would surface as a one-pair hash
+    * mismatch against the oracle, which is the detection we want, not
+    * a silent divergence. `bi` (batch index) rides along for the
+    * incremental twin.
     * Starts its own `WITH RECURSIVE` (consumed by the dedup-groups
     * twin's reachability CTE; legal with no recursive member).
     */

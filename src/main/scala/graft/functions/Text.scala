@@ -180,15 +180,23 @@ object Text extends QueryModule {
     // tracker sized above this corpus's vocabulary the counts are
     // exact (the spec pins that against the exact groupBy); at real
     // scale the tracker bounds memory and counts become approximate.
-    // No oracle — sketch internals and tie order are engine-specific.
+    // OVER-FETCH + exact re-rank (the standard sketch-top-k recipe):
+    // the sketch returns its top 40, the total order (cnt DESC, term)
+    // re-ranks and cuts to 20 — so which items the SKETCH puts at its
+    // own boundary no longer matters, and the result is deterministic
+    // whenever counts are exact. That determinism is what earns the
+    // exact-count DuckDB oracle (round-10 verdict item 6); only a
+    // >40-way tie straddling rank 20 could reintroduce sketch tie
+    // order, and the parity spec would catch it before the oracle did.
     "q_approx_top_terms" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .select(explode(tokens(lower($"text"))).as("term"))
-        .agg(expr("approx_top_k(term, 20, 10000)").as("top"))
+        .agg(expr("approx_top_k(term, 40, 10000)").as("top"))
         .select(explode($"top").as("t"))
         .select($"t.item".as("term"), $"t.count".cast("long").as("cnt"))
         .orderBy($"cnt".desc, $"term")
+        .limit(20)
     }),
 
     // Pairwise edit distance (codegen'd levenshtein built-in) over
@@ -625,7 +633,62 @@ object Text extends QueryModule {
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** One BPE training round as SQL CTEs — the DuckDB mirror of
+    * [[bpeArgmax]] + [[bpeRewrite]], unrolled [[BpeRounds]] times by
+    * the q_bpe_merges oracle below (the q_pagerank roundCte pattern:
+    * generated from the same constants the Spark loop uses, so the
+    * engines cannot drift). Round i reads vocabulary v(i-1), adopts
+    * the most frequent adjacent pair as t_i (cnt DESC, l, r — the
+    * identical total-order tiebreak, binary collation both sides) and
+    * rewrites into v_i with the same sentinel-padded single replace;
+    * DuckDB's `replace` is leftmost non-overlapping continuing after
+    * the replacement, exactly Spark's (probed: ' a  a  a  a ' →
+    * ' aa  aa ').
+    */
+  private def bpeRoundCte(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""p$i AS (
+       |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(a)), x -> [a[x], a[x+1]])) AS pr, freq
+       |    FROM (SELECT string_split(trim(syms), '  ') AS a, freq FROM $prev))
+       |  GROUP BY 1, 2),
+       |t$i AS (SELECT $i AS step, l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |v$i AS (
+       |  SELECT replace(syms, ' ' || t.l || '  ' || t.r || ' ',
+       |                       ' ' || t.l || t.r || ' ') AS syms, freq
+       |  FROM $prev CROSS JOIN t$i t)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    // Verified end-to-end since round 11: the loop is deterministic
+    // (checkpoint truncation changes plans, never values) and short
+    // enough to unroll. v0 is bpeVocab (code-point split — DuckDB's
+    // string_split(w, '') is per-character like Spark's zero-width
+    // regex split), then BpeRounds argmax+rewrite rounds.
+    "q_bpe_merges" ->
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+         |    t -> length(t) > 0)) AS w
+         |  FROM documents),
+         |v0 AS (
+         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
+         |    COUNT(*) AS freq
+         |  FROM w GROUP BY w),
+         |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")}
+         |SELECT step, l AS "left", r AS "right", cnt
+         |FROM (${(1 to BpeRounds).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin,
+    // Exact-count twin of the over-fetched sketch: valid because the
+    // tracker (10000) exceeds this corpus's vocabulary, so sketch
+    // counts are exact and the shared (cnt DESC, term) re-rank makes
+    // both engines pick the identical 20 rows.
+    "q_approx_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+         |    t -> length(t) > 0)) AS term
+         |  FROM documents)
+         |SELECT term, COUNT(*) AS cnt FROM terms
+         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH w AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws+'),

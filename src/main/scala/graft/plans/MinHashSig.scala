@@ -167,20 +167,58 @@ object MinHashSig {
     */
   val P: Long = (1L << 31) - 1
 
-  /** Seed of the coefficient draw — part of the family definition. */
-  val Seed: Long = 42L
+  /** The (a_j, b_j) coefficient pairs of the family, PINNED as source
+    * literals (round-11): they were originally drawn from
+    * `new scala.util.Random(42)` — but that stream is a Scala-library
+    * implementation detail, so a Scala upgrade could silently change
+    * every persisted MinHash signature and band table while the
+    * oracles stayed green (both engines would move together). The
+    * literals below are that draw, frozen; the family definition is
+    * now this table, not the seed. a ∈ [1, P), b ∈ [0, P): with
+    * 28-bit base hashes the evaluation peaks below 2^59 + 2^31 —
+    * comfortably inside signed 64-bit on both engines.
+    */
+  private val PinnedCoeffs: Array[(Long, Long)] = Array(
+    (1562431131L, 1467211249L),
+    (102948885L, 2023087526L),
+    (595021506L, 355513696L),
+    (196118094L, 969067502L),
+    (791955277L, 1665906300L),
+    (1482678033L, 1636576171L),
+    (1681268744L, 900499577L),
+    (326327864L, 2018204737L),
+    (1610411244L, 830146030L),
+    (1714307459L, 1397040070L),
+    (1276356731L, 1524214254L),
+    (538291086L, 784177727L),
+    (369835213L, 1261490714L),
+    (588781165L, 308426242L),
+    (1226299824L, 1245593976L),
+    (194700535L, 641275112L),
+    (67470158L, 1842369017L),
+    (427524441L, 23764756L),
+    (896977161L, 1017983890L),
+    (173204060L, 70884180L),
+    (1032025898L, 626327552L),
+    (471426602L, 205908971L),
+    (1761992799L, 1367183776L),
+    (812669500L, 1366709325L),
+    (773641454L, 2007169397L),
+    (1393273734L, 1494582461L),
+    (1015090626L, 1007218200L),
+    (1178812595L, 80257142L),
+    (324337808L, 1790714110L),
+    (1693536745L, 1634774480L),
+    (602523748L, 420829923L),
+    (740513296L, 2066924824L))
 
-  /** The (a_j, b_j) coefficient pairs for a k-member family, drawn
-    * from one seeded stream (a prefix property like the LSH planes:
-    * `coeffs(k)` is a prefix of `coeffs(m ≥ k)`). a ∈ [1, P),
-    * b ∈ [0, P): with 28-bit base hashes the evaluation peaks below
-    * 2^59 + 2^31 — comfortably inside signed 64-bit on both engines.
+  /** The k-member prefix of [[PinnedCoeffs]] (the prefix property the
+    * LSH planes share: `coeffs(k)` is a prefix of `coeffs(m ≥ k)`).
     */
   def coeffs(k: Int): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(Seed)
-    Array.fill(k)((
-      1L + rnd.nextLong(P - 1),
-      rnd.nextLong(P)))
+    require(k <= PinnedCoeffs.length,
+      s"minhash family is pinned at ${PinnedCoeffs.length} members; asked for $k")
+    PinnedCoeffs.take(k)
   }
 
   /** The coefficients as DuckDB VALUES rows `(j, a, b)` — generated

@@ -12,8 +12,6 @@ class ContractSpec extends SparkSpec {
   private val noOracleJustified: Map[String, String] = Map(
     "q_approx_distinct" -> "HLL sketch internals differ across engines (exact twin + error-bound spec)",
     "q_approx_percentiles" -> "GK-sketch internals differ across engines (exact twin q_percentiles + error-bound spec)",
-    "q_approx_top_terms" -> "frequent-items sketch internals and tie order are engine-specific (exact-count parity spec)",
-    "q_bpe_merges" -> "iterative argmax-rewrite loop has no ANSI twin (driver-side merge-walk parity spec)",
     "q_flight_pipeline" -> "KMeans labels are not SQL-expressible",
     "q_hll_merge" -> "DataSketches HLL internals are engine-specific (exact twin + lossless-union parity spec)",
     "q_kmeans_predict" -> "KMeans is not SQL-expressible (stability spec)",

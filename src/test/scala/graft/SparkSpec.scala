@@ -33,7 +33,7 @@ object SparkSpec {
     * documented in ContractSpec.
     */
   val DeterministicNoOracle: Seq[String] = Seq(
-    "q_bpe_merges", "q_multimodal_decode", "q_approx_distinct")
+    "q_multimodal_decode", "q_approx_distinct")
 }
 
 abstract class SparkSpec extends AnyFunSuite
