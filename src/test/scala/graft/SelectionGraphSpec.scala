@@ -155,6 +155,25 @@ class SelectionGraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pagerank: Reliable checkpoint strategy matches Local rank-for-rank") {
+    // The 100 TB configuration: the final rank table truncates into
+    // the configured checkpoint dir instead of executor-local blocks,
+    // and the pin lifecycle must behave identically (DedupScaleSpec
+    // pins the same property for connectedComponents).
+    val ckDir = Scratch.dir("pagerank_reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val edges = Graph.tradeEdges(spark, sf)
+    val local = Graph.pagerank(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val reliable = Graph.pagerank(Graph.tradeEdges(spark, sf),
+        strategy = graft.functions.CheckpointStrategy.Reliable)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reliable === local,
+      "checkpoint strategy must never change the fixed-point arithmetic")
+    spark.catalog.clearCache()
+  }
+
   test("pagerank: dangling node is ranked and its mass redistributed, not lost") {
     import spark.implicits._
     // a -> b with no out-edge from b: b holds mass that a pure
