@@ -109,7 +109,7 @@ object Bench {
     // of silently passing.
     if (confirmed.nonEmpty) {
       val spread = confirmed.toSeq.sortBy(_._1).map { case (k, (s, c)) =>
-        val unstable = math.max(s, c) > 2.0 * math.min(s, c)
+        val unstable = math.max(s, c) > WarmBaseline.GateFactor * math.min(s, c)
         "\"" + k + "\":{\"sweep\":" + fmt(s) + ",\"confirm\":" + fmt(c) +
           ",\"kept\":" + fmt(math.min(s, c)) + ",\"unstable\":" + unstable + "}"
       }.mkString("{", ",", "}")
@@ -131,7 +131,11 @@ object Bench {
       if (baseline.isEmpty) Seq.empty
       else warm.keys.filterNot(baseline.contains).toSeq.sorted
     val unbaselinedShown = unbaselined.take(8)
-    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"2x","baseline":"${baselineStatus.tag}","queries":$regJson,"baseline_n":${baseline.size},"unbaselined_n":${unbaselined.size},"unbaselined":${unbaselinedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    val thresholdTag =
+      if (WarmBaseline.GateFactor == WarmBaseline.GateFactor.toLong)
+        s"${WarmBaseline.GateFactor.toLong}x"
+      else s"${WarmBaseline.GateFactor}x"
+    println(s"""{"metric":"warm_regressions","count":${regressions.size},"threshold":"$thresholdTag","baseline":"${baselineStatus.tag}","queries":$regJson,"baseline_n":${baseline.size},"unbaselined_n":${unbaselined.size},"unbaselined":${unbaselinedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // The driver captures only the TAIL of stdout (observed: last
     // 2000 chars) and parses the JSON it finds there. At 89 queries
     // the full line above exceeds that window, so its head is cut and

@@ -50,6 +50,12 @@ object WarmBaseline {
     }
   }
 
+  /** The gate ratio — shared by [[regressions]] and Bench's
+    * confirm-spread "unstable" detector so the two thresholds cannot
+    * drift apart silently (they express the same tolerance).
+    */
+  val GateFactor: Double = 2.0
+
   /** Warm times exceeding their baseline by more than `factor`, with
     * an absolute floor so sub-100ms measurement noise can't flag
     * (a 2× there is milliseconds). Sorted worst-first.
@@ -57,7 +63,7 @@ object WarmBaseline {
   def regressions(
       warm: Iterable[(String, Double)],
       baseline: Map[String, Double],
-      factor: Double = 2.0,
+      factor: Double = GateFactor,
       absFloorSec: Double = 0.1): Seq[(String, Double, Double)] =
     warm.toSeq
       .flatMap { case (k, w) => baseline.get(k).map(b => (k, w, b)) }

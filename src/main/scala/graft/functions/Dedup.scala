@@ -642,40 +642,52 @@ object Dedup extends QueryModule {
 
     val MaxRounds = 50
     var edges = strategy.truncate(canonical(edgesIn))
-    var edgeCount = edges.count()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < MaxRounds) {
-      val next = strategy.truncate(smallStar(largeStar(edges)))
-      val nextCount = next.count()
-      // Fixpoint test on the canonical edge SET: equal size plus an
-      // empty one-sided difference ⇔ set equality. Both inputs are
-      // checkpointed, so the except reads checkpointed data.
-      converged = nextCount == edgeCount && next.except(edges).isEmpty
-      // The superseded round is never read again past the except
-      // above — free its storage now rather than leaning on the
-      // ContextCleaner's GC hook.
+    // `pending` tracks a freshly-truncated round whose ownership has
+    // not yet transferred to `edges` — the finally releases both, so
+    // neither a failed round, a non-convergent require, nor the
+    // success path (where the label table is truncated FIRST) can
+    // strand checkpoint storage on the caller (the round-10 sweep
+    // leak: clearCache never reaches checkpoint blocks).
+    var pending: DataFrame = null
+    try {
+      var edgeCount = edges.count()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < MaxRounds) {
+        val next = strategy.truncate(smallStar(largeStar(edges)))
+        pending = next
+        val nextCount = next.count()
+        // Fixpoint test on the canonical edge SET: equal size plus an
+        // empty one-sided difference ⇔ set equality. Both inputs are
+        // checkpointed, so the except reads checkpointed data.
+        converged = nextCount == edgeCount && next.except(edges).isEmpty
+        // The superseded round is never read again past the except
+        // above — free its storage now rather than leaning on the
+        // ContextCleaner's GC hook.
+        strategy.release(edges)
+        edges = next
+        pending = null
+        edgeCount = nextCount
+        rounds += 1
+      }
+      require(converged,
+        s"connectedComponents: no fixpoint within $MaxRounds alternation rounds " +
+          "— structurally impossible for any graph smaller than 2^50 nodes; " +
+          "this indicates a bug in the star operators, not an input too large")
+      // Fixpoint = stars: every hi points at its component minimum
+      // (lo), and each minimum labels itself. The label table is
+      // truncated here; the finally then releases the final round's
+      // edge storage — returning a lazy view over `edges` would pin
+      // those blocks for the caller's lifetime with no handle to free
+      // them.
+      strategy.truncate(
+        edges.select(col("hi").as("id"), col("lo").as("label"))
+          .unionAll(edges.select(col("lo").as("id"), col("lo").as("label")))
+          .distinct())
+    } finally {
       strategy.release(edges)
-      edges = next
-      edgeCount = nextCount
-      rounds += 1
+      if (pending != null && (pending ne edges)) strategy.release(pending)
     }
-    require(converged,
-      s"connectedComponents: no fixpoint within $MaxRounds alternation rounds " +
-        "— structurally impossible for any graph smaller than 2^50 nodes; " +
-        "this indicates a bug in the star operators, not an input too large")
-    // Fixpoint = stars: every hi points at its component minimum (lo),
-    // and each minimum labels itself. The label table is truncated and
-    // the last round's edge storage released HERE — returning a lazy
-    // view over `edges` would pin the final round's blocks for the
-    // caller's lifetime with no handle to free them (the round-10
-    // sweep leak: clearCache never reaches checkpoint blocks).
-    val labels = strategy.truncate(
-      edges.select(col("hi").as("id"), col("lo").as("label"))
-        .unionAll(edges.select(col("lo").as("id"), col("lo").as("label")))
-        .distinct())
-    strategy.release(edges)
-    labels
   }
 
   /** Near-dup GROUP assignment — the step after pair generation that

@@ -70,7 +70,21 @@ object Graph extends QueryModule {
   private[graft] def pagerank(edges: DataFrame,
                               broadcastRanks: Option[Boolean] = None,
                               strategy: CheckpointStrategy = CheckpointStrategy.Local,
-                              pins: Pins = new Pins): DataFrame = {
+                              pins: Pins = new Pins): DataFrame =
+    // The finally releases the pins on success AND failure (a lost job
+    // in the head() probe or a round must not leave four pinned tables
+    // behind — repeated failing invocations would otherwise accumulate
+    // exactly the storage this scope exists to bound). On success the
+    // release runs after solve's eager truncate, so the returned frame
+    // never depends on the pins. Under Noop (plan inspection) the
+    // caller owns the pins and nothing releases.
+    try solve(edges, broadcastRanks, strategy, pins)
+    finally { if (strategy ne CheckpointStrategy.Noop) pins.releaseAll() }
+
+  private def solve(edges: DataFrame,
+                    broadcastRanks: Option[Boolean],
+                    strategy: CheckpointStrategy,
+                    pins: Pins): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // Pin discipline: the RAW edge build (join, distinct, union — the
@@ -91,10 +105,10 @@ object Graph extends QueryModule {
     // LIFECYCLE (the round-10 sweep regression): every pin goes
     // through `pins` — including any the caller created building
     // `edges` (tradeEdges' pairs subtree) — and ALL of them are
-    // released here once the final round is eagerly truncated, so an
-    // invocation leaves behind exactly one |nodes|-row checkpoint, not
-    // four MEMORY_AND_DISK tables parked until someone clears the
-    // whole cache.
+    // released by pagerank's finally once the final round is eagerly
+    // truncated, so an invocation leaves behind exactly one
+    // |nodes|-row checkpoint, not four MEMORY_AND_DISK tables parked
+    // until someone clears the whole cache.
     val pinnedEdges = pins(edges)
     val deg = pinnedEdges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val nodes = pins(
@@ -113,13 +127,9 @@ object Graph extends QueryModule {
     // Zero nodes → zero rows: the rank value never materializes, and
     // the null literal keeps the column NULLABLE like the normal
     // path's join-produced rank (no schema drift on empty input).
-    // Pins release before the return — unpersist only drops caching,
+    // The finally releases the pins — unpersist only drops caching,
     // the (empty) lineage still evaluates.
-    if (n == 0) {
-      val empty = nodes.select($"node", lit(null).cast("long").as("rank"))
-      if (strategy ne CheckpointStrategy.Noop) pins.releaseAll()
-      return empty
-    }
+    if (n == 0) return nodes.select($"node", lit(null).cast("long").as("rank"))
     // Graphs built with both edge directions (the trade graph) have no
     // dangling nodes; they skip the per-round dangling aggregate
     // entirely, paying nothing for the general case.
@@ -158,13 +168,10 @@ object Graph extends QueryModule {
             ($"b" + expr("(85 * (coalesce(inc, 0L) + dshare)) div 100")).as("rank"))
       }
     }
-    // Eagerly materialize the final (|nodes|-row) rank table, then
-    // free every pin this invocation created. Under Noop (plan
-    // inspection only) both steps are skipped: the caller reads the
-    // lazy tree and owns the pins.
-    val out = strategy.truncate(ranks)
-    if (strategy ne CheckpointStrategy.Noop) pins.releaseAll()
-    out
+    // Eagerly materialize the final (|nodes|-row) rank table;
+    // pagerank's finally then frees every pin this invocation created.
+    // Under Noop (plan inspection only) truncate is identity.
+    strategy.truncate(ranks)
   }
 
   /** The trade graph: one undirected edge per distinct

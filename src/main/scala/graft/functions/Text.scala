@@ -483,30 +483,36 @@ object Text extends QueryModule {
                                  CheckpointStrategy.Local): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    var vocab = strategy.truncate(bpeVocab(docs))
-    val tops = Seq.newBuilder[DataFrame]
-    for (step <- 1 to rounds) {
-      val top = strategy.truncate(bpeArgmax(vocab, step))
-      tops += top
-      // release AFTER the next generation materializes: the rewrite
-      // below is the old generation's last reader.
-      val next = strategy.truncate(bpeRewrite(vocab, top))
-      strategy.release(vocab)
-      vocab = next
+    // Lifecycle: the finally releases the live vocabulary generation
+    // and every per-round argmax checkpoint on success AND failure —
+    // without it the rounds × 1-row frames (and, on a failed round,
+    // the current vocabulary) outlive the query as unreleasable
+    // checkpoint blocks (clearCache cannot reach them), one leak per
+    // invocation in a long-lived session (the pagerank finally,
+    // mirrored). On success the merge table truncates FIRST, so the
+    // returned frame depends on none of the released storage.
+    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var vocab: DataFrame = null
+    try {
+      vocab = strategy.truncate(bpeVocab(docs))
+      for (step <- 1 to rounds) {
+        val top = strategy.truncate(bpeArgmax(vocab, step))
+        tops += top
+        // release AFTER the next generation materializes: the rewrite
+        // below is the old generation's last reader.
+        val next = strategy.truncate(bpeRewrite(vocab, top))
+        strategy.release(vocab)
+        vocab = next
+      }
+      strategy.truncate(
+        tops.reduce(_ unionByName _)
+          .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
+          .orderBy($"step"))
+    } finally {
+      // the final generation feeds nothing — only the argmax rows do.
+      if (vocab != null) strategy.release(vocab)
+      tops.foreach(strategy.release)
     }
-    // the final generation feeds nothing — only the argmax rows do.
-    strategy.release(vocab)
-    // Assemble the merge table, truncate it, and release the per-round
-    // argmax checkpoints: the rounds × 1-row frames otherwise outlive
-    // the query as unreleasable checkpoint blocks (clearCache cannot
-    // reach them), one leak per invocation in a long-lived session.
-    val built = tops.result()
-    val merges = strategy.truncate(
-      built.reduce(_ unionByName _)
-        .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
-        .orderBy($"step"))
-    built.foreach(strategy.release)
-    merges
   }
 
   /** Corpus → weighted symbol vocabulary `(syms, freq)`: the ONE

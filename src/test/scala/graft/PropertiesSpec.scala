@@ -191,7 +191,9 @@ class PropertiesSpec extends SparkSpec {
         .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
       assert(got === refBpe(wf, 4), s"corpus: $docs")
       sawMergedSide ||= got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 }
-      spark.catalog.clearCache()
+      // releaseAll, not clearCache: bpeMerges leaves its truncated
+      // merge table as checkpoint blocks the cache manager can't see
+      Storage.releaseAll(spark)
     }
     assert(sawMergedSide,
       "no sample ever merged a merged symbol - the generator stopped covering the feedback path")
@@ -230,7 +232,8 @@ class PropertiesSpec extends SparkSpec {
       assert(total <= Graph.RankScale, s"mass created: $total")
       assert(total >= Graph.RankScale - bound,
         s"mass lost beyond truncation: $total vs ${Graph.RankScale} (bound $bound)")
-      spark.catalog.clearCache()
+      // releaseAll: each pagerank call leaves one truncated rank table
+      Storage.releaseAll(spark)
     }
   }
 }

@@ -152,7 +152,7 @@ class SelectionGraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaShuffle === viaBroadcast,
       "join strategy must never change the fixed-point arithmetic")
-    spark.catalog.clearCache()
+    Storage.releaseAll(spark)
   }
 
   test("pagerank: Reliable checkpoint strategy matches Local rank-for-rank") {
@@ -165,13 +165,13 @@ class SelectionGraphSpec extends SparkSpec {
     val edges = Graph.tradeEdges(spark, sf)
     val local = Graph.pagerank(edges)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    spark.catalog.clearCache()
+    Storage.releaseAll(spark)
     val reliable = Graph.pagerank(Graph.tradeEdges(spark, sf),
         strategy = graft.functions.CheckpointStrategy.Reliable)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(reliable === local,
       "checkpoint strategy must never change the fixed-point arithmetic")
-    spark.catalog.clearCache()
+    Storage.releaseAll(spark)
   }
 
   test("pagerank: dangling node is ranked and its mass redistributed, not lost") {
@@ -189,6 +189,6 @@ class SelectionGraphSpec extends SparkSpec {
     val bound = Graph.Rounds * (1 + 3 * 2) + 2
     assert(total <= Graph.RankScale && total >= Graph.RankScale - bound,
       s"dangling mass lost: $total vs ${Graph.RankScale}")
-    spark.catalog.clearCache()
+    Storage.releaseAll(spark)
   }
 }
