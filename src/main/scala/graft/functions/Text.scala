@@ -274,6 +274,32 @@ object Text extends QueryModule {
     // merge stays codegen'd.
     "q_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))),
 
+    // [EXT] BPE ENCODE — the apply half of the tokenizer (train with
+    // q_bpe_merges, then tokenize the corpus with the learned table):
+    // per doc, the whitespace-token count and the subword-symbol count
+    // after all merges. DICTIONARY-CODED for scale: merges apply to
+    // the DISTINCT-WORD vocabulary (bounded, ≪ corpus — the same
+    // reason training is vocab-sized per round), one broadcast one-row
+    // join per learned step, and per-doc counts come from joining the
+    // tiny (word → n_sym) table back to the corpus word stream — the
+    // corpus is touched exactly twice (tokenize, join), never
+    // re-rewritten per merge.
+    "q_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = bpeMerges(docs)
+      val words = docs.select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+      val wsyms = words.select($"w").distinct()
+        .select($"w",
+          concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
+      val encoded = bpeApply(wsyms, merges, BpeRounds)
+        .select($"w", size(split(trim($"syms"), "  ")).cast("long").as("n_sym"))
+      words.join(encoded, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"n_sym").as("n_symbols"))
+        .orderBy($"doc_id")
+    }),
+
     // [EXT] Context-window chunking — the step that turns a cleaned
     // corpus into training rows: fixed-size token windows (50 tokens)
     // with overlap (stride 40 → 10-token overlap) so no span is lost
@@ -515,6 +541,28 @@ object Text extends QueryModule {
     }
   }
 
+  /** Apply a learned merge table to a `(w, syms)` vocabulary — the
+    * ENCODE half of BPE: the SAME sentinel-padded single replace as
+    * training's [[bpeRewrite]], one broadcast one-row join per learned
+    * step, in step order (BPE application must replay merges in the
+    * order they were learned). A step with no surviving merge row (a
+    * corpus that ran out of pairs early) is an identity pass — the
+    * left join + isNull guard keeps the vocabulary intact instead of
+    * cross-joining it away.
+    */
+  private[graft] def bpeApply(wsyms: DataFrame, merges: DataFrame,
+                              rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(wsyms) { (v, step) =>
+      val m = merges.filter(col("step") === step)
+        .select(col("left").as("_l"), col("right").as("_r"))
+      v.join(broadcast(m), lit(true), "left")
+        .select(col("w"),
+          when(col("_l").isNull, col("syms")).otherwise(
+            replace(col("syms"),
+              concat(lit(" "), col("_l"), lit("  "), col("_r"), lit(" ")),
+              concat(lit(" "), col("_l"), col("_r"), lit(" ")))).as("syms"))
+    }
+
   /** Corpus → weighted symbol vocabulary `(syms, freq)`: the ONE
     * corpus-sized pass of BPE training.
     */
@@ -665,7 +713,40 @@ object Text extends QueryModule {
        |  FROM $prev CROSS JOIN t$i t)""".stripMargin
   }
 
+  /** One ENCODE round as a SQL CTE — [[bpeApply]]'s step i mirrored:
+    * the adopted merge arrives as scalar subqueries on t_i, and the
+    * CASE guard reproduces the identity pass for a step that adopted
+    * nothing (scalar subquery over an empty t_i is NULL, which would
+    * otherwise NULL the whole replace).
+    */
+  private def bpeEncodeCte(i: Int): String =
+    s"""e$i AS (
+       |  SELECT w, CASE WHEN (SELECT l FROM t$i) IS NULL THEN syms
+       |    ELSE replace(syms, ' ' || (SELECT l FROM t$i) || '  ' || (SELECT r FROM t$i) || ' ',
+       |                       ' ' || (SELECT l FROM t$i) || (SELECT r FROM t$i) || ' ') END AS syms
+       |  FROM e${i - 1})""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    // Train (the q_bpe_merges chain, fed from the doc_id-carrying word
+    // stream) then encode the distinct-word vocabulary and join counts
+    // back per doc — the same dictionary-coded shape as the query.
+    "q_bpe_encode" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+         |    t -> length(t) > 0)) AS w
+         |  FROM documents),
+         |v0 AS (
+         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
+         |    COUNT(*) AS freq
+         |  FROM dw GROUP BY w),
+         |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
+         |e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
+         |       FROM (SELECT DISTINCT w FROM dw)),
+         |${(1 to BpeRounds).map(bpeEncodeCte).mkString(",\n")},
+         |enc AS (SELECT w, CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sym
+         |        FROM e$BpeRounds)
+         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+         |FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Verified end-to-end since round 11: the loop is deterministic
     // (checkpoint truncation changes plans, never values) and short
     // enough to unroll. v0 is bpeVocab (code-point split — DuckDB's

@@ -185,6 +185,32 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", 11L), (2, "aa", "aa", 3L)))
   }
 
+  test("q_bpe_encode: per-doc symbol counts replay the learned merges; missing steps are identity") {
+    import spark.implicits._
+    // 'aa aa b' can learn exactly ONE merge — (a,a) with count 2 —
+    // so training with rounds=4 yields a 1-row merge table, and
+    // encode's steps 2-4 must be identity passes (the isNull guard):
+    // without it the left-join degenerate of a cross join would empty
+    // the vocabulary and every count below. Expected: 'aa' → [aa]
+    // (1 symbol), 'b' → [b] (1).
+    val docs = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    val merges = functions.Text.bpeMerges(docs, rounds = 4)
+    assert(merges.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      === Seq((1, "a", "a")), "fixture must learn exactly one merge")
+    val words = docs.select($"doc_id",
+      explode(functions.Text.tokens(lower($"text"))).as("w"))
+    val wsyms = words.select($"w").distinct()
+      .select($"w", concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
+    val enc = functions.Text.bpeApply(wsyms, merges, rounds = 4)
+      .select($"w", size(split(trim($"syms"), "  ")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc === Map("aa" -> 1, "b" -> 1))
+    val perDoc = run("q_bpe_encode") // registered query on the real corpus
+    val row = perDoc.limit(1).collect()
+    assert(row.nonEmpty && row(0).getLong(2) >= row(0).getLong(1),
+      "symbols can never be fewer than tokens (every word is ≥1 symbol)")
+  }
+
   test("q_bpe_merges: supplementary-plane symbols merge as code points, not surrogate halves") {
     import spark.implicits._
     // U+1F600 is two UTF-16 chars; if the symbol split broke surrogate
