@@ -199,6 +199,48 @@ class PropertiesSpec extends SparkSpec {
       "no sample ever merged a merged symbol - the generator stopped covering the feedback path")
   }
 
+  test("prop: bpe encode replays the learned merges exactly (driver-walk parity on random corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Same 3-letter generator as the training sweep: merged-side
+    // merges, repeated symbols (the leftmost-greedy trap), and words
+    // no learned pair touches. The driver walk replays the GOT merge
+    // table in step order with the same scan-based greedy merge the
+    // training reference uses.
+    def encodeWord(w: String, merges: Seq[(String, String)]): Int = {
+      var s: Vector[String] = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+          else { b += s(i); i += 1 }
+        }
+        s = b.result()
+      }
+      s.length
+    }
+    val word3 = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, word3).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(3, 15).flatMap(n => Gen.listOfN(n, doc))
+    samples(corpus, 3).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = graft.functions.Text.bpeMerges(df, rounds = 4)
+      val learned = merges.collect().sortBy(_.getInt(0))
+        .map(r => r.getString(1) -> r.getString(2)).toSeq
+      val wsyms = df.select(explode(graft.functions.Text.tokens(lower($"text"))).as("w"))
+        .distinct()
+        .select($"w", concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
+      val got = graft.functions.Text.bpeApply(wsyms, merges, rounds = 4)
+        .select($"w", size(split(trim($"syms"), "  ")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      got.foreach { case (w, n) =>
+        assert(n === encodeWord(w, learned), s"word '$w' under $learned; corpus: $docs")
+      }
+      Storage.releaseAll(spark)
+    }
+  }
+
   test("prop: fixed-point pagerank conserves mass within truncation bounds on random DIRECTED graphs") {
     import spark.implicits._
     import graft.functions.Graph
