@@ -22,6 +22,13 @@ object Curation extends QueryModule {
   /** Per-domain document cap (q_domain_cap). */
   val DomainCap = 10
 
+  /** Token-entropy keep threshold (q_entropy_filter) — nats. ln(50) ≈
+    * 3.9 is the all-distinct ceiling for this corpus's ~50-token docs;
+    * 3.0 sits just under the observed median, so both verdicts are
+    * well-populated at every SF.
+    */
+  val EntropyMin = 3.0
+
   /** Per-source token budget (q_token_budget). */
   val TokenBudget = 500
 
@@ -77,6 +84,38 @@ object Curation extends QueryModule {
        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${SpanLen - 2})) AS i FROM t))""".stripMargin
 
   override def queries: Map[String, Query] = Map(
+    // [EXT] token-entropy quality gate — Shannon entropy of each
+    // document's word distribution, the low-entropy filter that
+    // catches keyword-stuffed / template / repeated-phrase pages the
+    // length and punctuation ratios (q_quality_score) miss. Computed
+    // as ln(n) − Σc·ln(c)/n over per-doc term counts — two hash
+    // aggregates with map-side combine ((doc, term) then doc), state
+    // bounded by per-doc vocabulary, no window and no shuffle of
+    // documents themselves. Entropy rounds at 4dp (sum order differs
+    // across engines); the keep flag compares the ROUNDED value, so
+    // flag and score cannot disagree. Token-less docs keep a row
+    // (left join, zeros) — the gate must emit a verdict per document,
+    // not silently drop the empty ones.
+    "q_entropy_filter" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val ent = tf.groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum($"c")) - sum($"c" * log($"c")) / sum($"c"), 4).as("entropy"))
+      Tables.documents(s, dir).select($"doc_id")
+        .join(ent, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_toks", lit(0L)).as("n_toks"),
+          coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+          coalesce($"entropy", lit(0.0)).as("entropy"),
+          (coalesce($"entropy", lit(0.0)) >= EntropyMin).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
     // [EXT] per-domain quota cap — crawl corpora are dominated by a few
     // boilerplate-heavy domains; cap each at N docs. Priority is the
     // md5 of doc_id (the q_shuffle_shard scheme), NOT rand(): the kept
@@ -333,6 +372,24 @@ object Curation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q_entropy_filter" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '${Text.Ws}+'),
+         |    t -> length(t) > 0)) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |e AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |    COUNT(*) AS n_distinct,
+         |    ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+         |  FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(e.n_toks, 0) AS n_toks,
+         |  COALESCE(e.n_distinct, 0) AS n_distinct,
+         |  COALESCE(e.entropy, 0.0) AS entropy,
+         |  COALESCE(e.entropy, 0.0) >= $EntropyMin AS keep
+         |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_domain_cap" ->
       s"""WITH p AS (
          |  SELECT doc_id, source,

@@ -34,6 +34,12 @@ object Retrieval extends QueryModule {
   /** Every 25th doc_id plays the held-out eval set. */
   val EvalMod = 25
 
+  /** Inverted-index result shape: the [[IndexTerms]] highest-df terms,
+    * each with its first [[PostingsCap]] doc ids.
+    */
+  val IndexTerms = 50
+  val PostingsCap = 10
+
   override def queries: Map[String, Query] = Map(
     // BM25 (Okapi, k1=1.2 b=0.75) of a fixed 3-term query against the
     // corpus. Plan shape: the per-doc length table is computed ONCE and
@@ -78,6 +84,39 @@ object Retrieval extends QueryModule {
     }),
 
     "q_contamination" -> ((s, dir) => contamination(s, dir)),
+
+    // [EXT] Inverted-index build — the term → postings-list
+    // materialization behind every lexical retrieval system (the
+    // BM25/sparse-cosine queries above assume this structure exists;
+    // this operator BUILDS it). Plan shape: one tokenize +
+    // distinct-terms explode (per-doc distinct via array_distinct, so
+    // the explode emits each (doc, term) once), a map-side-combined
+    // df count, the [[IndexTerms]] head of the df table broadcast
+    // back as the term filter, and per-term postings capped at
+    // [[PostingsCap]] via row_number ≤ k — Catalyst rewrites that to
+    // WindowGroupLimit, so no full posting list ever materializes in
+    // one task (the hot-term skew bound: a stopword's millions of
+    // postings truncate inside each partition before the window
+    // sort). Postings ship as a comma-joined string: the index ROW is
+    // the unit of storage, and the driver's compare hashes scalars.
+    "q_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      val posting = Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(array_distinct(Text.tokens(lower($"text")))).as("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val df = posting.groupBy($"term").agg(count(lit(1)).as("df"))
+      val top = broadcast(df.orderBy($"df".desc, $"term".asc).limit(IndexTerms))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"term").orderBy($"doc_id")
+      posting.join(top, Seq("term"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= PostingsCap)
+        .groupBy($"term", $"df")
+        .agg(array_join(transform(sort_array(collect_list($"doc_id")),
+          _.cast("string")), ",").as("postings"))
+        .orderBy($"df".desc, $"term".asc)
+    }),
 
     // [EXT] sparse TF-IDF cosine — related-document search, the SPARSE
     // twin of the dense ANN paths in Vectors: score every corpus doc
@@ -177,6 +216,22 @@ object Retrieval extends QueryModule {
   private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   override def oracles: Map[String, String] = Map(
+    "q_inverted_index" ->
+      s"""WITH posting AS (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '${Text.Ws}+'),
+         |    t -> length(t) > 0)) AS term FROM documents)),
+         |df AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+         |top AS (SELECT term, df FROM df
+         |        ORDER BY df DESC, term LIMIT $IndexTerms)
+         |SELECT top.term, top.df,
+         |  array_to_string(list_slice(
+         |    list(posting.doc_id ORDER BY posting.doc_id), 1, $PostingsCap),
+         |    ',') AS postings
+         |FROM top JOIN posting USING (term)
+         |GROUP BY top.term, top.df
+         |ORDER BY top.df DESC, top.term""".stripMargin,
     "q_sparse_cosine" ->
       s"""WITH tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf

@@ -38,6 +38,15 @@ object Selection extends QueryModule {
   /** Hashed-vocabulary size for the DSIR LMs. */
   val DsirBuckets = 256
 
+  /** Sample size for q_priority_sample. */
+  val PriorityK = 50
+
+  /** Fixed-point scale of the priority key: h < 2²⁸ (7 md5 hex chars)
+    * and scale 2³⁴ keep h·scale < 2⁶² — no signed-64 overflow for any
+    * weight ≥ 1.
+    */
+  val PriorityScale = 1L << 34
+
   /** Hash bucket of a term for the DSIR LMs — md5-prefix scheme (the
     * [[Buckets]] idea at a different modulus), emitted identically by
     * [[dsirBucketSql]] so the two engines can never drift.
@@ -154,6 +163,35 @@ object Selection extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] Priority sampling (Duffield–Lund–Thorup, JACM '07) — a
+    // weight-sensitive size-K sample WITHOUT replacement, the
+    // one-pass/mergeable complement to q_weighted_sample's systematic
+    // (with-replacement) draw: each item gets priority w/u for a
+    // per-item uniform u, and the K highest priorities win —
+    // equivalently the K SMALLEST u/w, which is how it's computed
+    // here. Everything stays exact integer arithmetic (the
+    // q_weighted_sample rule — no RNG, no libm, no pow ulps): u is a
+    // 28-bit md5-derived hash, the comparison key is (h·2³⁴) div w —
+    // a fixed-point rational whose truncation is identical in both
+    // engines — and ties break on doc_id. Plan shape: a pure per-row
+    // projection into TakeOrdered top-K; nothing shuffles but the
+    // per-partition K candidates, which is exactly why bottom-K
+    // priority sampling is the production choice for weighted
+    // sampling at 100 TB (and the per-partition top-Ks merge — the
+    // sketch is mergeable across shards by construction).
+    "q_priority_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", greatest($"n_chars", lit(1L)).as("w"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("ps"), $"doc_id")), 1, 7), 16, 10)
+            .cast("long"))
+        .select($"doc_id", $"w",
+          expr(s"(h * $PriorityScale) div w").as("pkey"))
+        .orderBy($"pkey".asc, $"doc_id".asc)
+        .limit(PriorityK)
+    }),
+
     // [EXT] DSIR importance scores — data selection via importance
     // resampling (Xie et al. '23): fit two unigram LMs over a HASHED
     // vocabulary (DsirBuckets buckets, add-1 smoothing) — one on the
@@ -218,6 +256,13 @@ object Selection extends QueryModule {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS idx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_priority_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+         |    CAST(('0x' || substr(md5('ps' || doc_id), 1, 7)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, w, (h * $PriorityScale) // w AS pkey
+         |FROM k ORDER BY pkey, doc_id LIMIT $PriorityK""".stripMargin,
     "q_dsir_select" ->
       s"""WITH terms AS (
          |  SELECT doc_id, lang,

@@ -16,6 +16,10 @@ object Text extends QueryModule {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
+  /** PMI collocation support floor and result size (q_pmi_bigrams). */
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
   /** Shard count for the deterministic shuffle (q_shuffle_shard) —
     * shared with its SQL twin by interpolation so the two cannot
     * drift. Must divide 2^32 for the md5-prefix mod to be exactly
@@ -47,6 +51,16 @@ object Text extends QueryModule {
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Space-joined bigrams of a PROJECTED token-array attribute — the
+    * [[trigrams]] rule at width 2, shared by the frequency count
+    * (q_top_bigrams) and the association scorer (q_pmi_bigrams) so
+    * the two queries' bigram semantics cannot drift.
+    */
+  def bigrams(tk: Column): Column =
+    when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
 
   /** Space-joined trigrams of a PROJECTED token-array attribute (pass
     * an attribute, not an inline tokenizer — the per-element
@@ -226,10 +240,6 @@ object Text extends QueryModule {
       // sub-expressions per element, so an inline tokenizer would
       // re-run the regex split twice per bigram (see
       // Dedup.shinglesFromTokens; this was 8-9 s of the round 2 bench).
-      def bigrams(tk: Column): Column =
-        when(size(tk) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(tk) - 1),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       Tables.documents(s, dir)
         .select(tokens($"text").as("tk"))
         .select(explode(bigrams($"tk")).as("bigram"))
@@ -237,6 +247,46 @@ object Text extends QueryModule {
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bigram".asc)
         .limit(20)
+    }),
+
+    // [EXT] PMI collocation mining — rank corpus bigrams by pointwise
+    // mutual information ln(p(ab) / (p(a)·p(b))), the phrase-mining
+    // statistic (raw frequency surfaces "of the"; PMI surfaces pairs
+    // that co-occur far above chance — the collocations worth
+    // protecting from tokenizer splits or indexing as units). One
+    // tokenize pass is PINNED (it feeds the unigram AND bigram
+    // counts — the self-join rule); both count tables are
+    // vocabulary-bounded hash aggregates, their totals one-row
+    // broadcasts, and the two unigram probability lookups join on the
+    // term key (vocabulary-sized — the planner broadcasts at any
+    // realistic vocab, and AQE falls back to a shuffle join when a
+    // web-scale vocab outgrows that). The support floor (cnt ≥
+    // [[PmiMinCount]]) is applied BEFORE the joins — low-count pairs
+    // both dominate PMI spuriously and inflate the join — and the
+    // ratio is assembled in doubles with one fixed operand order so
+    // both engines round the same 4dp value.
+    "q_pmi_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      val tk = Tables.documents(s, dir)
+        .select(tokens($"text").as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = tk.select(explode($"tk").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      val uniTot = broadcast(uni.agg(sum($"c").cast("double").as("n")))
+      val bi = tk.select(explode(bigrams($"tk")).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("cab"))
+      val biTot = broadcast(bi.agg(sum($"cab").cast("double").as("nb")))
+      bi.filter($"cab" >= PmiMinCount)
+        .withColumn("t1", split($"bigram", " ").getItem(0))
+        .withColumn("t2", split($"bigram", " ").getItem(1))
+        .join(uni.select($"t".as("t1"), $"c".as("ca")), Seq("t1"))
+        .join(uni.select($"t".as("t2"), $"c".as("cb")), Seq("t2"))
+        .crossJoin(uniTot).crossJoin(biTot)
+        .select($"bigram", $"cab",
+          round(log(($"cab".cast("double") * $"n" * $"n") /
+            ($"nb" * $"ca".cast("double") * $"cb".cast("double"))), 4).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram".asc)
+        .limit(PmiTopK)
     }),
 
     // [EXT] BPE pair counting — the inner loop of tokenizer TRAINING
@@ -850,6 +900,30 @@ object Text extends QueryModule {
         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
         |SELECT bigram, COUNT(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_pmi_bigrams" ->
+      s"""WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '$Ws+'),
+        |                     t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t, COUNT(*) AS c
+        |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+        |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+        |bi AS (
+        |  SELECT bigram, COUNT(*) AS cab FROM (
+        |    SELECT tk[i] || ' ' || tk[i+1] AS bigram
+        |    FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks))
+        |  GROUP BY bigram),
+        |nb AS (SELECT CAST(SUM(cab) AS DOUBLE) AS nb FROM bi)
+        |SELECT bi.bigram, bi.cab,
+        |  ROUND(ln((CAST(bi.cab AS DOUBLE) * n.n * n.n) /
+        |    (nb.nb * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+        |FROM bi
+        |JOIN uni u1 ON u1.t = string_split(bi.bigram, ' ')[1]
+        |JOIN uni u2 ON u2.t = string_split(bi.bigram, ' ')[2]
+        |CROSS JOIN n CROSS JOIN nb
+        |WHERE bi.cab >= $PmiMinCount
+        |ORDER BY pmi DESC, bi.bigram LIMIT $PmiTopK""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (
         |  SELECT doc_id,

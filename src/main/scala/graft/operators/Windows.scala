@@ -147,7 +147,51 @@ object Windows extends QueryModule {
     // ranked, so the fix has to be structural).
     "q_window_ntile" -> ((s, dir) =>
       distributionScaled(Tables.orders(s, dir))),
+
+    // [EXT] Time-series gap fill — resample each user's event stream
+    // to a dense daily grid and forward-fill missing days (the
+    // last-observation-carried-forward shape every metrics/feature
+    // pipeline needs before training on regular-interval series).
+    // Plan shape: daily partial-aggregated sums (one shuffle on
+    // (user, day)), per-user span as a tiny aggregate, the calendar
+    // densified by a `sequence` GENERATOR (rows are produced inside
+    // the user's partition — no driver-side date loop, no cross join
+    // against a calendar table), then one left join back and a
+    // per-user ignore-nulls `last` window. Everything partitions on
+    // user_id; the grid is |users|·|days| rows, never a global
+    // product. Daily sums round at 4dp before the fill (sum order
+    // differs across engines — the q_tfidf contract), so the carried
+    // value is bit-identical to the value it copies.
+    "q_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .filter($"user_id" < GapFillUsers)
+        .groupBy($"user_id", to_date($"ts").as("d"))
+        .agg(round(sum($"value"), 4).as("v"))
+      val cal = daily.groupBy($"user_id")
+        .agg(min($"d").as("mn"), max($"d").as("mx"))
+        .select($"user_id",
+          explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("d"))
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The day ships as midnight TIMESTAMP, not DATE: parquet date32
+      // round-trips through the driver's pandas compare as python
+      // `date` objects (dtype `object`) while the DuckDB side arrives
+      // datetime64 — a guaranteed schema-drift row for identical
+      // values. Same convention as every o_orderdate output.
+      cal.join(daily, Seq("user_id", "d"), "left")
+        .select($"user_id", $"d".cast("timestamp").as("d"),
+          last($"v", ignoreNulls = true).over(w).as("v_filled"),
+          $"v".isNull.as("was_gap"))
+        .orderBy($"user_id", $"d")
+    }),
   )
+
+  /** Gap-fill user slice bound — keeps the densified grid a stable,
+    * scale-independent size for the oracle while exercising the full
+    * generator + fill plan (a production run drops the filter).
+    */
+  val GapFillUsers = 40
 
   /** The distribution triple of `q_window_ntile` — ntile(4),
     * percent_rank, cume_dist per group — with NO per-group
@@ -267,5 +311,23 @@ object Windows extends QueryModule {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS v
+         |  FROM events WHERE user_id < $GapFillUsers
+         |  GROUP BY user_id, CAST(ts AS DATE)),
+         |cal AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+         |  FROM (SELECT user_id, MIN(d) AS mn, MAX(d) AS mx
+         |        FROM daily GROUP BY user_id)),
+         |j AS (
+         |  SELECT cal.user_id, cal.d, daily.v
+         |  FROM cal LEFT JOIN daily USING (user_id, d))
+         |SELECT user_id, CAST(d AS TIMESTAMP) AS d,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         |  v IS NULL AS was_gap
+         |FROM j ORDER BY user_id, d""".stripMargin,
   )
 }

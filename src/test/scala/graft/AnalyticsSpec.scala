@@ -127,4 +127,38 @@ class AnalyticsSpec extends SparkSpec {
       s"skew_factor $skew far from ${maxC / avgC}")
     assert(skew >= 1.0, "max/avg can never undercut 1")
   }
+
+  test("q_gap_fill: dense consecutive daily grid; fill carries the latest observation") {
+    import spark.implicits._
+    val rows = run("q_gap_fill").collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond / 86400,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // Independent daily sums — same engine, same rounding, NO window/
+    // generator machinery: what the non-gap rows must reproduce.
+    val daily = Tables.events(spark, sf)
+      .filter($"user_id" < operators.Windows.GapFillUsers)
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(round(sum($"value"), 4).as("v")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay, r.getDouble(2)))
+      .map { case (u, d, v) => (u, d) -> v }.toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // Dense: one row per day, consecutive from the user's first to
+      // last observed day — the generator left no holes.
+      assert(sorted.map(_._2).toSeq ===
+        (sorted.head._2 to sorted.last._2).toSeq, s"user $u grid has holes")
+      assert(!sorted.head._4, s"user $u starts with a gap row")
+      var carried = Double.NaN
+      sorted.foreach { case (_, d, v, wasGap) =>
+        if (!wasGap) {
+          assert(daily((u, d)) == v, s"user $u day $d: $v != daily sum")
+          carried = v
+        } else {
+          assert(!daily.contains((u, d)), s"user $u day $d marked gap but has events")
+          assert(v == carried, s"user $u day $d: gap fill $v != carried $carried")
+        }
+      }
+    }
+  }
 }

@@ -196,4 +196,79 @@ class OperatorBreadthSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(draw() === draw(), "sampleBy with a fixed seed must be repeatable")
   }
+
+  /** Driver-side whitespace tokenizer — the same char class the engine
+    * and oracles pin (Text.Ws), reimplemented independently.
+    */
+  private def toksOf(text: String): Seq[String] =
+    text.toLowerCase.split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty).toSeq
+
+  test("q_entropy_filter: entropy matches a driver recompute; keep flag reads the rounded value") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("q_entropy_filter").collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val (id, nToks, nDistinct, ent, keep) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      val tk = toksOf(texts(id))
+      assert(nToks == tk.length, s"doc $id token count")
+      assert(nDistinct == tk.distinct.length, s"doc $id distinct count")
+      val expected = if (tk.isEmpty) 0.0 else {
+        val n = tk.length.toDouble
+        val cs = tk.groupBy(identity).values.map(_.size.toDouble)
+        math.log(n) - cs.map(c => c * math.log(c)).sum / n
+      }
+      // Driver sum order differs from the engine's — one rounding ulp
+      // of slack, not a reimplementation of round-half-up.
+      assert(math.abs(ent - expected) < 1.5e-4, s"doc $id entropy $ent vs $expected")
+      assert(keep == (ent >= functions.Curation.EntropyMin),
+        s"doc $id keep flag disagrees with its own rounded entropy")
+    }
+  }
+
+  test("q_pmi_bigrams: PMI matches a driver recompute over corpus counts") {
+    import spark.implicits._
+    // Engine tokenization for bigrams is on RAW text (the
+    // q_top_bigrams convention) — mirror that, not toksOf's lowercase.
+    val toks = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0).split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    val bi = toks.flatMap(tk => tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (g, xs) => g -> xs.size.toDouble }
+    val (n, nb) = (uni.values.sum, bi.values.sum)
+    val expected = bi.filter(_._2 >= functions.Text.PmiMinCount)
+      .map { case (g, cab) =>
+        val Array(t1, t2) = g.split(" ", 2)
+        g -> math.log(cab * n * n / (nb * uni(t1) * uni(t2)))
+      }
+    val got = run("q_pmi_bigrams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == functions.Text.PmiTopK)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse, "pmi not descending")
+    got.foreach { case (g, cab, pmi) =>
+      assert(bi(g) == cab.toDouble, s"bigram '$g' count")
+      assert(math.abs(pmi - expected(g)) < 1.5e-4, s"bigram '$g' pmi $pmi vs ${expected(g)}")
+    }
+  }
+
+  test("q_inverted_index: df and capped postings match a driver-built index") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> toksOf(r.getString(1)).distinct)
+    val index = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) =>
+        val ids = xs.map(_._2).sorted
+        t -> (ids.length.toLong, ids.take(functions.Retrieval.PostingsCap).mkString(","))
+      }
+    val expected = index.toSeq
+      .map { case (t, (df, ps)) => (t, df, ps) }
+      .sortBy { case (t, df, _) => (-df, t) }
+      .take(functions.Retrieval.IndexTerms)
+    val got = run("q_inverted_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === expected)
+    Storage.releaseAll(spark)
+  }
 }

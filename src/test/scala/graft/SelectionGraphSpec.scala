@@ -191,4 +191,70 @@ class SelectionGraphSpec extends SparkSpec {
       s"dangling mass lost: $total vs ${Graph.RankScale}")
     Storage.releaseAll(spark)
   }
+
+  /** Independent driver-side brute force of the capped-basket pair
+    * counts — the common input of q_copurchase and q_triangle_count.
+    */
+  private def bruteForcePairs(): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    val baskets = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    baskets.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val capped = rows.map(_._2).distinct.sorted.take(Graph.MaxBasket)
+      for (i <- capped.indices; j <- i + 1 until capped.length)
+        yield (capped(i), capped(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+  }
+
+  test("q_copurchase: top pairs equal a driver-side brute force over capped baskets") {
+    val expected = bruteForcePairs().toSeq
+      .map { case ((s1, s2), n) => (s1, s2, n) }
+      .sortBy { case (s1, s2, n) => (-n, s1, s2) }
+      .take(Graph.CopurchaseTopK)
+    val got = run("q_copurchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    Storage.releaseAll(spark)
+  }
+
+  test("q_triangle_count: per-node counts equal brute-force triangle enumeration") {
+    // toSeq first: .collect on a Map yielding pairs would rebuild a
+    // Map and collapse every a's edges to one entry.
+    val edges = bruteForcePairs().toSeq.collect {
+      case ((a, b), n) if n >= Graph.MinSupport => (a, b)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triangles = for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)
+    val perNode = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }.toSeq
+      .sortBy { case (n, c) => (-c, n) }.take(Graph.TriangleTopK)
+    val got = run("q_triangle_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(triangles.nonEmpty, "fixture must actually contain triangles")
+    assert(got === perNode)
+    Storage.releaseAll(spark)
+  }
+
+  test("q_priority_sample: exact bottom-K of the fixed-point priority keys") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = Tables.documents(spark, sf).select($"doc_id", $"n_chars").collect()
+      .map { r =>
+        val (id, w) = (r.getLong(0), math.max(r.getLong(1), 1L))
+        val h = java.lang.Long.parseLong(md5hex(s"ps$id").take(7), 16)
+        (id, w, (h * Selection.PriorityScale) / w)
+      }
+    val expected = all.sortBy { case (id, _, k) => (k, id) }
+      .take(Selection.PriorityK).toSeq
+    val got = run("q_priority_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
 }
