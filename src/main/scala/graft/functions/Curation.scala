@@ -187,6 +187,48 @@ object Curation extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] bigram-LM fluency score — the sequence-model upgrade of
+    // q_unigram_lm's bag-of-words score, and the shape of perplexity
+    // filtering (CCNet trains a KenLM and keeps low-perplexity text;
+    // an n-gram LM over the corpus is that filter's SQL-expressible
+    // core). Per doc: mean −ln p(wᵢ | wᵢ₋₁) over its bigram
+    // occurrences, with add-1 smoothing p = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V)
+    // — context counts are unigram occurrence counts, V the unigram
+    // vocabulary. One tokenize pass is PINNED and feeds all three
+    // reads (bigram instances, bigram counts, context counts); counts
+    // are vocabulary-bounded hash aggregates joined back on the
+    // bigram/context keys with map-side combine; V and nothing else
+    // arrives by one-row broadcast. Docs under 2 tokens keep a row
+    // with nll 0 (the unigram_lm left-join rule). Lower = more
+    // fluent; rounded 4dp (avg order differs across engines).
+    "q_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inst = toks
+        .select($"doc_id", explode(Text.bigrams($"tk")).as("bigram"))
+        .withColumn("ctx", split($"bigram", " ").getItem(0))
+      val bcnt = inst.groupBy($"bigram").agg(count(lit(1)).as("cb"))
+      val ucnt = toks.select(explode($"tk").as("ctx"))
+        .groupBy($"ctx").agg(count(lit(1)).as("cu"))
+      val vocab = broadcast(ucnt.agg(count(lit(1)).as("v")))
+      val scored = inst
+        .join(bcnt, Seq("bigram"))
+        .join(ucnt, Seq("ctx"))
+        .crossJoin(vocab)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          avg(-log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double"))).as("s"))
+      docs.select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_big", lit(0L)).cast("int").as("n_big"),
+          round(coalesce($"s", lit(0.0)), 4).as("nll"))
+        .orderBy($"doc_id")
+    }),
+
     // [EXT] cross-document n-gram novelty — the corpus-level
     // duplicated-n-gram rule (Gopher/Dolma): for each doc, the
     // fraction of its DISTINCT trigrams that appear in at least one
@@ -389,6 +431,29 @@ object Curation extends QueryModule {
          |  COALESCE(e.entropy, 0.0) AS entropy,
          |  COALESCE(e.entropy, 0.0) >= $EntropyMin AS keep
          |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '${Text.Ws}+'),
+         |    t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |inst AS (
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS ctx
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |bcnt AS (SELECT bigram, COUNT(*) AS cb FROM inst GROUP BY bigram),
+         |ucnt AS (SELECT ctx, COUNT(*) AS cu
+         |         FROM (SELECT unnest(tk) AS ctx FROM toks) GROUP BY ctx),
+         |vv AS (SELECT COUNT(*) AS v FROM ucnt),
+         |sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_big,
+         |    AVG(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))) AS s
+         |  FROM inst JOIN bcnt USING (bigram) JOIN ucnt USING (ctx)
+         |  CROSS JOIN vv
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(sc.n_big, 0) AS INT) AS n_big,
+         |  ROUND(COALESCE(sc.s, 0.0), 4) AS nll
+         |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "q_domain_cap" ->
       s"""WITH p AS (

@@ -216,6 +216,7 @@ object Graph extends QueryModule {
   val MinSupport = 5
   val CopurchaseTopK = 50
   val TriangleTopK = 20
+  val LinkTopK = 30
 
   /** Capped per-customer supplier baskets — the shared input of the
     * co-occurrence pair count and (through it) the triangle count.
@@ -245,10 +246,15 @@ object Graph extends QueryModule {
     * distinct + window would execute once per side whenever exchange
     * reuse doesn't fire (the q_pagerank tradeEdges lesson).
     */
-  private def copurchasePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val b = cappedBaskets(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def copurchasePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    pairsFrom(cappedBaskets(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Oriented pair support over an already-PINNED basket table — split
+    * out so q_link_predict can derive pairs AND degrees from one pin.
+    */
+  private def pairsFrom(b: DataFrame): DataFrame = {
+    import b.sparkSession.implicits._
     b.select($"c", $"sk".as("s1"))
       .join(b.select($"c", $"sk".as("s2")), Seq("c"))
       .filter($"s1" < $"s2")
@@ -305,6 +311,34 @@ object Graph extends QueryModule {
         .orderBy($"n_triangles".desc, $"node")
         .limit(TriangleTopK)
     }),
+
+    // [EXT] Link prediction by neighbor-set Jaccard — score each
+    // thresholded co-purchase edge by |N(a)∩N(b)| / |N(a)∪N(b)| over
+    // the (capped) customer neighborhoods, the classic common-
+    // neighbors similarity behind item-item recommendation and
+    // missing-link scoring. The intersection IS the pair support the
+    // co-occurrence count already computed, and the union is
+    // inclusion–exclusion off two degree lookups — so the whole score
+    // costs two broadcast joins against a |suppliers|-row degree
+    // table on top of the pair count; the neighborhoods themselves
+    // are never re-touched (at 100 TB that is the difference between
+    // a metadata join and re-intersecting sets). One basket pin feeds
+    // pairs AND degrees. The ratio is one double division of exact
+    // integers, identical in both engines.
+    "q_link_predict" -> ((s, dir) => {
+      import s.implicits._
+      val b = cappedBaskets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = b.groupBy($"sk").agg(count(lit(1)).as("deg"))
+      pairsFrom(b).filter($"support" >= MinSupport)
+        .join(broadcast(deg.select($"sk".as("s1"), $"deg".as("da"))), Seq("s1"))
+        .join(broadcast(deg.select($"sk".as("s2"), $"deg".as("db"))), Seq("s2"))
+        .select($"s1", $"s2", $"support",
+          round($"support".cast("double") /
+            ($"da" + $"db" - $"support").cast("double"), 4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"s1", $"s2")
+        .limit(LinkTopK)
+    }),
   )
 
   /** One PageRank round as a SQL CTE pair — generated from the SAME
@@ -352,6 +386,15 @@ object Graph extends QueryModule {
          |pernode AS (SELECT unnest([a, b, c]) AS node FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM pernode
          |GROUP BY node ORDER BY n_triangles DESC, node LIMIT $TriangleTopK""".stripMargin,
+    "q_link_predict" ->
+      s"""$copurchaseCtes,
+         |deg AS (SELECT sk, COUNT(*) AS deg FROM capped GROUP BY sk)
+         |SELECT pr.s1, pr.s2, pr.support,
+         |  ROUND(CAST(pr.support AS DOUBLE) /
+         |    CAST(d1.deg + d2.deg - pr.support AS DOUBLE), 4) AS jaccard
+         |FROM pr JOIN deg d1 ON d1.sk = pr.s1 JOIN deg d2 ON d2.sk = pr.s2
+         |WHERE pr.support >= $MinSupport
+         |ORDER BY jaccard DESC, pr.s1, pr.s2 LIMIT $LinkTopK""".stripMargin,
   )
 
   /** Shared basket→pair CTE chain — ONE spelling of the capped-basket

@@ -41,6 +41,9 @@ object Selection extends QueryModule {
   /** Sample size for q_priority_sample. */
   val PriorityK = 50
 
+  /** Feature dimension for the hashing-trick vectorizer. */
+  val FeatureBuckets = 64
+
   /** Fixed-point scale of the priority key: h < 2²⁸ (7 md5 hex chars)
     * and scale 2³⁴ keep h·scale < 2⁶² — no signed-64 overflow for any
     * weight ≥ 1.
@@ -163,6 +166,28 @@ object Selection extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT] hashing-trick feature vectorization (Weinberger et al.
+    // '09) — per-doc sparse bag-of-words features over a FIXED
+    // [[FeatureBuckets]]-dimensional hashed vocabulary, the
+    // vectorizer that needs no fitted dictionary: bucket = md5(term)
+    // mod D, so feature extraction is a pure map and the model side
+    // never ships a vocab file. Output is the sparse COO triple
+    // (doc_id, bucket, cnt) — one explode into one map-side-combined
+    // hash aggregate whose per-doc state is ≤ D however large the
+    // vocabulary, the same fixed-memory property the DSIR LMs above
+    // exploit. Dense assembly is q_vec_assemble's job; sparse rows
+    // are what survive 100 TB.
+    "q_feature_hash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+        .select($"doc_id",
+          (conv(substring(md5($"term"), 1, 8), 16, 10).cast("long")
+            % FeatureBuckets).as("bucket"))
+        .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy($"doc_id", $"bucket")
+    }),
+
     // [EXT] Priority sampling (Duffield–Lund–Thorup, JACM '07) — a
     // weight-sensitive size-K sample WITHOUT replacement, the
     // one-pass/mergeable complement to q_weighted_sample's systematic
@@ -256,6 +281,16 @@ object Selection extends QueryModule {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS idx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_feature_hash" ->
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+         |    % $FeatureBuckets AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM (SELECT doc_id, unnest(list_filter(
+         |  string_split_regex(lower(text), '${Text.Ws}+'),
+         |  t -> length(t) > 0)) AS term FROM documents)
+         |GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin,
     "q_priority_sample" ->
       s"""WITH k AS (
          |  SELECT doc_id, GREATEST(n_chars, 1) AS w,

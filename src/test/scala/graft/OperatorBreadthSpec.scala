@@ -253,6 +253,52 @@ class OperatorBreadthSpec extends SparkSpec {
     }
   }
 
+  test("q_bigram_lm: nll matches a driver-trained add-1 bigram model") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> toksOf(r.getString(1)))
+    val bcnt = toks.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val ucnt = toks.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val v = ucnt.size
+    val expected = toks.map { case (id, tk) =>
+      val bs = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val s = if (bs.isEmpty) 0.0 else
+        bs.map { g =>
+          val ctx = g.split(" ", 2)(0)
+          -math.log((bcnt(g) + 1).toDouble / (ucnt(ctx) + v).toDouble)
+        }.sum / bs.length
+      id -> (bs.length, s)
+    }.toMap
+    val got = run("q_bigram_lm").collect()
+    assert(got.length == toks.length)
+    got.foreach { r =>
+      val (id, nBig, nll) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val (en, es) = expected(id)
+      assert(nBig == en, s"doc $id bigram count $nBig vs $en")
+      assert(math.abs(nll - es) < 1.5e-4, s"doc $id nll $nll vs $es")
+    }
+  }
+
+  test("q_feature_hash: buckets and counts match a driver-side hashed vectorizer") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        toksOf(r.getString(1)).map { t =>
+          (r.getLong(0), java.lang.Long.parseLong(md5hex(t).take(8), 16)
+            % functions.Selection.FeatureBuckets)
+        }
+      }
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }
+      .toSeq.sortBy { case (d, b, _) => (d, b) }
+    val got = run("q_feature_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q_inverted_index: df and capped postings match a driver-built index") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")

@@ -240,6 +240,31 @@ class SelectionGraphSpec extends SparkSpec {
     Storage.releaseAll(spark)
   }
 
+  test("q_link_predict: jaccard equals intersection over union of capped neighborhoods") {
+    import spark.implicits._
+    val pairs = bruteForcePairs()
+    // Independent degree recompute — the same capped baskets, counted
+    // per supplier.
+    val deg = {
+      val baskets = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey", $"l_suppkey").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      baskets.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.map(_._2).distinct.sorted.take(Graph.MaxBasket)
+      }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    }
+    val expected = pairs.toSeq.collect {
+      case ((a, b), n) if n >= Graph.MinSupport =>
+        val j = n.toDouble / (deg(a) + deg(b) - n).toDouble
+        (a, b, n, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(Graph.LinkTopK)
+    val got = run("q_link_predict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    Storage.releaseAll(spark)
+  }
+
   test("q_priority_sample: exact bottom-K of the fixed-point priority keys") {
     import spark.implicits._
     def md5hex(s: String): String =
