@@ -14,6 +14,8 @@ object SparkEntry {
     operators.SetOps,
     operators.Joins,
     operators.Windows,
+    operators.Stats,
+    operators.Mining,
     sources.Csv,
     sources.Jsonl,
     sources.Orc,

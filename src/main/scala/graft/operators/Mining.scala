@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** [EXT] Rule mining, profiling & entity resolution (SURVEY §2.13) —
+  * the feature-engineering and data-audit operators between raw
+  * ingest and model input: association rules over order baskets
+  * (support/confidence/lift — the directed stage after
+  * `q_copurchase`'s pair counting), rare-category collapse, blocked
+  * fuzzy matching (the blocking trick that keeps entity resolution
+  * out of all-pairs territory), per-column null/distinct audits, and
+  * χ² term-class association for supervised feature selection.
+  *
+  * Scale discipline: baskets self-join on the order key with bounded
+  * per-order width (never all-pairs across orders); fuzzy matching
+  * compares only within blocking-key buckets; category and term
+  * statistics shuffle (key, partial count) pairs with map-side
+  * combine; parameter tables (category counts, class totals)
+  * broadcast back to the row stream.
+  */
+object Mining extends QueryModule {
+
+  /** Minimum basket co-occurrence count for a rule (absolute — the
+    * fixture's basket width is fixed, so support counts scale with
+    * row count and the threshold prunes the n_ab=1-2 noise floor).
+    */
+  val MinPairSupport = 3
+
+  /** Rules kept, by descending lift. */
+  val RulesTopK = 40
+
+  /** A category is rare when its share is below 1/27 of rows — a
+    * RELATIVE cut, so the collapse is scale-invariant (an absolute
+    * count threshold would collapse everything at sf0.001 and nothing
+    * at sf1).
+    */
+  val RareDenom = 27
+
+  /** Maximum edit distance for a fuzzy block match. */
+  val FuzzyMaxDist = 2
+
+  /** Minimum document frequency for a χ²-scored term. */
+  val ChisqMinDf = 5
+
+  /** Terms kept by descending χ². */
+  val ChisqTopK = 30
+
+  override def queries: Map[String, Query] = Map(
+    // Association rules a⇒b over order baskets: support n_ab/n_orders,
+    // confidence n_ab/n_a, lift conf/(n_b/n_orders). The pair join is
+    // the A-Priori candidate stage — an equi-self-join on l_orderkey
+    // whose cost is Σ width², bounded by the per-order line count
+    // (≤7 in TPC-H shape), never |items|². Item and order totals are
+    // integer counts; ratios are computed identically in both engines
+    // from exact integers. Directed pairs (a≠b, both directions) so
+    // confidence is per-antecedent.
+    "q_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val nOrders = items.agg(countDistinct($"l_orderkey").as("n_orders"))
+      val itemCnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+      val pairs = items.select($"l_orderkey", $"l_partkey".as("antecedent"))
+        .join(items.select($"l_orderkey", $"l_partkey".as("consequent")),
+          Seq("l_orderkey"))
+        .filter($"antecedent" =!= $"consequent")
+        .groupBy($"antecedent", $"consequent").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= MinPairSupport)
+      pairs
+        .join(itemCnt.select($"l_partkey".as("antecedent"), $"n_item".as("n_a")),
+          Seq("antecedent"))
+        .join(itemCnt.select($"l_partkey".as("consequent"), $"n_item".as("n_b")),
+          Seq("consequent"))
+        .crossJoin(broadcast(nOrders))
+        .select($"antecedent", $"consequent", $"n_ab",
+          round($"n_ab".cast("double") / $"n_orders", 6).as("support"),
+          round($"n_ab".cast("double") / $"n_a", 6).as("confidence"),
+          round($"n_ab".cast("double") * $"n_orders"
+            / ($"n_a".cast("double") * $"n_b"), 6).as("lift"))
+        .orderBy($"lift".desc, $"antecedent", $"consequent")
+        .limit(RulesTopK)
+    }),
+
+    // Rare-category collapse: brands under a RELATIVE frequency cut
+    // fold into 'OTHER' before re-aggregation — the cardinality-
+    // control step before one-hot/target encoding. The count table is
+    // |categories| rows, broadcast back to the row stream; the
+    // collapse itself is a codegen'd when/otherwise, no second
+    // shuffle wider than the collapsed key domain.
+    "q_rare_collapse" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.part(s, dir)
+      val counts = p.groupBy($"p_brand").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum($"cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      p.join(broadcast(counts), "p_brand")
+        .withColumn("brand_c",
+          when($"cnt" * RareDenom < $"total", lit("OTHER")).otherwise($"p_brand"))
+        .groupBy($"brand_c")
+        .agg(count(lit(1)).as("n"), countDistinct($"p_brand").as("n_brands"))
+        .orderBy($"brand_c")
+    }),
+
+    // Blocked fuzzy matching over part names — entity resolution's
+    // blocking pattern: candidate pairs form ONLY within a blocking
+    // key (the name's final word), then an edit-distance filter keeps
+    // near-matches. Work is Σ block², bounded by the blocking-key
+    // distribution, never |names|² — the same never-all-pairs
+    // argument as the MinHash band join. Orientation n1 < n2 emits
+    // each pair once.
+    "q_fuzzy_block_join" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables.part(s, dir).select($"p_name").distinct()
+        .withColumn("block", element_at(split($"p_name", " "), -1))
+      names.select($"block", $"p_name".as("n1"))
+        .join(names.select($"block", $"p_name".as("n2")), Seq("block"))
+        .filter($"n1" < $"n2")
+        .withColumn("dist", levenshtein($"n1", $"n2"))
+        .filter($"dist" <= FuzzyMaxDist)
+        .select($"block", $"n1", $"n2", $"dist")
+        .orderBy($"block", $"n1", $"n2")
+    }),
+
+    // Per-column audit of the events table: row count, nulls,
+    // exact distinct — the schema-drift / completeness gate a
+    // pipeline runs on every new batch. ONE aggregation pass computes
+    // every statistic (Catalyst expands the multi-distinct), then a
+    // stack() generator unpivots the single row into one row per
+    // column — the audit never scans the table per column.
+    "q_null_audit" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          count($"event_type").as("nn_et"), countDistinct($"event_type").as("nd_et"),
+          count($"user_id").as("nn_uid"), countDistinct($"user_id").as("nd_uid"),
+          count($"value").as("nn_val"), countDistinct($"value").as("nd_val"),
+          count($"props").as("nn_pr"), countDistinct($"props").as("nd_pr"))
+        .selectExpr(
+          """stack(4,
+            |  'event_type', n - nn_et, nd_et,
+            |  'props',      n - nn_pr, nd_pr,
+            |  'user_id',    n - nn_uid, nd_uid,
+            |  'value',      n - nn_val, nd_val
+            |) as (column_name, n_null, n_distinct)""".stripMargin,
+          "n")
+        .select($"column_name", $"n", $"n_null", $"n_distinct",
+          // NULLIF guard: an audited table CAN be empty (n = 0), and
+          // ANSI mode makes 0/0 an error, not NaN.
+          round($"n_null".cast("double") / nullif($"n", lit(0L)), 6).as("frac_null"))
+        .orderBy($"column_name")
+    }),
+
+    // χ² term–class association (en vs rest) — supervised feature
+    // selection over document presence counts. Presence (not raw
+    // frequency): distinct (doc, term) after the shared tokenizer.
+    // The 2×2 table per term comes from one groupBy over exploded
+    // presence rows; class totals are a 1-row broadcast. χ² =
+    // N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) in doubles (the integer
+    // products overflow a long past ~1e5 docs; both engines run the
+    // identical double formula on exact integer inputs).
+    "q_chisq_terms" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", ($"lang" === "en").as("pos"),
+          explode(array_distinct(Text.tokens(lower($"text")))).as("term"))
+      val totals = Tables.documents(s, dir).agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("np"),
+        sum(when($"lang" === "en", 0L).otherwise(1L)).as("nn"))
+      docs.groupBy($"term")
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("a"),
+          sum(when($"pos", 0L).otherwise(1L)).as("b"))
+        .filter($"a" + $"b" >= ChisqMinDf)
+        .crossJoin(broadcast(totals))
+        .withColumn("c", ($"np" - $"a").cast("double"))
+        .withColumn("d", ($"nn" - $"b").cast("double"))
+        .withColumn("ad", $"a".cast("double"))
+        .withColumn("bd", $"b".cast("double"))
+        .select($"term", ($"a" + $"b").as("df"),
+          round(($"np" + $"nn").cast("double")
+            * pow($"ad" * $"d" - $"bd" * $"c", 2)
+            / (($"ad" + $"bd") * ($"c" + $"d")
+              * ($"ad" + $"c") * ($"bd" + $"d")), 4).as("chi2"))
+        .orderBy($"chi2".desc, $"term")
+        .limit(ChisqTopK)
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+         |item_cnt AS (
+         |  SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey),
+         |pairs AS (
+         |  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         |    COUNT(*) AS n_ab
+         |  FROM items a JOIN items b USING (l_orderkey)
+         |  WHERE a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= $MinPairSupport)
+         |SELECT antecedent, consequent, n_ab,
+         |  ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+         |  ROUND(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+         |  ROUND(CAST(n_ab AS DOUBLE) * n_orders
+         |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+         |FROM pairs
+         |JOIN item_cnt ia ON ia.l_partkey = antecedent
+         |JOIN item_cnt ib ON ib.l_partkey = consequent
+         |CROSS JOIN n_orders
+         |ORDER BY lift DESC, antecedent, consequent
+         |LIMIT $RulesTopK""".stripMargin,
+    "q_rare_collapse" ->
+      s"""WITH counts AS (
+         |  SELECT p_brand, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+         |  FROM part GROUP BY p_brand)
+         |SELECT CASE WHEN c.cnt * $RareDenom < c.total
+         |    THEN 'OTHER' ELSE p.p_brand END AS brand_c,
+         |  COUNT(*) AS n,
+         |  COUNT(DISTINCT p.p_brand) AS n_brands
+         |FROM part p JOIN counts c USING (p_brand)
+         |GROUP BY 1 ORDER BY brand_c""".stripMargin,
+    "q_fuzzy_block_join" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT p_name,
+         |    string_split(p_name, ' ')[-1] AS block
+         |  FROM part)
+         |SELECT a.block, a.p_name AS n1, b.p_name AS n2,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         |FROM names a JOIN names b
+         |  ON a.block = b.block AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+         |ORDER BY a.block, n1, n2""".stripMargin,
+    "q_null_audit" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(event_type) AS nn_et, COUNT(DISTINCT event_type) AS nd_et,
+        |    COUNT(user_id) AS nn_uid, COUNT(DISTINCT user_id) AS nd_uid,
+        |    COUNT("value") AS nn_val, COUNT(DISTINCT "value") AS nd_val,
+        |    COUNT(props) AS nn_pr, COUNT(DISTINCT props) AS nd_pr
+        |  FROM events),
+        |u AS (
+        |  SELECT 'event_type' AS column_name, n, n - nn_et AS n_null, nd_et AS n_distinct FROM a
+        |  UNION ALL SELECT 'props', n, n - nn_pr, nd_pr FROM a
+        |  UNION ALL SELECT 'user_id', n, n - nn_uid, nd_uid FROM a
+        |  UNION ALL SELECT 'value', n, n - nn_val, nd_val FROM a)
+        |SELECT column_name, n, n_null, n_distinct,
+        |  ROUND(CAST(n_null AS DOUBLE) / NULLIF(n, 0), 6) AS frac_null
+        |FROM u ORDER BY column_name""".stripMargin,
+    "q_chisq_terms" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, lang = 'en' AS pos,
+         |    unnest(list_filter(string_split_regex(lower(text), '${Text.Ws}+'),
+         |      t -> length(t) > 0)) AS term
+         |  FROM documents),
+         |totals AS (
+         |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+         |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT term,
+         |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS a,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS b
+         |  FROM pres GROUP BY term
+         |  HAVING SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+         |    + SUM(CASE WHEN pos THEN 0 ELSE 1 END) >= $ChisqMinDf)
+         |SELECT term, CAST(a + b AS BIGINT) AS df,
+         |  ROUND(CAST(np + nn AS DOUBLE)
+         |    * POWER(CAST(a AS DOUBLE) * (nn - b) - CAST(b AS DOUBLE) * (np - a), 2)
+         |    / ((CAST(a AS DOUBLE) + b) * ((np - a) + CAST(nn - b AS DOUBLE))
+         |      * (CAST(a AS DOUBLE) + (np - a)) * (CAST(b AS DOUBLE) + (nn - b))), 4)
+         |    AS chi2
+         |FROM cnt CROSS JOIN totals
+         |ORDER BY chi2 DESC, term LIMIT $ChisqTopK""".stripMargin,
+  )
+}

@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distribution & experiment statistics (SURVEY §2.13) — the
+  * "measure the data before you train on it" layer: concentration
+  * (Gini), two-sample drift (KS), digit-distribution fraud checks
+  * (Benford), robust per-group scaling (median/MAD), A/B conversion
+  * testing (two-proportion z), time-decayed engagement, and
+  * event-transition matrices. The reference's analytics stop at
+  * cluster profiling (`Code/flight_analysis.py:147-152`); these are
+  * the distribution-shift / experimentation statistics a production
+  * pipeline runs next to it.
+  *
+  * Scale discipline shared by the module: every statistic reduces to
+  * (a) integer counts shuffled by a bounded key, (b) a [[PrefixScan]]
+  * rank when a GLOBAL order is required (never a single-task global
+  * window over raw rows), or (c) a window over a DOMAIN-BOUNDED
+  * aggregate (distinct 2-dp values, 9 digits, 25 type-pairs) whose
+  * size is fixed by the value domain, not the data volume.
+  */
+object Stats extends QueryModule {
+
+  /** Top-K users kept by the decay score (bounds the oracle diff). */
+  val DecayTopK = 50
+
+  /** Purchase value above which a user counts as converted — sits at
+    * the ~45-50% per-user conversion quantile at every generated SF,
+    * so neither variant's rate saturates to 0 or 1.
+    */
+  val AbConvValue = 150.0
+
+  override def queries: Map[String, Query] = Map(
+    // Gini coefficient of per-customer revenue — the concentration
+    // statistic behind "how head-heavy is this corpus/source". Needs a
+    // GLOBAL ascending rank; a bare row_number() window would put the
+    // whole table on one task, so the rank is a PrefixScan (range-
+    // partitioned chunks + a chunks-sized meta window). Revenue is
+    // fixed to integer cents first so every sum is exact integer
+    // arithmetic (the rank-weighted sum goes through decimal(38,0):
+    // Σ i·xᵢ overflows a long at ~1e9 rows × 1e7 cents); doubles
+    // appear only in the final ratio. G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n.
+    "q_gini" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("g", lit(0))
+      PrefixScan.scan(rev, Seq("g"), Seq($"cents".asc, $"o_custkey".asc), lit(1L))
+        .agg(
+          sum(($"cum_before" + 1).cast("decimal(38,0)") * $"cents").as("s_ix"),
+          sum($"cents").as("s_x"),
+          max($"grp_total").as("n"))
+        .select(
+          round(lit(2.0) * $"s_ix".cast("double")
+              / ($"n".cast("double") * $"s_x".cast("double"))
+            - ($"n" + lit(1.0)) / $"n", 6).as("gini"),
+          $"n".as("n_customers"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov: D = max |F₁(x) − F₂(x)| between
+    // the click and view value distributions (the drift test between a
+    // new batch and the corpus it joins). Per-value counts aggregate
+    // first — the cumulative window then runs over the DISTINCT-value
+    // table, whose size is bounded by the 2-dp value domain (a few
+    // thousand rows at any data scale), the same bounded-meta-window
+    // argument as PrefixScan's step 3.
+    "q_ks_test" -> ((s, dir) => {
+      import s.implicits._
+      val byV = Tables.events(s, dir)
+        .filter($"event_type".isin("click", "view"))
+        .select($"value", ($"event_type" === "click").as("is1"))
+        .groupBy($"value")
+        .agg(sum(when($"is1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"is1", 0L).otherwise(1L)).as("c2"))
+      val w = Window.partitionBy(lit(0)).orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      byV.select($"value", sum($"c1").over(w).as("k1"), sum($"c2").over(w).as("k2"))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(abs($"k1".cast("double") / $"n1" - $"k2".cast("double") / $"n2")).as("d"),
+          max($"n1").as("n1"), max($"n2").as("n2"))
+        .select(
+          round($"d", 6).as("d_stat"),
+          round(sqrt($"n1".cast("double") * $"n2".cast("double")
+            / ($"n1" + $"n2").cast("double")) * $"d", 6).as("ks_stat"),
+          $"n1", $"n2")
+    }),
+
+    // Benford first-digit profile of order totals — the classic
+    // generated-vs-organic distribution check (fraud/synthetic-data
+    // screening). One groupBy on a 9-value key; the share window runs
+    // over the 9-row aggregate. Expected mass is log10(1 + 1/d).
+    "q_benford" -> ((s, dir) => {
+      import s.implicits._
+      val digits = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 0)
+        .select(floor($"o_totalprice"
+          / pow(lit(10.0), floor(log10($"o_totalprice")))).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      digits
+        .withColumn("total", sum($"n").over(Window.partitionBy(lit(0))))
+        .select($"digit", $"n",
+          round($"n".cast("double") / $"total", 6).as("obs_p"),
+          round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("benford_p"))
+        .orderBy($"digit")
+    }),
+
+    // Robust per-group scaling parameters: exact median and MAD of
+    // account balances per market segment, plus the count of robust
+    // outliers (|x − med| > 3·1.4826·MAD ≈ 3σ under normality). Two
+    // exact-percentile aggregation passes with the tiny per-segment
+    // parameter tables broadcast back — the median-of-deviations is
+    // inherently two-phase; no global sort, no per-group single task
+    // (percentile is an aggregate, not a window).
+    "q_robust_scale" -> ((s, dir) => {
+      import s.implicits._
+      val bal = Tables.customer(s, dir).select($"c_mktsegment", $"c_acctbal")
+      val med = bal.groupBy($"c_mktsegment")
+        .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+      val dev = bal.join(broadcast(med), "c_mktsegment")
+        .withColumn("ad", abs($"c_acctbal" - $"med"))
+      val mad = dev.groupBy($"c_mktsegment")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "c_mktsegment")
+        .groupBy($"c_mktsegment")
+        .agg(round(max($"med"), 4).as("med"),
+          round(max($"mad"), 4).as("mad"),
+          sum(when($"ad" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Two-proportion z-test on a deterministic 50/50 user split:
+    // variant = user_id mod 2 (a production assignment salts a hash;
+    // the modulus keeps the fixture a pure function of the data),
+    // conversion = "ever made a high-value purchase" (> the
+    // [[AbConvValue]] cut — every user trips a bare any-purchase
+    // predicate at every SF, which degenerates p̂(1−p̂) to 0 and the
+    // z denominator with it). Per-user reduction shuffles on user_id
+    // once; the variant contrast is a single global aggregate.
+    // z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)), pooled p̂.
+    "q_ab_lift" -> ((s, dir) => {
+      import s.implicits._
+      val conv = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" && $"value" > AbConvValue, 1L)
+          .otherwise(0L)).as("cv"))
+        .withColumn("v", pmod($"user_id", lit(2)))
+      conv.agg(
+          sum(when($"v" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"v" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"v" === 0, $"cv").otherwise(0L)).as("conv_a"),
+          sum(when($"v" === 1, $"cv").otherwise(0L)).as("conv_b"))
+        .withColumn("pa", $"conv_a".cast("double") / $"n_a")
+        .withColumn("pb", $"conv_b".cast("double") / $"n_b")
+        .withColumn("pp", ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b"))
+        .select($"n_a", $"n_b", $"conv_a", $"conv_b",
+          round($"pa", 6).as("rate_a"),
+          round($"pb", 6).as("rate_b"),
+          round($"pb" / $"pa" - 1.0, 6).as("lift"),
+          round(($"pb" - $"pa")
+            / sqrt($"pp" * (lit(1.0) - $"pp")
+              * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4).as("z"))
+    }),
+
+    // Exponentially time-decayed engagement score per user (τ = 7
+    // days): Σ exp((tᵢ − t_ref)/τ) with t_ref = the corpus max —
+    // the freshness-weighted activity statistic behind recency-aware
+    // sampling weights. The reference timestamp is a 1-row broadcast;
+    // the score is one per-user aggregate. Sum order varies across
+    // partitionings, so the score rounds at 4 dp (the q_tfidf
+    // contract) before the top-K order.
+    "q_decay_score" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val ref = e.agg(max($"ts").as("ref_ts"))
+      e.crossJoin(broadcast(ref))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(exp((unix_micros($"ts") - unix_micros($"ref_ts")).cast("double")
+            / lit(604800e6))), 4).as("score"))
+        .orderBy($"score".desc, $"user_id".asc)
+        .limit(DecayTopK)
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next | prev) for every observed type pair. One
+    // lead() window partitioned by user (per-user state, arbitrarily
+    // parallel), one pair count whose key domain is |types|² = 25,
+    // and a share window over that bounded aggregate.
+    "q_markov_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cnt = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .select($"event_type".as("prev_type"), $"next_type")
+        .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n"))
+      cnt
+        .withColumn("tot", sum($"n").over(Window.partitionBy($"prev_type")))
+        .select($"prev_type", $"next_type", $"n",
+          round($"n".cast("double") / $"tot", 6).as("p"))
+        .orderBy($"prev_type", $"next_type")
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM rev)
+        |SELECT
+        |  ROUND(2.0 * CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+        |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+        |  COUNT(*) AS n_customers
+        |FROM rk""".stripMargin,
+    "q_ks_test" ->
+      """WITH byv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |cum AS (
+        |  SELECT
+        |    SUM(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+        |    SUM(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+        |  FROM byv),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |  CAST(SUM(c2) AS BIGINT) AS n2 FROM byv),
+        |d AS (
+        |  SELECT MAX(ABS(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)) AS d,
+        |    MAX(n1) AS n1, MAX(n2) AS n2
+        |  FROM cum, tot)
+        |SELECT ROUND(d, 6) AS d_stat,
+        |  ROUND(SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE)) * d, 6) AS ks_stat,
+        |  n1, n2
+        |FROM d""".stripMargin,
+    "q_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(FLOOR(o_totalprice
+        |      / POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice > 0
+        |  GROUP BY 1)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS obs_p,
+        |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p
+        |FROM digits ORDER BY digit""".stripMargin,
+    "q_robust_scale" ->
+      """WITH med AS (
+        |  SELECT c_mktsegment, MEDIAN(c_acctbal) AS med
+        |  FROM customer GROUP BY c_mktsegment),
+        |dev AS (
+        |  SELECT c.c_mktsegment, m.med, ABS(c.c_acctbal - m.med) AS ad
+        |  FROM customer c JOIN med m USING (c_mktsegment)),
+        |mad AS (
+        |  SELECT c_mktsegment, MEDIAN(ad) AS mad
+        |  FROM dev GROUP BY c_mktsegment)
+        |SELECT d.c_mktsegment,
+        |  ROUND(MAX(d.med), 4) AS med,
+        |  ROUND(MAX(m.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n
+        |FROM dev d JOIN mad m USING (c_mktsegment)
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
+    "q_ab_lift" ->
+      s"""WITH conv AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > $AbConvValue
+        |      THEN 1 ELSE 0 END) AS cv,
+        |    user_id % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN v = 0 THEN cv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM conv),
+        |p AS (
+        |  SELECT n_a, n_b, conv_a, conv_b,
+        |    CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |    CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM agg)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  ROUND(pa, 6) AS rate_a,
+        |  ROUND(pb, 6) AS rate_b,
+        |  ROUND(pb / pa - 1.0, 6) AS lift,
+        |  ROUND((pb - pa)
+        |    / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM p""".stripMargin,
+    "q_decay_score" ->
+      s"""WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  ROUND(SUM(EXP(CAST(epoch_us(ts) - epoch_us(ref_ts) AS DOUBLE)
+         |    / 604800000000.0)), 4) AS score
+         |FROM events, ref
+         |GROUP BY user_id
+         |ORDER BY score DESC, user_id ASC LIMIT $DecayTopK""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS prev_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n
+        |  FROM nxt WHERE next_type IS NOT NULL
+        |  GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM cnt ORDER BY prev_type, next_type""".stripMargin,
+  )
+}

@@ -38,7 +38,8 @@ class ContractSpec extends SparkSpec {
     // in two modules would silently shadow one implementation.
     val perModule = Seq(
       operators.Relational, operators.Aggregates, operators.SetOps,
-      operators.Joins, operators.Windows, sources.Csv, sources.Jsonl,
+      operators.Joins, operators.Windows, operators.Stats,
+      operators.Mining, sources.Csv, sources.Jsonl,
       sources.Orc, sources.Layouts,
       functions.Scalars,
       functions.Text, functions.Curation, functions.Selection,

@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.{Mining, Stats}
+import org.apache.spark.sql.functions._
+
+/** Property checks for the distribution-statistics and mining
+  * operators beyond what the DuckDB oracle replays: driver-side
+  * recomputation of Gini/KS/z from first principles on the sf0.001
+  * fixture, probability-mass closure, and blocking/threshold
+  * invariants.
+  */
+class StatsMiningSpec extends SparkSpec {
+
+  test("q_gini matches a driver-side sorted-rank recomputation") {
+    import spark.implicits._
+    val row = run("q_gini").collect().head
+    val (gini, n) = (row.getAs[Double]("gini"), row.getAs[Long]("n_customers"))
+    val cents = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val nn = cents.length.toLong
+    val sIx = cents.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val sX = cents.map(BigInt(_)).sum
+    val expect = BigDecimal(
+      2.0 * sIx.toDouble / (nn.toDouble * sX.toDouble) - (nn + 1.0) / nn)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(n === nn)
+    assert(gini === expect, s"gini $gini != recomputed $expect")
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
+  test("q_ks_test matches a driver-side empirical-CDF recomputation") {
+    import spark.implicits._
+    val row = run("q_ks_test").collect().head
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view"))
+      .select($"value", $"event_type").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val s1 = vals.filter(_._2 == "click").map(_._1).sorted
+    val s2 = vals.filter(_._2 == "view").map(_._1).sorted
+    val grid = (s1 ++ s2).distinct.sorted
+    val d = grid.map { x =>
+      math.abs(s1.count(_ <= x).toDouble / s1.length
+        - s2.count(_ <= x).toDouble / s2.length)
+    }.max
+    assert(row.getAs[Long]("n1") === s1.length.toLong)
+    assert(row.getAs[Long]("n2") === s2.length.toLong)
+    assert(math.abs(row.getAs[Double]("d_stat") - d) < 5e-7,
+      s"d_stat ${row.getAs[Double]("d_stat")} != recomputed $d")
+  }
+
+  test("q_benford digit mass closes to 1 and covers 1..9") {
+    val rows = run("q_benford").collect()
+    val digits = rows.map(_.getAs[Int]("digit")).toSeq
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(digits == digits.sorted)
+    val mass = rows.map(_.getAs[Double]("obs_p")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"obs_p mass $mass")
+    val bmass = rows.map(_.getAs[Double]("benford_p")).sum
+    // Benford masses for PRESENT digits only — compare against the
+    // closed form for exactly those digits.
+    val expected = digits.map(d => math.log10(1.0 + 1.0 / d)).sum
+    assert(math.abs(bmass - expected) < 1e-4)
+  }
+
+  test("q_robust_scale medians match driver-side exact medians") {
+    import spark.implicits._
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val bySeg = Tables.customer(spark, sf)
+      .select($"c_mktsegment", $"c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    run("q_robust_scale").collect().foreach { r =>
+      val seg = r.getString(0)
+      val med = median(bySeg(seg))
+      val mad = median(bySeg(seg).map(x => math.abs(x - med)))
+      assert(r.getAs[Double]("med") ===
+        BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("mad") ===
+        BigDecimal(mad).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val out = bySeg(seg).count(x => math.abs(x - med) > 3.0 * 1.4826 * mad)
+      assert(r.getAs[Long]("n_outliers") === out.toLong)
+    }
+  }
+
+  test("q_ab_lift counts tile the user base and z matches recomputation") {
+    import spark.implicits._
+    val r = run("q_ab_lift").collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(na + nb === users)
+    val (ca, cb) = (r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b"))
+    assert(ca <= na && cb <= nb && ca > 0 && cb > 0,
+      s"degenerate split ($ca/$na, $cb/$nb) — AbConvValue needs re-tuning")
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("q_decay_score scores are in (0, n_events] and sorted desc") {
+    val rows = run("q_decay_score").collect()
+    assert(rows.nonEmpty && rows.length <= Stats.DecayTopK)
+    rows.foreach { r =>
+      val (n, sc) = (r.getAs[Long]("n_events"), r.getAs[Double]("score"))
+      assert(sc > 0.0 && sc <= n.toDouble + 1e-9,
+        s"user ${r.getAs[Long]("user_id")}: score $sc outside (0, $n]")
+    }
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("q_markov_transitions rows per prev sum to 1 and pair count is conserved") {
+    import spark.implicits._
+    val rows = run("q_markov_transitions").collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val mass = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$prev transition mass $mass")
+    }
+    val pairTotal = rows.map(_.getAs[Long]("n")).sum
+    val expected = Tables.events(spark, sf)
+      .groupBy($"user_id").agg((count(lit(1)) - 1).as("m"))
+      .agg(sum($"m")).collect().head.getLong(0)
+    assert(pairTotal === expected,
+      s"pairs $pairTotal != Σ(per-user events − 1) = $expected")
+  }
+
+  test("q_assoc_rules thresholds and ratio identities hold") {
+    val rows = run("q_assoc_rules").collect()
+    assert(rows.nonEmpty && rows.length <= Mining.RulesTopK)
+    rows.foreach { r =>
+      val nab = r.getAs[Long]("n_ab")
+      assert(nab >= Mining.MinPairSupport.toLong)
+      val (sup, conf, lift) = (r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift"))
+      assert(sup > 0.0 && sup <= 1.0)
+      assert(conf > 0.0 && conf <= 1.0)
+      // lift = confidence / P(consequent) ≥ confidence when the
+      // consequent is not universal; all three round from the same
+      // integer counts, so lift ≥ support always.
+      assert(lift >= sup - 1e-6)
+    }
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
+  test("q_rare_collapse conserves rows and collapses exactly the sub-threshold brands") {
+    import spark.implicits._
+    val rows = run("q_rare_collapse").collect()
+    val total = Tables.part(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    val counts = Tables.part(spark, sf).groupBy($"p_brand").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rare = counts.filter { case (_, c) => c * Mining.RareDenom < total }.keySet
+    val other = rows.find(_.getString(0) == "OTHER")
+    if (rare.nonEmpty) {
+      assert(other.isDefined)
+      assert(other.get.getAs[Long]("n_brands") === rare.size.toLong)
+      assert(other.get.getAs[Long]("n") === rare.toSeq.map(counts).sum)
+    } else assert(other.isEmpty)
+    rows.filter(_.getString(0) != "OTHER").foreach { r =>
+      assert(!rare.contains(r.getString(0)))
+      assert(r.getAs[Long]("n_brands") === 1L)
+    }
+  }
+
+  test("q_fuzzy_block_join pairs share a block and respect the distance cut") {
+    val rows = run("q_fuzzy_block_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (blk, n1, n2, d) = (r.getString(0), r.getString(1),
+        r.getString(2), r.getAs[Int]("dist"))
+      assert(n1 < n2)
+      assert(n1.split(" ").last == blk && n2.split(" ").last == blk)
+      assert(d >= 1 && d <= Mining.FuzzyMaxDist)
+    }
+  }
+
+  test("q_null_audit matches direct per-column statistics") {
+    import spark.implicits._
+    val rows = run("q_null_audit").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("event_type", "props", "user_id", "value"))
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    Seq("event_type", "user_id", "value", "props").foreach { c =>
+      val r = rows(c)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("n_null") === ev.filter(col(c).isNull).count())
+      assert(r.getAs[Long]("n_distinct") ===
+        ev.select(col(c)).na.drop().distinct().count())
+    }
+  }
+
+  test("q_chisq_terms scores are non-negative with df over the floor") {
+    val rows = run("q_chisq_terms").collect()
+    assert(rows.nonEmpty && rows.length <= Mining.ChisqTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= Mining.ChisqMinDf.toLong)
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+    val scores = rows.map(_.getAs[Double]("chi2")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}
