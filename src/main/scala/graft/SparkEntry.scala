@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Windows,
     operators.Stats,
     operators.Mining,
+    operators.TimeSeries,
     sources.Csv,
     sources.Jsonl,
     sources.Orc,

@@ -47,6 +47,34 @@ object Mining extends QueryModule {
   /** Terms kept by descending χ². */
   val ChisqTopK = 30
 
+  /** Target-encoding smoothing pseudo-count. */
+  val EncodeSmoothing = 10.0
+
+  /** Count-min sketch geometry: [[CmsRows]] independent md5-seeded
+    * hash rows of [[CmsWidth]] buckets (ε ≈ e/w, δ ≈ e^−d). Width is
+    * deliberately small so collisions are OBSERVABLE at test scale —
+    * the estimate-vs-exact overcount column is the point.
+    */
+  val CmsRows = 4
+  val CmsWidth = 256
+
+  /** Keys scored against the sketch (the exact top-K heavy hitters). */
+  val CmsTopK = 20
+
+  /** CMS bucket of a key under seed row `r`: the [[Buckets]] md5
+    * scheme with the row index salted into the digest input —
+    * engine-portable (the oracle spells the same digest-parse chain)
+    * and independent across rows as far as md5 mixes.
+    */
+  private def cmsBucket(r: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function(graft.plans.Md5Prefix.FunctionName,
+      concat(r.cast("string"), lit(":"), key.cast("string")), lit(8)) % CmsWidth
+
+  private def cmsBucketSql(rExpr: String, keyExpr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($rExpr AS VARCHAR) || ':' || " +
+      s"CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth"
+
   override def queries: Map[String, Query] = Map(
     // Association rules a⇒b over order baskets: support n_ab/n_orders,
     // confidence n_ab/n_a, lift conf/(n_b/n_orders). The pair join is
@@ -186,6 +214,82 @@ object Mining extends QueryModule {
         .orderBy($"chi2".desc, $"term")
         .limit(ChisqTopK)
     }),
+
+    // Smoothed target-mean encoding of brand → retail price: enc =
+    // (Σy + m·μ)/(n + m) — the high-cardinality categorical encoder
+    // (smoothing pulls thin categories toward the global mean μ).
+    // One per-category aggregate plus a 1-row global broadcast. The
+    // target is fixed to integer cents PER ROW (exact under any
+    // partitioning/order — a raw double Σy flipped a 4-dp rounding
+    // boundary in the 1-vs-7-partition sweep), so doubles appear only
+    // in the final closed form.
+    "q_target_encode" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.part(s, dir)
+        .select($"p_brand",
+          round($"p_retailprice" * 100).cast("long").as("cents"))
+      val g = p.agg(sum($"cents").as("sy"), count(lit(1)).as("ny"))
+      p.groupBy($"p_brand")
+        .agg(sum($"cents").as("sb"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(g))
+        .select($"p_brand", $"n",
+          round(($"sb" / 100.0 + lit(EncodeSmoothing) * ($"sy" / 100.0 / $"ny"))
+            / ($"n" + lit(EncodeSmoothing)), 4).as("enc"))
+        .orderBy($"p_brand")
+    }),
+
+    // Equal-frequency decile binning of order totals: the 9 interior
+    // cut points come from ONE exact-percentile aggregate (an agg,
+    // never a sort), broadcast as a 1-row array; assignment is
+    // "count of edges ≤ x" over that 9-element array per row. The
+    // discretization step before monotone-feature models and
+    // histogram drift checks.
+    "q_quantile_bins" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_totalprice")
+      val edges = o.agg(expr(
+        "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("edges"))
+      o.crossJoin(broadcast(edges))
+        .select(size(filter($"edges", e => $"o_totalprice" >= e)).as("bin"),
+          $"o_totalprice")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"bin")
+    }),
+
+    // Count-min sketch with an exact ground truth: CmsRows md5-seeded
+    // hash rows × CmsWidth counters built in one (row, bucket)
+    // groupBy (sketch state is rows × width counters — CONSTANT
+    // however large the stream, and buckets merge by addition across
+    // shards/batches); the exact top-K heavy hitters then read their
+    // estimate back (min over rows) and report the collision
+    // overcount. est ≥ exact always — the one-sided CMS guarantee —
+    // pinned by spec; the whole chain is md5-deterministic, so the
+    // oracle replays it exactly.
+    "q_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Tables.lineitem(s, dir).select($"l_partkey")
+      val seeded = keys.select($"l_partkey",
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      val cms = seeded
+        .select($"r", cmsBucket($"r", $"l_partkey").as("bucket"))
+        .groupBy($"r", $"bucket").agg(count(lit(1)).as("cnt"))
+      val top = keys.groupBy($"l_partkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"l_partkey".asc).limit(CmsTopK)
+      top
+        .select($"l_partkey", $"n_exact",
+          explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+        .withColumn("bucket", cmsBucket($"r", $"l_partkey"))
+        .join(cms, Seq("r", "bucket"))
+        .groupBy($"l_partkey")
+        .agg(max($"n_exact").as("n_exact"), min($"cnt").as("n_est"))
+        .select($"l_partkey", $"n_exact", $"n_est",
+          ($"n_est" - $"n_exact").as("overcount"))
+        .orderBy($"n_exact".desc, $"l_partkey".asc)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -275,5 +379,49 @@ object Mining extends QueryModule {
          |    AS chi2
          |FROM cnt CROSS JOIN totals
          |ORDER BY chi2 DESC, term LIMIT $ChisqTopK""".stripMargin,
+    "q_target_encode" ->
+      s"""WITH c AS (
+         |  SELECT p_brand,
+         |    CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
+         |  FROM part),
+         |g AS (SELECT CAST(SUM(cents) AS BIGINT) AS sy, COUNT(*) AS ny FROM c),
+         |b AS (
+         |  SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS sb, COUNT(*) AS n
+         |  FROM c GROUP BY p_brand)
+         |SELECT p_brand, n,
+         |  ROUND((sb / 100.0 + $EncodeSmoothing * (sy / 100.0 / ny))
+         |    / (n + $EncodeSmoothing), 4) AS enc
+         |FROM b CROSS JOIN g ORDER BY p_brand""".stripMargin,
+    "q_quantile_bins" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(len(list_filter(e.edges, x -> o_totalprice >= x)) AS INT)
+        |    AS bin, o_totalprice
+        |  FROM orders CROSS JOIN e)
+        |SELECT bin, COUNT(*) AS n,
+        |  ROUND(MIN(o_totalprice), 2) AS lo,
+        |  ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_count_min" ->
+      s"""WITH seeds AS (SELECT unnest(range(0, $CmsRows)) AS r),
+         |cms AS (
+         |  SELECT s.r, ${cmsBucketSql("s.r", "l_partkey")} AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM lineitem CROSS JOIN seeds s
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT l_partkey, COUNT(*) AS n_exact FROM lineitem
+         |  GROUP BY 1 ORDER BY n_exact DESC, l_partkey ASC LIMIT $CmsTopK),
+         |est AS (
+         |  SELECT t.l_partkey, MAX(t.n_exact) AS n_exact, MIN(c.cnt) AS n_est
+         |  FROM top t CROSS JOIN seeds s
+         |  JOIN cms c ON c.r = s.r
+         |    AND c.bucket = ${cmsBucketSql("s.r", "t.l_partkey")}
+         |  GROUP BY t.l_partkey)
+         |SELECT l_partkey, n_exact, n_est, n_est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, l_partkey ASC""".stripMargin,
   )
 }

@@ -198,6 +198,101 @@ class StatsMiningSpec extends SparkSpec {
     }
   }
 
+  test("q_psi contributions are non-negative and shares stay sub-unit") {
+    val rows = run("q_psi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // (p_cur − p_ref)·ln(p_cur/p_ref) ≥ 0 identically; rounding can
+      // leave a −0.0-adjacent value, hence the epsilon.
+      assert(r.getAs[Double]("contrib") >= -1e-9)
+      assert(r.getAs[Double]("p_ref") > 0.0 && r.getAs[Double]("p_ref") <= 1.0)
+      assert(r.getAs[Double]("p_cur") > 0.0 && r.getAs[Double]("p_cur") <= 1.0)
+    }
+    assert(rows.map(_.getAs[Double]("p_ref")).sum <= 1.0 + 1e-6)
+  }
+
+  test("q_autocorr is a valid correlation over the lagged day pairs") {
+    import spark.implicits._
+    val r = run("q_autocorr").collect().head
+    assert(r.getAs[Int]("lag_days") === operators.TimeSeries.AutocorrLagDays)
+    val cc = r.getAs[Double]("r")
+    assert(cc >= -1.0 && cc <= 1.0, s"autocorr $cc outside [-1,1]")
+    val days = Tables.orders(spark, sf)
+      .select(to_date($"o_orderdate").as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).toSet
+    val expectPairs = days.count(d =>
+      days.contains(d.plusDays(operators.TimeSeries.AutocorrLagDays)))
+    assert(r.getAs[Long]("n_pairs") === expectPairs.toLong)
+  }
+
+  test("q_changepoint matches a driver-side CUSUM argmax") {
+    import spark.implicits._
+    val r = run("q_changepoint").collect().head
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+      .sortBy(_._1)
+    val dd = daily.length.toLong
+    val nn = daily.map(_._2).sum
+    var s = 0L
+    val devs = daily.zipWithIndex.map { case ((d, n), i) =>
+      s += n; (d, math.abs(dd * s - (i + 1) * nn))
+    }
+    val best = devs.maxBy(t => (t._2, -t._1.toEpochDay))
+    assert(r.getAs[java.sql.Timestamp]("cp_day").toLocalDateTime.toLocalDate
+      === best._1)
+    assert(r.getAs[Long]("n_days") === dd)
+    assert(r.getAs[Long]("n_events") === nn)
+    assert(math.abs(r.getAs[Double]("max_dev") - best._2.toDouble / dd) < 1e-3)
+  }
+
+  test("q_target_encode pulls every category toward the global mean") {
+    import spark.implicits._
+    val g = Tables.part(spark, sf)
+      .agg(sum($"p_retailprice"), count(lit(1))).collect().head
+    val mu = g.getDouble(0) / g.getLong(1)
+    val raw = Tables.part(spark, sf).groupBy($"p_brand")
+      .agg(sum($"p_retailprice").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1) / r.getLong(2))).toMap
+    run("q_target_encode").collect().foreach { r =>
+      val (brand, enc) = (r.getString(0), r.getAs[Double]("enc"))
+      // Smoothing is a convex pull toward μ: enc sits between the raw
+      // category mean and the global mean (inclusive, 4-dp rounding).
+      val m = raw(brand)
+      assert(enc >= math.min(m, mu) - 1e-3 && enc <= math.max(m, mu) + 1e-3,
+        s"$brand: enc $enc outside [${math.min(m, mu)}, ${math.max(m, mu)}]")
+    }
+  }
+
+  test("q_quantile_bins tiles the value range with near-equal masses") {
+    val rows = run("q_quantile_bins").collect()
+    val bins = rows.map(_.getAs[Int]("bin")).toSeq
+    assert(bins == (0 to 9))
+    val counts = rows.map(_.getAs[Long]("n"))
+    val total = counts.sum
+    // Equal-frequency up to interpolation ties: each decile within
+    // ±20% of total/10 on the small fixture.
+    counts.foreach(c => assert(math.abs(c - total / 10.0) <= total / 50.0,
+      s"bin mass $c vs ${total / 10.0}"))
+    // Bins must not overlap: each bin's hi ≤ the next bin's lo.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9)
+    }
+  }
+
+  test("q_count_min estimates dominate exact counts (one-sided guarantee)") {
+    val rows = run("q_count_min").collect()
+    assert(rows.length === Mining.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"key ${r.getAs[Long]("l_partkey")}: CMS under-counted")
+      assert(r.getAs[Long]("overcount")
+        === r.getAs[Long]("n_est") - r.getAs[Long]("n_exact"))
+    }
+    val exacts = rows.map(_.getAs[Long]("n_exact")).toSeq
+    assert(exacts == exacts.sorted.reverse)
+  }
+
   test("q_chisq_terms scores are non-negative with df over the floor") {
     val rows = run("q_chisq_terms").collect()
     assert(rows.nonEmpty && rows.length <= Mining.ChisqTopK)
