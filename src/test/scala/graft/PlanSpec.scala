@@ -494,4 +494,65 @@ class PlanSpec extends SparkSpec {
     assert(pAll.contains("Scan ExistingRDD"), pAll)
     assert(!pAll.contains("FileScan") && !pAll.contains("BroadcastNestedLoopJoin"), pAll)
   }
+
+  test("q_gini: the global rank windows by chunk, never a single-task ROW_NUMBER") {
+    // The PrefixScan contract on the rank instance: revenue rows are
+    // range-partitioned into data-sized chunks, chunk offsets arrive
+    // by broadcast, and the row-scale window is keyed by (_pid, g) —
+    // a bare global row_number() would put every customer on one task.
+    val p = plan("q_gini")
+    // the constant group key folds to the literal 0 inside the range
+    // partitioning expression; the data sort keys follow it
+    assert("rangepartitioning\\(0 ASC NULLS FIRST, cents#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), s"chunk offsets must arrive by broadcast:\n$p")
+    assert("windowspecdefinition\\(_pid#".r.findFirstIn(p).isDefined,
+      s"the rank window must be chunk-partitioned (_pid leading):\n$p")
+    assert(!"windowspecdefinition\\(g#\\d+, cents".r.findFirstIn(p).isDefined,
+      s"found a row-scale window keyed by the constant group alone:\n$p")
+  }
+
+  test("q_assoc_rules: equi pair join + top-K; the only BNLJ is the 1-row totals scalar") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the basket self-join and both item-count joins are hash joins on
+    // keys; the single nested-loop is the broadcast of the one-row
+    // n_orders aggregate (the q_cosine_topk scalar class)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_fuzzy_block_join: candidates form through a hash join on the blocking key") {
+    // The entity-resolution point: levenshtein runs only on pairs that
+    // already share a block — the join must be keyed (hash/merge), not
+    // an all-pairs nested loop with the distance in the condition.
+    val p = plan("q_fuzzy_block_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_null_audit profiles every column in ONE scan of the table") {
+    // The multi-distinct expands inside the aggregate; what must NOT
+    // happen is a scan per audited column.
+    val p = plan("q_null_audit")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("Expand"), s"multi-distinct should expand, not rescan:\n$p")
+  }
+
+  test("q_count_min: sketch build map-side combines; estimates read back via hash join") {
+    val p = plan("q_count_min")
+    // (row, bucket) counter build is partial+final — sketch state
+    // bounded by rows × width on every mapper
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"exact top-K must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quantile_bins: the percentile edges arrive as a one-row broadcast") {
+    val p = plan("q_quantile_bins")
+    // 9 cut points from ONE aggregate, broadcast to the row stream
+    // (the deliberate 1-row BNLJ class); assignment adds no extra
+    // exchange beyond the final per-bin aggregate
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("percentile"), p)
+  }
 }
