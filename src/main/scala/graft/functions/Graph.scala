@@ -339,7 +339,83 @@ object Graph extends QueryModule {
         .orderBy($"jaccard".desc, $"s1", $"s2")
         .limit(LinkTopK)
     }),
+
+    // [EXT] k-core decomposition by iterative peeling over the
+    // thresholded co-purchase graph — the graph-density filter behind
+    // crawl-graph curation and link-spam screening (a page's k-core
+    // number is a robustness-weighted centrality: high-degree nodes
+    // whose NEIGHBORS are also well-connected). Each round drops
+    // every node whose degree within the surviving subgraph is below
+    // k and recounts; a FIXED round count (extra rounds past the
+    // fixpoint are idempotent) keeps the loop free of driver-side
+    // convergence reads, and integer degrees make the result exact
+    // and partition-invariant — hash-verifiable by an unrolled-CTE
+    // oracle. Per round: two semi-joins of the persisted edge table
+    // against the |alive|-row node set, one map-side-combined degree
+    // count, an EAGER checkpoint truncation (the q_dedup_groups
+    // plan-doubling discipline), superseded rounds released as the
+    // next lands.
+    "q_kcore" -> ((s, dir) => kcore(s, dir)),
   )
+
+  /** k-core threshold and fixed peel-round count. */
+  val KcoreK = 8
+  val KcoreRounds = 6
+
+  private[graft] def kcore(s: org.apache.spark.sql.SparkSession, dir: String,
+      strategy: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    import s.implicits._
+    val pins = new Pins
+    try {
+      val thresholded = copurchasePairs(s, dir)
+        .filter($"support" >= MinSupport)
+        .select($"s1", $"s2")
+      val edges = pins(thresholded
+        .select($"s1".as("src"), $"s2".as("dst"))
+        .union(thresholded.select($"s2".as("src"), $"s1".as("dst"))))
+      var alive = edges.select($"src".as("node")).distinct()
+      var prevCp: Option[DataFrame] = None
+      for (_ <- 1 to KcoreRounds) {
+        val nxt = edges
+          .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+          .groupBy($"src").agg(count(lit(1)).as("d"))
+          .filter($"d" >= KcoreK)
+          .select($"src".as("node"))
+        val cp = strategy.truncate(nxt)
+        prevCp.foreach(strategy.release)
+        prevCp = Some(cp)
+        alive = cp
+      }
+      // Core membership report: each survivor with its degree INSIDE
+      // the core (≥ k by construction at the fixpoint).
+      edges
+        .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .groupBy($"src").agg(count(lit(1)).as("core_deg"))
+        .select($"src".as("node"), $"core_deg")
+        .orderBy($"core_deg".desc, $"node")
+    } finally pins.releaseAll()
+  }
+
+  /** One peeling round as a SQL CTE — the surviving node set after
+    * dropping sub-k degrees within the previous survivors — generated
+    * from the same constants the Spark loop uses, unrolled
+    * [[KcoreRounds]] times. MATERIALIZED is load-bearing: each round
+    * reads its predecessor TWICE (src and dst endpoints), so an
+    * inlined chain re-expands the whole upstream per reference —
+    * O(2^rounds) plan growth, the exact DuckDB analogue of the plan
+    * doubling the Spark loop's eager checkpoint truncates.
+    */
+  private def kcoreRoundCte(i: Int): String = {
+    val prev = s"a${i - 1}"
+    s"""a$i AS MATERIALIZED (
+       |  SELECT le.src AS node
+       |  FROM le
+       |  JOIN $prev ps ON ps.node = le.src
+       |  JOIN $prev pd ON pd.node = le.dst
+       |  GROUP BY le.src HAVING COUNT(*) >= $KcoreK)""".stripMargin
+  }
 
   /** One PageRank round as a SQL CTE pair — generated from the SAME
     * constants the Spark loop uses, unrolled [[Rounds]] times, so the
@@ -395,6 +471,20 @@ object Graph extends QueryModule {
          |FROM pr JOIN deg d1 ON d1.sk = pr.s1 JOIN deg d2 ON d2.sk = pr.s2
          |WHERE pr.support >= $MinSupport
          |ORDER BY jaccard DESC, pr.s1, pr.s2 LIMIT $LinkTopK""".stripMargin,
+    "q_kcore" ->
+      s"""$copurchaseCtes,
+         |te AS (SELECT s1, s2 FROM pr WHERE support >= $MinSupport),
+         |le AS MATERIALIZED (
+         |  SELECT s1 AS src, s2 AS dst FROM te
+         |  UNION ALL SELECT s2 AS src, s1 AS dst FROM te),
+         |a0 AS (SELECT DISTINCT src AS node FROM le),
+         |${(1 to KcoreRounds).map(kcoreRoundCte).mkString(",\n")}
+         |SELECT le.src AS node, COUNT(*) AS core_deg
+         |FROM le
+         |JOIN a$KcoreRounds ps ON ps.node = le.src
+         |JOIN a$KcoreRounds pd ON pd.node = le.dst
+         |GROUP BY le.src
+         |ORDER BY core_deg DESC, node""".stripMargin,
   )
 
   /** Shared basket→pair CTE chain — ONE spelling of the capped-basket

@@ -282,4 +282,42 @@ class SelectionGraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expected)
   }
+
+  test("q_kcore matches a driver-side peel-to-fixpoint (fixed rounds reach it)") {
+    import spark.implicits._
+    // Rebuild the thresholded co-purchase edge set the query peels.
+    val b = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sk")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c").orderBy($"sk")
+    val capped = b.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= functions.Graph.MaxBasket).select($"c", $"sk")
+    val pairs = capped.select($"c", $"sk".as("s1"))
+      .join(capped.select($"c", $"sk".as("s2")), Seq("c"))
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("sup"))
+      .filter($"sup" >= functions.Graph.MinSupport)
+      .select($"s1", $"s2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Peel to the TRUE fixpoint on the driver (however many rounds).
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= functions.Graph.KcoreK).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val expect = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val got = run("q_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The fixed KcoreRounds must have REACHED the fixpoint on this
+    // fixture — equality, not containment.
+    assert(got === expect,
+      s"core mismatch: only-engine=${got.keySet -- expect.keySet} " +
+        s"only-fixpoint=${expect.keySet -- got.keySet}")
+    got.values.foreach(d => assert(d >= functions.Graph.KcoreK))
+  }
 }
