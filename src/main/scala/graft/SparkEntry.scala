@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Stats,
     operators.Mining,
     operators.TimeSeries,
+    operators.Frontier,
     sources.Csv,
     sources.Jsonl,
     sources.Orc,

@@ -39,7 +39,8 @@ class ContractSpec extends SparkSpec {
     val perModule = Seq(
       operators.Relational, operators.Aggregates, operators.SetOps,
       operators.Joins, operators.Windows, operators.Stats,
-      operators.Mining, operators.TimeSeries, sources.Csv, sources.Jsonl,
+      operators.Mining, operators.TimeSeries, operators.Frontier,
+      sources.Csv, sources.Jsonl,
       sources.Orc, sources.Layouts,
       functions.Scalars,
       functions.Text, functions.Curation, functions.Selection,

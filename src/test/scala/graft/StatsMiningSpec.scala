@@ -293,6 +293,56 @@ class StatsMiningSpec extends SparkSpec {
     assert(exacts == exacts.sorted.reverse)
   }
 
+  test("q_skyline matches brute-force dominance over the distinct points") {
+    import spark.implicits._
+    val pts = Tables.orders(spark, sf)
+      .groupBy($"o_totalprice", $"o_orderdate".cast("timestamp"))
+      .count().collect()
+      .map(r => (r.getDouble(0), r.getTimestamp(1).getTime))
+    def dominated(p: (Double, Long)) = pts.exists { q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2)
+    }
+    val expect = pts.filterNot(dominated)
+      .map(p => (p._1, p._2)).sortBy(identity).toSeq
+    val got = run("q_skyline").collect()
+      .map(r => (r.getDouble(0), r.getTimestamp(1).getTime)).sortBy(identity).toSeq
+    assert(got === expect)
+  }
+
+  test("q_concurrency matches a driver-side sweep-line") {
+    import spark.implicits._
+    val holdUs = operators.Frontier.HoldMinutes.toLong * 60000000L
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros($"ts"), $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val endpoints = (evs.map(e => (e._1, 1L, e._2))
+      ++ evs.map(e => (e._1 + holdUs, -1L, e._2)))
+      .sortBy { case (t, d, id) => (t, d, id) }
+    var running = 0L; var peak = 0L; var peakTs = 0L
+    endpoints.foreach { case (t, d, _) =>
+      running += d
+      if (running > peak) { peak = running; peakTs = t }
+    }
+    val r = run("q_concurrency").collect().head
+    assert(r.getAs[Long]("peak") === peak)
+    assert(r.getAs[java.sql.Timestamp]("peak_ts").getTime * 1000L
+      + r.getAs[java.sql.Timestamp]("peak_ts").getNanos / 1000 % 1000 === peakTs)
+    assert(r.getAs[Long]("net_end") === 0L)
+  }
+
+  test("q_allocation spends the budget exactly with quota-rounded shares") {
+    val rows = run("q_allocation").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(rows.map(_.getAs[Long]("alloc")).sum
+      === operators.Frontier.AllocBudget.toLong)
+    rows.foreach { r =>
+      val base = operators.Frontier.AllocBudget * r.getAs[Long]("n") / total
+      val alloc = r.getAs[Long]("alloc")
+      assert(alloc == base || alloc == base + 1,
+        s"${r.getString(0)}: alloc $alloc outside {${base}, ${base + 1}}")
+    }
+  }
+
   test("q_chisq_terms scores are non-negative with df over the floor") {
     val rows = run("q_chisq_terms").collect()
     assert(rows.nonEmpty && rows.length <= Mining.ChisqTopK)
