@@ -376,8 +376,14 @@ object Graph extends QueryModule {
       var alive = edges.select($"src".as("node")).distinct()
       var prevCp: Option[DataFrame] = None
       for (_ <- 1 to KcoreRounds) {
+        // ONE semi-join per round, dst side only: restricting the src
+        // side too is redundant — a node dropped in round t was
+        // dropped because its restricted degree was < k, and alive
+        // only shrinks, so its degree in every later round is ≤ that
+        // and the HAVING-style filter re-drops it for free. Peeling
+        // never resurrects; the spec's peel-to-fixpoint equality
+        // pins the equivalence.
         val nxt = edges
-          .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
           .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
           .groupBy($"src").agg(count(lit(1)).as("d"))
           .filter($"d" >= KcoreK)
@@ -399,20 +405,20 @@ object Graph extends QueryModule {
   }
 
   /** One peeling round as a SQL CTE — the surviving node set after
-    * dropping sub-k degrees within the previous survivors — generated
-    * from the same constants the Spark loop uses, unrolled
-    * [[KcoreRounds]] times. MATERIALIZED is load-bearing: each round
-    * reads its predecessor TWICE (src and dst endpoints), so an
-    * inlined chain re-expands the whole upstream per reference —
-    * O(2^rounds) plan growth, the exact DuckDB analogue of the plan
-    * doubling the Spark loop's eager checkpoint truncates.
+    * dropping sub-k degrees within the previous survivors, with the
+    * SAME single dst-side restriction as the Spark loop (a dropped
+    * src re-drops through the HAVING for free — degrees only
+    * shrink). MATERIALIZED keeps the chain evaluated once per round
+    * however many references a consumer adds (the final report reads
+    * the last round twice; a doubled inline chain is the DuckDB
+    * analogue of the plan growth the Spark loop's eager checkpoint
+    * truncates).
     */
   private def kcoreRoundCte(i: Int): String = {
     val prev = s"a${i - 1}"
     s"""a$i AS MATERIALIZED (
        |  SELECT le.src AS node
        |  FROM le
-       |  JOIN $prev ps ON ps.node = le.src
        |  JOIN $prev pd ON pd.node = le.dst
        |  GROUP BY le.src HAVING COUNT(*) >= $KcoreK)""".stripMargin
   }
