@@ -1,6 +1,10 @@
 package graft
 
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
 
 /** Within-query storage lifecycle (the round-10 verdict's item 5).
@@ -63,9 +67,73 @@ final class Pins(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
     df.persist(level)
   }
 
-  /** Unpersist every tracked frame (non-blocking) and forget them. */
-  def releaseAll(): Unit = {
+  /** Unpersist every tracked frame (non-blocking) and forget them.
+    * Synchronized: [[releaseOnMaterialize]] calls this from the
+    * listener-bus thread while the building thread may still hold the
+    * scope.
+    */
+  def releaseAll(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
   }
+
+  /** Defer [[releaseAll]] to `result`'s FIRST materialization — the
+    * lifecycle for queries whose pins must outlive the builder (a
+    * mid-query persist like [[graft.operators.PrefixScan]]'s range
+    * pin is read by the final action itself, so an eager release
+    * would recompute it; an eager pagerank-style truncate of the
+    * final frame would materialize a data-sized result inside the
+    * builder). A one-shot [[QueryExecutionListener]] watches for an
+    * execution whose analyzed tree contains `result`'s analyzed plan
+    * (reference equality — writers and downstream transformations
+    * embed the Dataset's plan object unchanged) and releases the
+    * scope the moment that action finishes, success or failure.
+    *
+    * Two boundedness properties for a long-lived session:
+    *
+    *   - the listener self-unregisters after firing, so a sweep adds
+    *     zero listeners steady-state;
+    *   - a result that is built but never materialized must not pin
+    *     storage forever, so after [[Pins.MaxUnrelatedExecutions]]
+    *     foreign executions the scope releases anyway — early release
+    *     is always SAFE (unpersist drops caching, lineage still
+    *     evaluates; chunk ids are deterministic per input, see the
+    *     PrefixScan pin note), it only costs a recompute.
+    *
+    * Release happens on the bus thread shortly AFTER the action
+    * returns (listener delivery is asynchronous); callers asserting
+    * on storage counts poll briefly.
+    */
+  def releaseOnMaterialize(result: DataFrame): DataFrame = {
+    val session = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val fired = new AtomicBoolean(false)
+    val foreign = new AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val hit = qe.analyzed.exists(_ eq target)
+        if ((hit || foreign.incrementAndGet() > Pins.MaxUnrelatedExecutions)
+            && fired.compareAndSet(false, true)) {
+          releaseAll()
+          session.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
+}
+
+object Pins {
+  /** Safety valve for never-materialized results: after this many
+    * completed executions that do not reference the watched plan, the
+    * scope releases anyway (bounded pin lifetime beats a perfect
+    * first-use cache in a session that dropped the query on the
+    * floor).
+    */
+  val MaxUnrelatedExecutions = 64
 }

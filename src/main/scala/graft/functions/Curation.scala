@@ -371,26 +371,30 @@ object Curation extends QueryModule {
   private[graft] def tokenBudgetScaled(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    // Staged (persisted) BEFORE the scan: repartitionByRange runs a
+    // Staged (pinned) BEFORE the scan: repartitionByRange runs a
     // sampling job that executes its whole child plan, so an
     // unpersisted input would pay the regex tokenization TWICE over
     // the corpus (once to sample the range bounds, once to shuffle).
-    // Persisting the four small columns makes the sample pass the one
+    // Pinning the four small columns makes the sample pass the one
     // materialization and the shuffle a cache read — tokenize once.
-    val staged = docs
+    // Both this pin and the scan's range pin share one Pins scope,
+    // released by the query's own first materialization.
+    val pins = new graft.Pins
+    val staged = pins(docs
       .select($"doc_id", $"source", $"n_chars",
-        Text.tokenCount($"text").as("n_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Text.tokenCount($"text").as("n_toks")))
+    pins.releaseOnMaterialize(
     graft.operators.PrefixScan.scan(
         staged,
         group = Seq("source"),
         sort = Seq($"n_chars".desc, $"doc_id".asc),
         weight = $"n_toks",
-        chunkPrune = _ < TokenBudget)
+        chunkPrune = _ < TokenBudget,
+        pins = pins)
       .filter($"cum_before" < TokenBudget)
       .select($"doc_id", $"source", $"n_toks".cast("int").as("n_toks"),
         $"cum_before".cast("long").as("cum_before"))
-      .orderBy($"source", $"doc_id")
+      .orderBy($"source", $"doc_id"))
   }
 
   /** The single-window formulation — every source on one task;

@@ -350,11 +350,13 @@ object Graph extends QueryModule {
     // fixpoint are idempotent) keeps the loop free of driver-side
     // convergence reads, and integer degrees make the result exact
     // and partition-invariant — hash-verifiable by an unrolled-CTE
-    // oracle. Per round: two semi-joins of the persisted edge table
-    // against the |alive|-row node set, one map-side-combined degree
-    // count, an EAGER checkpoint truncation (the q_dedup_groups
-    // plan-doubling discipline), superseded rounds released as the
-    // next lands.
+    // oracle. Per round: one dst-side semi-join of the persisted edge
+    // table against the |alive|-row node set (the src-side
+    // restriction is redundant — see the loop comment), one
+    // map-side-combined degree count, an EAGER checkpoint truncation
+    // (the q_dedup_groups plan-doubling discipline), superseded
+    // rounds released as the next lands; two semi-joins appear only
+    // in the final core report.
     "q_kcore" -> ((s, dir) => kcore(s, dir)),
   )
 
@@ -395,10 +397,23 @@ object Graph extends QueryModule {
       }
       // Core membership report: each survivor with its degree INSIDE
       // the core (≥ k by construction at the fixpoint).
+      //
+      // Convergence guard: [[KcoreRounds]] reaching the fixpoint is
+      // only ASSERTED at the smoke fixture — at other data a
+      // non-converged peel would report nodes whose in-core degree is
+      // still < k, and the unrolled-CTE oracle (same round count)
+      // would agree, so the correctness harness cannot catch it. The
+      // per-row assert_true costs one codegen'd comparison on the
+      // |core|-row report and turns a silent non-core set into a loud
+      // job failure naming the offending degree.
       edges
         .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
         .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
         .groupBy($"src").agg(count(lit(1)).as("core_deg"))
+        .filter(assert_true($"core_deg" >= KcoreK,
+          concat(lit(s"k-core peel not converged after $KcoreRounds rounds: " +
+            s"surviving node with core_deg "), $"core_deg",
+            lit(s" < $KcoreK — raise KcoreRounds"))).isNull)
         .select($"src".as("node"), $"core_deg")
         .orderBy($"core_deg".desc, $"node")
     } finally pins.releaseAll()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{Pins, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,15 +31,16 @@ object Frontier extends QueryModule {
     * chunk-prefix max over the chunks-sized meta table, broadcast
     * back, within-chunk running max). Adds `max_before` (null for the
     * global first rows). Like PrefixScan, `sort` must be a total
-    * order.
+    * order, and the range pin goes through the caller's [[Pins]]
+    * scope so the query's own first materialization releases it
+    * (`Pins.releaseOnMaterialize` on the final frame).
     */
   private def prefixMax(df: DataFrame, sort: Seq[Column],
-      value: Column): DataFrame = {
-    val ranged = df
+      value: Column, pins: Pins): DataFrame = {
+    val ranged = pins(df
       .repartitionByRange(sort: _*)
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", value)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_v", value))
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val meta = ranged.groupBy(col("_pid"))
@@ -75,10 +76,12 @@ object Frontier extends QueryModule {
         .groupBy($"o_totalprice".as("price"),
           $"o_orderdate".cast("timestamp").as("d"))
         .agg(count(lit(1)).as("n_orders"))
-      prefixMax(pts, Seq($"price".asc, $"d".desc), unix_micros($"d"))
-        .filter($"max_before".isNull || unix_micros($"d") > $"max_before")
-        .select($"price", $"d", $"n_orders")
-        .orderBy($"price", $"d")
+      val pins = new Pins
+      pins.releaseOnMaterialize(
+        prefixMax(pts, Seq($"price".asc, $"d".desc), unix_micros($"d"), pins)
+          .filter($"max_before".isNull || unix_micros($"d") > $"max_before")
+          .select($"price", $"d", $"n_orders")
+          .orderBy($"price", $"d"))
     }),
 
     // Sweep-line peak concurrency: every event holds a resource for
@@ -96,14 +99,16 @@ object Frontier extends QueryModule {
       val pts = ev.select(unix_micros($"ts").as("t"), lit(1L).as("delta"),
           $"event_id")
         .union(ends)
-      PrefixScan.scan(pts.withColumn("g", lit(0)), Seq("g"),
-          Seq($"t".asc, $"delta".asc, $"event_id".asc), $"delta")
-        .withColumn("running", $"cum_before" + $"delta")
-        .orderBy($"running".desc, $"t".asc, $"delta".asc, $"event_id".asc)
-        .limit(1)
-        .select($"running".as("peak"),
-          timestamp_micros($"t").as("peak_ts"),
-          ($"grp_total" + lit(0L)).as("net_end"))
+      val pins = new Pins
+      pins.releaseOnMaterialize(
+        PrefixScan.scan(pts.withColumn("g", lit(0)), Seq("g"),
+            Seq($"t".asc, $"delta".asc, $"event_id".asc), $"delta", pins = pins)
+          .withColumn("running", $"cum_before" + $"delta")
+          .orderBy($"running".desc, $"t".asc, $"delta".asc, $"event_id".asc)
+          .limit(1)
+          .select($"running".as("peak"),
+            timestamp_micros($"t").as("peak_ts"),
+            ($"grp_total" + lit(0L)).as("net_end")))
     }),
 
     // Largest-remainder apportionment (Hamilton method): allocate

@@ -1,9 +1,9 @@
 package graft.operators
 
+import graft.Pins
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed per-group prefix scan — the shared machinery behind
   * every "running total in a global order within few groups" query
@@ -61,19 +61,28 @@ object PrefixScan {
     * dropped wholesale BEFORE its rows reach the window — pass the
     * predicate as `chunkPrune` and only the qualifying prefix of
     * chunks does any per-row work at all.
+    *
+    * `pins` owns the range pin's lifecycle: callers thread their own
+    * [[Pins]] scope and hand the FINAL query frame to
+    * [[Pins.releaseOnMaterialize]], so the pin is released by the
+    * query's own first action instead of waiting on harness hygiene
+    * (`Storage.releaseAll`) — the long-lived-session leak class the
+    * round-10 pagerank regression came from. The default orphan
+    * scope preserves the old harness-released behavior for callers
+    * that have not adopted the discipline.
     */
   def scan(df: DataFrame, group: Seq[String], sort: Seq[Column],
            weight: Column,
-           chunkPrune: Column => Column = _ => lit(true)): DataFrame = {
+           chunkPrune: Column => Column = _ => lit(true),
+           pins: Pins = new Pins): DataFrame = {
     val gCols = group.map(col)
-    val ranged = df
+    // pinned: the subtotal pass and the scan pass must see ONE
+    // materialization — chunk ids are deterministic for a given
+    // input, but two executions would still range-sample twice
+    val ranged = pins(df
       .repartitionByRange((gCols ++ sort): _*)
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", weight)
-      // pinned: the subtotal pass and the scan pass must see ONE
-      // materialization — chunk ids are deterministic for a given
-      // input, but two executions would still range-sample twice
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_w", weight))
     val wOff = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(gCols: _*)

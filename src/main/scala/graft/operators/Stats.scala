@@ -48,7 +48,10 @@ object Stats extends QueryModule {
         .groupBy($"o_custkey")
         .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
         .withColumn("g", lit(0))
-      PrefixScan.scan(rev, Seq("g"), Seq($"cents".asc, $"o_custkey".asc), lit(1L))
+      val pins = new graft.Pins
+      pins.releaseOnMaterialize(
+      PrefixScan.scan(rev, Seq("g"), Seq($"cents".asc, $"o_custkey".asc), lit(1L),
+          pins = pins)
         .agg(
           sum(($"cum_before" + 1).cast("decimal(38,0)") * $"cents").as("s_ix"),
           sum($"cents").as("s_x"),
@@ -57,7 +60,7 @@ object Stats extends QueryModule {
           round(lit(2.0) * $"s_ix".cast("double")
               / ($"n".cast("double") * $"s_x".cast("double"))
             - ($"n" + lit(1.0)) / $"n", 6).as("gini"),
-          $"n".as("n_customers"))
+          $"n".as("n_customers")))
     }),
 
     // Two-sample Kolmogorov–Smirnov: D = max |F₁(x) − F₂(x)| between
@@ -67,10 +70,18 @@ object Stats extends QueryModule {
     // table, whose size is bounded by the 2-dp value domain (a few
     // thousand rows at any data scale), the same bounded-meta-window
     // argument as PrefixScan's step 3.
+    //
+    // NULL contract: rows with NULL value are excluded EXPLICITLY —
+    // a NULL carries no position on the real line, so it contributes
+    // no distribution mass to either CDF. Without the filter the two
+    // engines would diverge on where NULL sorts in the cumulative
+    // window (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST),
+    // shifting k1/k2 and hence D — parity would hinge on fixture
+    // cleanliness instead of a stated contract.
     "q_ks_test" -> ((s, dir) => {
       import s.implicits._
       val byV = Tables.events(s, dir)
-        .filter($"event_type".isin("click", "view"))
+        .filter($"event_type".isin("click", "view") && $"value".isNotNull)
         .select($"value", ($"event_type" === "click").as("is1"))
         .groupBy($"value")
         .agg(sum(when($"is1", 1L).otherwise(0L)).as("c1"),
@@ -193,9 +204,18 @@ object Stats extends QueryModule {
     // lead() window partitioned by user (per-user state, arbitrarily
     // parallel), one pair count whose key domain is |types|² = 25,
     // and a share window over that bounded aggregate.
+    //
+    // The sequence order is pinned NULLS LAST explicitly: Spark's
+    // ASC default is NULLS FIRST, DuckDB's is NULLS LAST, so an
+    // event with a NULL timestamp would land at opposite ends of its
+    // user's sequence and flip transition pairs between engines.
+    // Pinning (rather than filtering) keeps such events in the
+    // chain — a missing timestamp still separates its neighbors —
+    // with a deterministic cross-engine position.
     "q_markov_transitions" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc_nulls_last, $"event_id".asc)
       val cnt = Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"event_type")
         .withColumn("next_type", lead($"event_type", 1).over(w))
@@ -230,7 +250,8 @@ object Stats extends QueryModule {
         |  SELECT value,
         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
         |    SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS c2
-        |  FROM events WHERE event_type IN ('click', 'view')
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
         |  GROUP BY value),
         |cum AS (
         |  SELECT
@@ -318,7 +339,7 @@ object Stats extends QueryModule {
       """WITH nxt AS (
         |  SELECT event_type AS prev_type,
         |    LEAD(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS next_type
+        |      ORDER BY ts NULLS LAST, event_id) AS next_type
         |  FROM events),
         |cnt AS (
         |  SELECT prev_type, next_type, COUNT(*) AS n

@@ -212,11 +212,14 @@ object Windows extends QueryModule {
   private[graft] def distributionScaled(
       orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import orders.sparkSession.implicits._
+    val pins = new graft.Pins
+    pins.releaseOnMaterialize(
     PrefixScan.scan(
         orders.select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
         group = Seq("o_orderpriority"),
         sort = Seq($"o_totalprice".asc, $"o_orderkey".asc),
-        weight = lit(1L))
+        weight = lit(1L),
+        pins = pins)
       .withColumn("i", $"cum_before" + 1)
       .withColumn("n", $"grp_total")
       .withColumn("q", expr("n div 4"))
@@ -228,7 +231,7 @@ object Windows extends QueryModule {
         when($"n" > 1, round(($"i" - 1).cast("double") / ($"n" - 1), 4))
           .otherwise(lit(0.0)).as("pct_rank"),
         round($"i".cast("double") / $"n", 4).as("cume"))
-      .orderBy($"o_orderpriority", $"o_orderkey")
+      .orderBy($"o_orderpriority", $"o_orderkey"))
   }
 
   /** The single-window formulation — every group on one task; retained

@@ -44,6 +44,48 @@ class StorageLifecycleSpec extends SparkSpec {
       s"releaseAll failed to drain storage after: ${undrained.mkString(", ")}")
   }
 
+  /** Listener delivery is asynchronous (the release runs on the bus
+    * thread shortly after the action returns), so the zero assertion
+    * polls with a generous deadline instead of reading immediately.
+    */
+  private def awaitResident(expect: Int, timeoutMs: Long = 30000L): Int = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    var left = Storage.residentRddCount(spark)
+    while (left != expect && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      left = Storage.residentRddCount(spark)
+    }
+    left
+  }
+
+  test("PrefixScan family releases its range pins at materialization, zero residue, no harness help") {
+    // The round-11 verdict's top item: every in-query persist of the
+    // PrefixScan/prefixMax structure must be released by the query
+    // ITSELF (Pins.releaseOnMaterialize on the final frame), not by
+    // Storage.releaseAll between harness queries — the leak class
+    // that produced the round-10 pagerank regression, previously
+    // still open for these consumers in a long-lived interleaved
+    // session. Unlike q_pagerank (whose truncated rank table remains,
+    // ≤ 1 entry), the family's results are lazy, so a full release
+    // leaves storage EMPTY.
+    val family =
+      Seq("q_gini", "q_window_ntile", "q_token_budget", "q_skyline",
+        "q_concurrency")
+    Storage.releaseAll(spark)
+    assert(awaitResident(0) == 0, "dirty storage before the sweep")
+    val leaks = family.flatMap { name =>
+      run(name).write.format("noop").mode("overwrite").save()
+      val left = awaitResident(0)
+      // Hygiene between iterations so one query's leak cannot hide
+      // another's (the assertion has already recorded it).
+      Storage.releaseAll(spark)
+      if (left != 0) Some(name -> left) else None
+    }
+    assert(leaks.isEmpty,
+      s"PrefixScan-family queries must self-release at materialization; " +
+        s"resident entries left: ${leaks.mkString(", ")}")
+  }
+
   test("q_pagerank releases its edge/degree/base pins itself (long-lived-session discipline)") {
     // The query's own lifecycle, no harness help: after the result is
     // materialized, the four MEMORY_AND_DISK pins and the pairs pin
