@@ -41,6 +41,16 @@ object Mining extends QueryModule {
   /** Maximum edit distance for a fuzzy block match. */
   val FuzzyMaxDist = 2
 
+  /** Width of the length-band half of the fuzzy blocking key. Must be
+    * ≥ [[FuzzyMaxDist]]: a pair within edit distance d differs in
+    * length by ≤ d, so with band width ≥ d its two lengths fall in
+    * the same or an adjacent band and the ±1 band expansion of the
+    * probe side loses no true pair.
+    */
+  val FuzzyBandWidth = 4
+  require(FuzzyBandWidth >= FuzzyMaxDist,
+    "length-band blocking would drop true near-pairs")
+
   /** Minimum document frequency for a χ²-scored term. */
   val ChisqMinDf = 5
 
@@ -133,17 +143,35 @@ object Mining extends QueryModule {
 
     // Blocked fuzzy matching over part names — entity resolution's
     // blocking pattern: candidate pairs form ONLY within a blocking
-    // key (the name's final word), then an edit-distance filter keeps
-    // near-matches. Work is Σ block², bounded by the blocking-key
-    // distribution, never |names|² — the same never-all-pairs
-    // argument as the MinHash band join. Orientation n1 < n2 emits
-    // each pair once.
+    // key, then an edit-distance filter keeps near-matches. Work is
+    // Σ block², bounded by the blocking-key distribution, never
+    // |names|² — the same never-all-pairs argument as the MinHash
+    // band join. Orientation n1 < n2 emits each pair once.
+    //
+    // TWO-key blocking (the standard multi-pass ER discipline): the
+    // final name word alone leaves Σ block² quadratic in the largest
+    // block, so a coarse word distribution at 100 TB concentrates the
+    // join on one hot key. A length band (width [[FuzzyBandWidth]])
+    // conjoins into the key: dist ≤ d forces |len₁ − len₂| ≤ d, and
+    // with band width ≥ d the two lengths land in the same or an
+    // ADJACENT band — the n1 side therefore emits each name under
+    // bands {b−1, b, b+1} and the n2 side under its own band, so
+    // every true near-pair meets on EXACTLY one (word, band) key
+    // (the three emissions carry distinct bands — no dedup pass) and
+    // the candidate set stays a superset of the true result: the
+    // post-filter output, and hence the oracle, is unchanged. Cost:
+    // 3× one side of the hash join's build input; gain: hot blocks
+    // split by name length.
     "q_fuzzy_block_join" -> ((s, dir) => {
       import s.implicits._
       val names = Tables.part(s, dir).select($"p_name").distinct()
         .withColumn("block", element_at(split($"p_name", " "), -1))
-      names.select($"block", $"p_name".as("n1"))
-        .join(names.select($"block", $"p_name".as("n2")), Seq("block"))
+        .withColumn("band", (length($"p_name") / FuzzyBandWidth).cast("int"))
+      val probe = names.select($"block", $"p_name".as("n1"),
+          explode(array($"band" - 1, $"band", $"band" + 1)).as("band"))
+      probe
+        .join(names.select($"block", $"band", $"p_name".as("n2")),
+          Seq("block", "band"))
         .filter($"n1" < $"n2")
         .withColumn("dist", levenshtein($"n1", $"n2"))
         .filter($"dist" <= FuzzyMaxDist)

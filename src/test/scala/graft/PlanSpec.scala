@@ -521,13 +521,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_fuzzy_block_join: candidates form through a hash join on the blocking key") {
+  test("q_fuzzy_block_join: candidates form through a hash join on BOTH blocking keys") {
     // The entity-resolution point: levenshtein runs only on pairs that
     // already share a block — the join must be keyed (hash/merge), not
-    // an all-pairs nested loop with the distance in the condition.
-    val p = plan("q_fuzzy_block_join")
+    // an all-pairs nested loop with the distance in the condition. And
+    // the key must be the (word, length-band) CONJUNCTION: with the
+    // band missing from the equi-keys, one hot final word regrows the
+    // Σ block² concentration the second key exists to split.
+    val df = run("q_fuzzy_block_join")
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // AQE wraps the plan — walk through the adaptive nodes.
+    def flatten(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      n +: kids.flatMap(flatten)
+    }
+    val keyed = flatten(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.size
+    }
+    assert(keyed.exists(_ >= 2),
+      s"candidate join must be keyed on (block, band), got key counts $keyed:\n$p")
   }
 
   test("q_null_audit profiles every column in ONE scan of the table") {
