@@ -240,6 +240,26 @@ class SelectionGraphSpec extends SparkSpec {
     Storage.releaseAll(spark)
   }
 
+  test("triangle counting: degree-ordered orientation matches id orientation at two SFs") {
+    // The arboricity-bounded variant (round-11 verdict item 4): edges
+    // re-oriented from the lower-(degree, id) endpoint pivot every
+    // wedge on its lowest-degree vertex, so hub wedge work collapses
+    // from O(deg(hub)²) to O(arboricity²) per node — but the triangle
+    // MULTISET, and hence every per-node count, must be exactly the
+    // id-oriented result. Both SFs: the smoke fixture plus the 10×
+    // graph, where the degree distribution actually differs.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val id = Graph.triangleCounts(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      Storage.releaseAll(spark)
+      val byDeg = Graph.triangleCounts(spark, dir, byDegree = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      Storage.releaseAll(spark)
+      assert(id.nonEmpty, s"fixture $dir must contain triangles")
+      assert(byDeg === id, s"orientation parity broken at $dir")
+    }
+  }
+
   test("q_link_predict: jaccard equals intersection over union of capped neighborhoods") {
     import spark.implicits._
     val pairs = bruteForcePairs()
