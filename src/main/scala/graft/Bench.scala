@@ -107,14 +107,7 @@ object Bench {
     // than the gate ratio itself, so a query that oscillates across
     // the threshold reads as "unstable" in the round evidence instead
     // of silently passing.
-    if (confirmed.nonEmpty) {
-      val spread = confirmed.toSeq.sortBy(_._1).map { case (k, (s, c)) =>
-        val unstable = math.max(s, c) > WarmBaseline.GateFactor * math.min(s, c)
-        "\"" + k + "\":{\"sweep\":" + fmt(s) + ",\"confirm\":" + fmt(c) +
-          ",\"kept\":" + fmt(math.min(s, c)) + ",\"unstable\":" + unstable + "}"
-      }.mkString("{", ",", "}")
-      println(s"""{"metric":"confirm_spread","queries":$spread}""")
-    }
+    WarmBaseline.confirmSpreadLine(confirmed).foreach(println)
     println(s"""{"metric":"total_warm","value":${fmt(totalWarm)},"unit":"sec","queries_n":${results.size},"sf":"$sfDir"}""")
     val regressions = WarmBaseline.regressions(warmFinal, baseline)
     val regJson = regressions

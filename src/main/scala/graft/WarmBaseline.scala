@@ -56,6 +56,31 @@ object WarmBaseline {
     */
   val GateFactor: Double = 2.0
 
+  private def fmtSec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Render the confirm-pass transparency record for flagged queries:
+    * both measurements (sweep + isolated confirm), the kept minimum,
+    * and an `unstable` marker when the two disagree by more than the
+    * gate ratio itself — so an intermittent regression reads as
+    * "unstable" in the round evidence instead of silently passing on
+    * its lucky run. None when nothing was flagged (the line must not
+    * render at all on a clean gate). Extracted from Bench.main so the
+    * path that only executes during REAL regressions is exercised by
+    * WarmBaselineSpec every round, not first exercised in production
+    * the day a regression finally lands.
+    */
+  def confirmSpreadLine(confirmed: Map[String, (Double, Double)]): Option[String] =
+    if (confirmed.isEmpty) None
+    else {
+      val spread = confirmed.toSeq.sortBy(_._1).map { case (k, (s, c)) =>
+        val unstable = math.max(s, c) > GateFactor * math.min(s, c)
+        "\"" + k + "\":{\"sweep\":" + fmtSec(s) + ",\"confirm\":" + fmtSec(c) +
+          ",\"kept\":" + fmtSec(math.min(s, c)) + ",\"unstable\":" + unstable + "}"
+      }.mkString("{", ",", "}")
+      Some(s"""{"metric":"confirm_spread","queries":$spread}""")
+    }
+
   /** Warm times exceeding their baseline by more than `factor`, with
     * an absolute floor so sub-100ms measurement noise can't flag
     * (a 2× there is milliseconds). Sorted worst-first.

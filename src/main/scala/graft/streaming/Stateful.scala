@@ -53,9 +53,10 @@ object Stateful {
     * out-of-order delivery admits in arrival order by design — the
     * operator is an admission CONTROLLER, not a retroactive sort. The
     * accumulated total keeps counting after the budget is hit, so a
-    * key's state stays one monotone Long forever; at real scale pair
-    * this with a ProcessingTimeTimeout to evict keys idle past the
-    * ingest horizon.
+    * key's state stays one monotone Long forever; at real scale use
+    * [[budgetAdmitEvicting]], which bounds state by evicting keys
+    * idle past the event-time horizon (StreamingSpec pins the
+    * eviction).
     */
   def budgetAdmit(events: Dataset[AdmitEvent], budgetCents: Long): Dataset[Admitted] = {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
@@ -78,6 +79,62 @@ object Stateful {
           }
           state.update(cum)
           out.result().iterator
+        })
+  }
+
+  /** Default idle horizon for [[budgetAdmitEvicting]]: a key whose
+    * last event time falls this far behind the watermark is dropped.
+    */
+  val IdleHorizonMs: Long = 30L * 60 * 1000
+
+  /** [[budgetAdmit]] with BOUNDED state — the 100 TB contract. The
+    * unbounded-state variant keeps one Long per user forever, which
+    * on an open-ended key domain (users, sessions, documents) is the
+    * streaming OOM: state grows with the lifetime key count, not the
+    * active set. This twin sets a watermark on event time and an
+    * EventTimeTimeout per key at (last event time + `idleHorizonMs`):
+    * once the watermark passes that point the key's callback fires
+    * with `hasTimedOut`, the state is REMOVED, and nothing is
+    * emitted — so resident state is O(keys active within the
+    * horizon). The cost is semantic and explicit: a key returning
+    * after the horizon restarts its budget from zero (its running
+    * total was evicted), which is the standard trade for bounded
+    * state; StreamingSpec pins both sides (idle key evicted and
+    * restarted at cum 0, active key's total carried).
+    *
+    * The timeout timestamp is clamped one past the current watermark:
+    * setTimeoutTimestamp rejects values at or before the watermark,
+    * and a batch CAN legally arrive carrying only events older than
+    * (watermark − horizon) for a key the watermark has already moved
+    * far beyond.
+    */
+  def budgetAdmitEvicting(events: Dataset[AdmitEvent], budgetCents: Long,
+      watermarkDelay: String = "10 minutes",
+      idleHorizonMs: Long = IdleHorizonMs): Dataset[Admitted] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[AdmitEvent], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toArray
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            var cum = state.getOption.getOrElse(0L)
+            val out = Array.newBuilder[Admitted]
+            sorted.foreach { e =>
+              if (cum < budgetCents) out += Admitted(e.event_id, uid, e.cents, cum)
+              cum += e.cents
+            }
+            state.update(cum)
+            val lastTs = sorted.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleHorizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
         })
   }
 }

@@ -72,4 +72,32 @@ class WarmBaselineSpec extends AnyFunSuite {
     val r = WarmBaseline.regressions(warm, base)
     assert(r.map(_._1) == Seq("a_big"))
   }
+
+  test("confirm-spread record renders for a flagged query and marks gate-wide disagreement unstable") {
+    // Round-11 verdict item 5: this path only executes during REAL
+    // regressions and had never fired in a recorded run — drive a
+    // synthetic flagged query through the same pipeline Bench uses
+    // (regressions -> confirm map -> rendered line) so the gate code
+    // cannot rot unobserved.
+    val base = Map("q_slow" -> 1.0, "q_fine" -> 1.0)
+    val warm = Seq("q_slow" -> 3.0, "q_fine" -> 1.1)
+    val flagged = WarmBaseline.regressions(warm, base).map(_._1)
+    assert(flagged == Seq("q_slow"))
+    // Confirm pass disagrees with the sweep by more than GateFactor
+    // (3.0 vs 0.9) -> the record must render both numbers, keep the
+    // min, and call the query unstable.
+    val line = WarmBaseline.confirmSpreadLine(
+      flagged.map(k => k -> (3.0, 0.9)).toMap)
+    assert(line.isDefined)
+    val json = line.get
+    assert(json.startsWith("""{"metric":"confirm_spread""""), json)
+    assert(json.contains(""""q_slow":{"sweep":3.000,"confirm":0.900,""" +
+      """"kept":0.900,"unstable":true}"""), json)
+    // A reproducing (stable) regression: both measurements agree ->
+    // not unstable, min still kept.
+    val stable = WarmBaseline.confirmSpreadLine(Map("q_slow" -> (3.0, 2.8)))
+    assert(stable.get.contains(""""kept":2.800,"unstable":false"""), stable.get)
+    // Clean gate -> the line must not render at all.
+    assert(WarmBaseline.confirmSpreadLine(Map.empty).isEmpty)
+  }
 }
