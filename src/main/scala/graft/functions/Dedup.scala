@@ -641,32 +641,31 @@ object Dedup extends QueryModule {
     }
 
     val MaxRounds = 50
-    var edges = strategy.truncate(canonical(edgesIn))
-    // `pending` tracks a freshly-truncated round whose ownership has
-    // not yet transferred to `edges` — the finally releases both, so
-    // neither a failed round, a non-convergent require, nor the
-    // success path (where the label table is truncated FIRST) can
-    // strand checkpoint storage on the caller (the round-10 sweep
-    // leak: clearCache never reaches checkpoint blocks).
-    var pending: DataFrame = null
+    // Generation lifecycle (the shared Generations discipline): stage
+    // truncates a round while the previous one is still readable for
+    // the convergence check, advance releases the superseded round,
+    // and the finally's releaseAll covers a failed round, the
+    // non-convergent require, AND the success path (where the label
+    // table is truncated FIRST) — so nothing can strand checkpoint
+    // storage on the caller (the round-10 sweep leak: clearCache
+    // never reaches checkpoint blocks).
+    val gen = new Generations(strategy)
     try {
+      var edges = gen.init(canonical(edgesIn))
       var edgeCount = edges.count()
       var converged = false
       var rounds = 0
       while (!converged && rounds < MaxRounds) {
-        val next = strategy.truncate(smallStar(largeStar(edges)))
-        pending = next
+        val next = gen.stage(smallStar(largeStar(edges)))
         val nextCount = next.count()
         // Fixpoint test on the canonical edge SET: equal size plus an
         // empty one-sided difference ⇔ set equality. Both inputs are
-        // checkpointed, so the except reads checkpointed data.
-        converged = nextCount == edgeCount && next.except(edges).isEmpty
-        // The superseded round is never read again past the except
-        // above — free its storage now rather than leaning on the
+        // checkpointed, so the except reads checkpointed data — and
+        // the superseded round is never read again past it, so
+        // advance frees its storage now rather than leaning on the
         // ContextCleaner's GC hook.
-        strategy.release(edges)
-        edges = next
-        pending = null
+        converged = nextCount == edgeCount && next.except(edges).isEmpty
+        edges = gen.advance()
         edgeCount = nextCount
         rounds += 1
       }
@@ -684,10 +683,7 @@ object Dedup extends QueryModule {
         edges.select(col("hi").as("id"), col("lo").as("label"))
           .unionAll(edges.select(col("lo").as("id"), col("lo").as("label")))
           .distinct())
-    } finally {
-      strategy.release(edges)
-      if (pending != null && (pending ne edges)) strategy.release(pending)
-    }
+    } finally gen.releaseAll()
   }
 
   /** Near-dup GROUP assignment — the step after pair generation that

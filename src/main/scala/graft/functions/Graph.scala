@@ -435,8 +435,13 @@ object Graph extends QueryModule {
       val edges = pins(thresholded
         .select($"s1".as("src"), $"s2".as("dst"))
         .union(thresholded.select($"s2".as("src"), $"s1".as("dst"))))
+      // Generation lifecycle: stage truncates the new round, advance
+      // releases the superseded one (the shared Generations
+      // discipline). No releaseAll here — the final report below
+      // reads the LAST round lazily, so its storage belongs to the
+      // result, not the loop.
+      val gen = new Generations(strategy)
       var alive = edges.select($"src".as("node")).distinct()
-      var prevCp: Option[DataFrame] = None
       for (_ <- 1 to KcoreRounds) {
         // ONE semi-join per round, dst side only: restricting the src
         // side too is redundant — a node dropped in round t was
@@ -450,10 +455,8 @@ object Graph extends QueryModule {
           .groupBy($"src").agg(count(lit(1)).as("d"))
           .filter($"d" >= KcoreK)
           .select($"src".as("node"))
-        val cp = strategy.truncate(nxt)
-        prevCp.foreach(strategy.release)
-        prevCp = Some(cp)
-        alive = cp
+        gen.stage(nxt)
+        alive = gen.advance()
       }
       // Core membership report: each survivor with its degree INSIDE
       // the core (≥ k by construction at the fixpoint).

@@ -559,36 +559,33 @@ object Text extends QueryModule {
                                  CheckpointStrategy.Local): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    // Lifecycle: the finally releases the live vocabulary generation
-    // and every per-round argmax checkpoint on success AND failure —
-    // without it the rounds × 1-row frames (and, on a failed round,
-    // the current vocabulary) outlive the query as unreleasable
-    // checkpoint blocks (clearCache cannot reach them), one leak per
-    // invocation in a long-lived session (the pagerank finally,
-    // mirrored). On success the merge table truncates FIRST, so the
-    // returned frame depends on none of the released storage.
+    // Lifecycle (the shared Generations discipline): the vocabulary
+    // is the carried generation — stage truncates the rewrite while
+    // the old generation is still its reader, advance releases it —
+    // and each round's 1-row argmax is a KEPT side output, alive
+    // until the merge table is assembled. The finally's releaseAll
+    // covers success AND failure: without it the rounds × 1-row
+    // frames (and, on a failed round, the current vocabulary) outlive
+    // the query as unreleasable checkpoint blocks (clearCache cannot
+    // reach them), one leak per invocation in a long-lived session.
+    // On success the merge table truncates FIRST, so the returned
+    // frame depends on none of the released storage (the final
+    // generation feeds nothing — only the argmax rows do).
+    val gen = new Generations(strategy)
     val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var vocab: DataFrame = null
     try {
-      vocab = strategy.truncate(bpeVocab(docs))
+      var vocab = gen.init(bpeVocab(docs))
       for (step <- 1 to rounds) {
-        val top = strategy.truncate(bpeArgmax(vocab, step))
+        val top = gen.keep(bpeArgmax(vocab, step))
         tops += top
-        // release AFTER the next generation materializes: the rewrite
-        // below is the old generation's last reader.
-        val next = strategy.truncate(bpeRewrite(vocab, top))
-        strategy.release(vocab)
-        vocab = next
+        gen.stage(bpeRewrite(vocab, top))
+        vocab = gen.advance()
       }
       strategy.truncate(
         tops.reduce(_ unionByName _)
           .select($"step", $"l".as("left"), $"r".as("right"), $"cnt")
           .orderBy($"step"))
-    } finally {
-      // the final generation feeds nothing — only the argmax rows do.
-      if (vocab != null) strategy.release(vocab)
-      tops.foreach(strategy.release)
-    }
+    } finally gen.releaseAll()
   }
 
   /** Apply a learned merge table to a `(w, syms)` vocabulary — the
