@@ -318,9 +318,72 @@ object Mining extends QueryModule {
           ($"n_est" - $"n_exact").as("overcount"))
         .orderBy($"n_exact".desc, $"l_partkey".asc)
     }),
+
+    // [EXT r12] Referential-integrity audit across the star schema —
+    // the orphan-rate completeness gate next to q_null_audit's
+    // per-column audit: for each FK relation, child rows whose key
+    // has no parent. Plan per relation: keys-only pruned scans, the
+    // parent key distinct'd (correctness under a non-unique parent —
+    // a plain join would multiply counts), ONE left join + one
+    // aggregate counting null-parent hits — the shuffle moves keys,
+    // never rows. Four relations union four 1-row aggregates.
+    "q_fk_audit" -> ((s, dir) => {
+      import s.implicits._
+      def rel(name: String, child: org.apache.spark.sql.DataFrame,
+          key: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String) =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")).distinct()
+            .withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(name).as("relation"), $"n_child", $"n_orphan",
+            round($"n_orphan".cast("double") / $"n_child", 6)
+              .as("orphan_rate"))
+      rel("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionAll(rel("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionAll(rel("lineitem->supplier", Tables.lineitem(s, dir),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+        .unionAll(rel("orders->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy($"relation")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_fk_audit" ->
+      """WITH r1 AS (
+        |  SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_child,
+        |    CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT) AS n_orphan
+        |  FROM lineitem c LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON c.l_orderkey = p.k),
+        |r2 AS (
+        |  SELECT 'lineitem->part', COUNT(*),
+        |    CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT)
+        |  FROM lineitem c LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.l_partkey = p.k),
+        |r3 AS (
+        |  SELECT 'lineitem->supplier', COUNT(*),
+        |    CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT)
+        |  FROM lineitem c LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON c.l_suppkey = p.k),
+        |r4 AS (
+        |  SELECT 'orders->customer', COUNT(*),
+        |    CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT)
+        |  FROM orders c LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.o_custkey = p.k),
+        |u AS (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+        |SELECT relation, n_child, n_orphan,
+        |  ROUND(CAST(n_orphan AS DOUBLE) / n_child, 6) AS orphan_rate
+        |FROM u ORDER BY relation""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

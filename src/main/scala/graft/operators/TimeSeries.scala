@@ -29,6 +29,16 @@ object TimeSeries extends QueryModule {
   /** Autocorrelation lag in days (weekly seasonality probe). */
   val AutocorrLagDays = 7
 
+  /** EWMA smoothing factor. EXACTLY 1/2 on purpose: every weight
+    * α(1−α)ᵏ is a power of two, so pow() is exact in IEEE doubles in
+    * BOTH engines — a 0.2/0.8 pair would make the whole chart depend
+    * on two libms agreeing about pow(0.8, k) in the last ulp.
+    */
+  val EwmaAlpha = 0.5
+
+  /** Control-chart width in population standard deviations. */
+  val EwmaSigmas = 3.0
+
   override def queries: Map[String, Query] = Map(
     // Population stability index between the month's first half and
     // second half (the reference batch vs the candidate batch of a
@@ -112,6 +122,101 @@ object TimeSeries extends QueryModule {
           round($"dev".cast("double") / $"dd", 4).as("max_dev"),
           $"dd".as("n_days"), $"nn".as("n_events"))
     }),
+
+    // [EXT r12] Per-segment OLS trend: slope + intercept of daily
+    // revenue against the epoch-day axis for every order priority —
+    // the "is this source growing or decaying" statistic behind
+    // mixture re-weighting. The q_autocorr discipline: daily totals
+    // in exact integer cents, the five regression sums in
+    // decimal(38,0) (Σx·y reaches day(2e4)·cents(1e9)·days — past a
+    // long at scale), closed-form slope/intercept in doubles only at
+    // the end, intercept computed FROM the 6-dp-rounded slope so both
+    // engines divide identical inputs. Per segment the regression
+    // reads a |days|-row aggregate — calendar-bounded, never
+    // row-count-bounded.
+    "q_trend_fit" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+        .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+        .select($"o_orderpriority", unix_date($"d").cast("long").as("x"),
+          $"cents".as("y"))
+      daily.groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
+        .withColumn("slope",
+          round(($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n".cast("double") * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double")), 6))
+        .select($"o_orderpriority", $"n".as("n_days"), $"slope",
+          round(($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+            / $"n", 4).as("intercept"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // [EXT r12] EWMA control chart over daily event counts — the
+    // level-tracking anomaly monitor next to q_changepoint's
+    // level-shift detector. The recursion s_t = αx_t + (1−α)s_{t−1}
+    // unrolls to the weighted sum s_t = Σᵢ w(t,i)·xᵢ, computed as a
+    // self-join over the per-day aggregate: |days|² pairs, bounded by
+    // the CALENDAR squared (the deliberate bounded-meta product — the
+    // q_join_range argument), never by event volume. α = 1/2 keeps
+    // every weight an exact power of two (see [[EwmaAlpha]]); the
+    // flag compares 4-dp-rounded deviation against the 4-dp-rounded
+    // control limit (the q_anomaly_zscore rounded-boundary contract),
+    // with σ from exact integer count sums.
+    "q_ewma_control" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(lit(0)).orderBy($"d")))
+      val sig = daily.agg(
+        count(lit(1)).as("nd"), sum($"n").as("sn"),
+        sum($"n".cast("decimal(38,0)") * $"n").as("snn"))
+      val w = when($"a.t" === 1, pow(lit(1) - EwmaAlpha, $"b.t" - 1))
+        .otherwise(lit(EwmaAlpha) * pow(lit(1) - EwmaAlpha, $"b.t" - $"a.t"))
+      val ewma = daily.as("a")
+        .join(daily.as("b"), $"a.t" <= $"b.t")
+        .groupBy($"b.d".as("d"), $"b.n".as("n"), $"b.t".as("t"))
+        .agg(round(sum(w * $"a.n"), 6).as("ewma"))
+      ewma
+        .withColumn("prev", lag($"ewma", 1).over(
+          Window.partitionBy(lit(0)).orderBy($"t")))
+        .crossJoin(broadcast(sig))
+        .withColumn("limit3s", round(lit(EwmaSigmas) * sqrt(
+          ($"snn".cast("double") - $"sn".cast("double") * $"sn" / $"nd")
+            / $"nd"), 4))
+        .select($"d".cast("timestamp").as("day"), $"n".as("n_events"),
+          $"ewma",
+          coalesce(round(abs($"n" - $"prev"), 4) > $"limit3s", lit(false))
+            .as("flag"))
+        .orderBy($"day")
+    }),
+
+    // [EXT r12] Day-of-week seasonality profile with a χ² uniformity
+    // statistic — the periodicity screen before weekly-seasonal
+    // features are trusted. One groupBy on a 7-value key; shares and
+    // χ² contributions from exact integer counts, the expected count
+    // n/7 in doubles only at the end. Engine parity note: Spark's
+    // dayofweek is 1=Sunday..7, DuckDB's 0=Sunday..6 — the oracle
+    // adds 1 (the SURVEY §2.8 offset).
+    "q_dow_profile" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.events(s, dir)
+        .groupBy(dayofweek($"ts").as("dow")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum($"n").as("nn"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("e", $"nn".cast("double") / 7)
+        .select($"dow", $"n",
+          round($"n".cast("double") / $"nn", 6).as("share"),
+          round(($"n" - $"e") * ($"n" - $"e") / $"e", 4).as("chi2_contrib"))
+        .orderBy($"dow")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -176,5 +281,65 @@ object TimeSeries extends QueryModule {
         |FROM cum CROSS JOIN tot
         |ORDER BY ABS(dd * s - t * nn) DESC, d ASC
         |LIMIT 1""".stripMargin,
+    "q_trend_fit" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(DATEDIFF('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+        |agg AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM daily GROUP BY o_orderpriority),
+        |sl AS (
+        |  SELECT o_orderpriority, n, sx, sy,
+        |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+        |  FROM agg)
+        |SELECT o_orderpriority, n AS n_days, slope,
+        |  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / n, 4) AS intercept
+        |FROM sl ORDER BY o_orderpriority""".stripMargin,
+    "q_ewma_control" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events
+        |  GROUP BY 1),
+        |seq AS (
+        |  SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+        |sig AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS sn,
+        |    SUM(CAST(n AS HUGEINT) * n) AS snn
+        |  FROM daily),
+        |ew AS (
+        |  SELECT b.d, b.n, b.t,
+        |    ROUND(SUM(CASE WHEN a.t = 1 THEN POWER(0.5, b.t - 1)
+        |      ELSE 0.5 * POWER(0.5, b.t - a.t) END * a.n), 6) AS ewma
+        |  FROM seq a JOIN seq b ON a.t <= b.t
+        |  GROUP BY b.d, b.n, b.t),
+        |lg AS (
+        |  SELECT d, n, ewma, LAG(ewma, 1) OVER (ORDER BY t) AS prev
+        |  FROM ew)
+        |SELECT CAST(d AS TIMESTAMP) AS day, n AS n_events, ewma,
+        |  COALESCE(ROUND(ABS(n - prev), 4) >
+        |    ROUND(3.0 * SQRT((CAST(snn AS DOUBLE)
+        |      - CAST(sn AS DOUBLE) * sn / nd) / nd), 4), FALSE) AS flag
+        |FROM lg CROSS JOIN sig
+        |ORDER BY day""".stripMargin,
+    "q_dow_profile" ->
+      """WITH counts AS (
+        |  SELECT CAST(DAYOFWEEK(ts) + 1 AS INT) AS dow, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts)
+        |SELECT dow, n,
+        |  ROUND(CAST(n AS DOUBLE) / nn, 6) AS share,
+        |  ROUND((n - nn / 7.0) * (n - nn / 7.0) / (nn / 7.0), 4)
+        |    AS chi2_contrib
+        |FROM counts CROSS JOIN tot
+        |ORDER BY dow""".stripMargin,
   )
 }

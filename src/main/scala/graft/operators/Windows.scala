@@ -185,7 +185,53 @@ object Windows extends QueryModule {
           $"v".isNull.as("was_gap"))
         .orderBy($"user_id", $"d")
     }),
+
+    // [EXT r12] Last-touch attribution: credit each purchase to the
+    // user's most recent non-purchase event within the attribution
+    // window, 'direct' when none. ONE ignore-nulls last() window per
+    // user over (ts, event_id) — per-user state, arbitrarily
+    // parallel, no self-join of the event stream against itself (the
+    // naive per-purchase subquery is quadratic in a hot user's
+    // events). The two last() columns null out exactly the same rows,
+    // so they read the ts and type of the SAME touch row — no struct
+    // needed, and both engines support the ignore-nulls form. Lag
+    // stays in exact integer micros (decimal(38,0) sum — micros ×
+    // purchases passes a long at scale); order pinned NULLS LAST
+    // (the q_markov_transitions contract).
+    "q_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tm"),
+          $"event_type")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tm".asc_nulls_last, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when($"event_type" =!= "purchase", $"tm")
+      ev
+        .withColumn("prev_tm", last(touch, ignoreNulls = true).over(w))
+        .withColumn("prev_type", last(
+          when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("channel",
+          when($"prev_tm".isNull || $"tm" - $"prev_tm" > AttribWindowMicros,
+            lit("direct")).otherwise($"prev_type"))
+        .withColumn("lag_us",
+          when($"channel" =!= "direct", $"tm" - $"prev_tm"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"lag_us".cast("decimal(38,0)")).as("s_us"),
+          count($"lag_us").as("n_touched"))
+        .select($"channel", $"n_purchases",
+          when($"n_touched" > 0,
+            round($"s_us".cast("double") / 60e6 / $"n_touched", 4))
+            .as("avg_lag_min"))
+        .orderBy($"channel")
+    }),
   )
+
+  /** Attribution lookback window (7 days, in event-time micros). */
+  val AttribWindowMicros: Long = 7L * 24 * 3600 * 1000000L
 
   /** Gap-fill user slice bound — keeps the densified grid a stable,
     * scale-independent size for the oracle while exercising the full
@@ -332,5 +378,32 @@ object Windows extends QueryModule {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
          |  v IS NULL AS was_gap
          |FROM j ORDER BY user_id, d""".stripMargin,
+    "q_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tm, event_type
+         |  FROM events),
+         |touched AS (
+         |  SELECT event_id, user_id, tm, event_type,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN tm END
+         |      IGNORE NULLS) OVER w AS prev_tm,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |      IGNORE NULLS) OVER w AS prev_type
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY tm NULLS LAST, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |attr AS (
+         |  SELECT CASE WHEN prev_tm IS NULL
+         |      OR tm - prev_tm > ${AttribWindowMicros} THEN 'direct'
+         |      ELSE prev_type END AS channel,
+         |    CASE WHEN prev_tm IS NOT NULL
+         |      AND tm - prev_tm <= ${AttribWindowMicros}
+         |      THEN tm - prev_tm END AS lag_us
+         |  FROM touched WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  CASE WHEN COUNT(lag_us) > 0 THEN
+         |    ROUND(CAST(SUM(CAST(lag_us AS HUGEINT)) AS DOUBLE)
+         |      / 60e6 / COUNT(lag_us), 4) END AS avg_lag_min
+         |FROM attr GROUP BY channel ORDER BY channel""".stripMargin,
   )
 }

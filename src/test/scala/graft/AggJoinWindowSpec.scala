@@ -142,4 +142,48 @@ class AggJoinWindowSpec extends SparkSpec {
     assert(merged === exact,
       s"sparse-mode HLL should be exact here: est $merged vs true $exact")
   }
+
+  test("q_attribution matches a driver-side last-touch replay") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tm"),
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val win = graft.operators.Windows.AttribWindowMicros
+    // Per user, in (ts, event_id) order, carry the last non-purchase
+    // touch; each purchase credits it when inside the window.
+    val credited = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      var last: Option[(Long, String)] = None
+      evs.sortBy(e => (e._3, e._1)).flatMap { case (_, _, tm, tpe) =>
+        val out =
+          if (tpe != "purchase") { last = Some((tm, tpe)); None }
+          else last match {
+            case Some((ptm, pt)) if tm - ptm <= win => Some((pt, Some(tm - ptm)))
+            case _ => Some(("direct", None))
+          }
+        out
+      }
+    }
+    val expect = credited.groupBy(_._1).map { case (ch, xs) =>
+      val lags = xs.flatMap(_._2)
+      ch -> (xs.length.toLong,
+        if (lags.isEmpty) None
+        else Some(BigDecimal(lags.map(BigInt(_)).sum.toDouble / 60e6 / lags.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = run("q_attribution").collect().map { r =>
+      r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+    assert(got.keySet === expect.keySet)
+    assert(got.contains("direct"), "fixture must exercise the direct branch")
+    expect.foreach { case (ch, (n, lag)) =>
+      assert(got(ch)._1 === n, ch)
+      (got(ch)._2, lag) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-3, ch)
+        case (a, b) => assert(a === b, ch)
+      }
+    }
+  }
 }

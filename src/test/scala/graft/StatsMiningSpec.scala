@@ -353,4 +353,104 @@ class StatsMiningSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Double]("chi2")).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("q_trend_fit matches a driver-side closed-form OLS per segment") {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (p, xs) =>
+      val n = xs.length.toDouble
+      val sx = xs.map(_._2).sum.toDouble
+      val sy = xs.map(_._3).sum.toDouble
+      val sxy = xs.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble
+      val sxx = xs.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+      val slope = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      p -> (xs.length.toLong, slope,
+        BigDecimal((sy - slope * sx) / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = run("q_trend_fit").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (p, (n, slope, icept)) =>
+      val (gn, gs, gi) = got(p)
+      assert(gn === n, p)
+      assert(math.abs(gs - slope) < 2e-6, s"$p slope $gs vs $slope")
+      assert(math.abs(gi - icept) < 2e-3, s"$p intercept $gi vs $icept")
+    }
+  }
+
+  test("q_ewma_control ewma equals the sequential recursion (unrolled weights ≡ s=αx+(1−α)s)") {
+    import spark.implicits._
+    // The query computes s_t as an unrolled weighted SUM over a
+    // |days|² self-join; the definition is the sequential recursion.
+    // Driver-side replay pins the two equal — the strongest guard on
+    // the weight algebra (a wrong exponent matches no fixture).
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1)
+    val a = graft.operators.TimeSeries.EwmaAlpha
+    var s = daily.head._2.toDouble
+    val expect = daily.zipWithIndex.map { case ((d, n), i) =>
+      if (i > 0) s = a * n + (1 - a) * s
+      d -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val rows = run("q_ewma_control").collect()
+    assert(rows.length === daily.length)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("day").toLocalDateTime.toLocalDate
+      assert(math.abs(r.getAs[Double]("ewma") - expect(d)) < 1e-5,
+        s"$d: ${r.getAs[Double]("ewma")} vs ${expect(d)}")
+    }
+    // At least the first row can never flag (no predecessor).
+    assert(!rows.minBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      .getAs[Boolean]("flag"))
+  }
+
+  test("q_dow_profile covers the week, shares close to 1, chi2 matches recomputation") {
+    val rows = run("q_dow_profile").collect()
+    assert(rows.map(_.getAs[Int]("dow")).toSeq.sorted === (1 to 7))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val e = total / 7.0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(r.getAs[Double]("chi2_contrib")
+        - BigDecimal((n - e) * (n - e) / e)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-3)
+    }
+  }
+
+  test("q_fk_audit orphan counts equal driver-side key-set differences") {
+    import spark.implicits._
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
+      df.select(col(c)).collect().map(_.getLong(0))
+    val expected = Map(
+      "lineitem->orders" ->
+        (keys(Tables.lineitem(spark, sf), "l_orderkey"),
+          keys(Tables.orders(spark, sf), "o_orderkey").toSet),
+      "lineitem->part" ->
+        (keys(Tables.lineitem(spark, sf), "l_partkey"),
+          keys(Tables.part(spark, sf), "p_partkey").toSet),
+      "lineitem->supplier" ->
+        (keys(Tables.lineitem(spark, sf), "l_suppkey"),
+          keys(Tables.supplier(spark, sf), "s_suppkey").toSet),
+      "orders->customer" ->
+        (keys(Tables.orders(spark, sf), "o_custkey"),
+          keys(Tables.customer(spark, sf), "c_custkey").toSet))
+    val got = run("q_fk_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (rel, (child, parents)) =>
+      assert(got(rel) ===
+        (child.length.toLong, child.count(k => !parents(k)).toLong), rel)
+    }
+  }
 }
