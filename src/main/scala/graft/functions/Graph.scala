@@ -400,6 +400,36 @@ object Graph extends QueryModule {
         .limit(LinkTopK)
     }),
 
+    // [EXT r12] Degree-distribution profile of the thresholded
+    // co-purchase graph — the shape statistic (hub-heaviness, CCDF
+    // tail) a graph-curation pipeline reads before choosing caps and
+    // orientations (q_triangle_count's degree path, cappedBaskets'
+    // MaxBasket). Degrees are one map-combined count over the edge
+    // union; the histogram and its descending-CCDF window run over
+    // the DEGREE-DOMAIN-bounded table (≤ max degree rows, never
+    // |nodes|). Exact integers until the two share divisions.
+    "q_degree_dist" -> ((s, dir) => {
+      import s.implicits._
+      val e = copurchasePairs(s, dir)
+        .filter($"support" >= MinSupport)
+        .select($"s1", $"s2")
+      val deg = e.select($"s1".as("n")).union(e.select($"s2".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      val tot = hist.agg(sum($"n_nodes").as("nn"))
+      val wTail = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy($"degree".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hist
+        .withColumn("tail", sum($"n_nodes").over(wTail))
+        .crossJoin(broadcast(tot))
+        .select($"degree", $"n_nodes",
+          round($"n_nodes".cast("double") / $"nn", 6).as("share"),
+          round($"tail".cast("double") / $"nn", 6).as("ccdf"))
+        .orderBy($"degree")
+    }),
+
     // [EXT] k-core decomposition by iterative peeling over the
     // thresholded co-purchase graph — the graph-density filter behind
     // crawl-graph curation and link-spam screening (a page's k-core
@@ -536,6 +566,23 @@ object Graph extends QueryModule {
       s"""$copurchaseCtes
          |SELECT s1, s2, support FROM pr
          |ORDER BY support DESC, s1, s2 LIMIT $CopurchaseTopK""".stripMargin,
+    "q_degree_dist" ->
+      s"""$copurchaseCtes,
+         |e AS (SELECT s1, s2 FROM pr WHERE support >= $MinSupport),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS degree FROM (
+         |    SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e)
+         |  GROUP BY n),
+         |hist AS (
+         |  SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree),
+         |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS nn FROM hist)
+         |SELECT degree, n_nodes,
+         |  ROUND(CAST(n_nodes AS DOUBLE) / nn, 6) AS share,
+         |  ROUND(CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / nn, 6) AS ccdf
+         |FROM hist CROSS JOIN tot
+         |ORDER BY degree""".stripMargin,
     "q_triangle_count" ->
       s"""$copurchaseCtes,
          |e AS (SELECT s1 AS a, s2 AS b FROM pr WHERE support >= $MinSupport),

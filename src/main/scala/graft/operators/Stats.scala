@@ -32,6 +32,24 @@ object Stats extends QueryModule {
     */
   val AbConvValue = 150.0
 
+  /** Bootstrap replica count for the CI of the mean. */
+  val BootstrapReplicas = 32
+
+  /** Poisson(1) inverse-CDF thresholds on the 2²⁸ fixed-point scale:
+    * a 28-bit md5 uniform u draws weight k for the first threshold it
+    * falls under (0..5, else 6 — P(>6) ≈ 8·10⁻⁵). Computed ONCE here
+    * and interpolated as integer literals into BOTH the Spark
+    * expression and the DuckDB twin, so the resample weights are
+    * exact integer comparisons — no RNG, no libm boundary — and the
+    * whole bootstrap is a pure function of the data (the
+    * q_priority_sample discipline).
+    */
+  val PoissonThresholds28: Seq[Long] = {
+    val pdf = (0 to 5).map(k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product)
+    pdf.scanLeft(0.0)(_ + _).tail.map(c => (c * (1L << 28)).toLong)
+  }
+
   override def queries: Map[String, Query] = Map(
     // Gini coefficient of per-customer revenue — the concentration
     // statistic behind "how head-heavy is this corpus/source". Needs a
@@ -228,7 +246,132 @@ object Stats extends QueryModule {
           round($"n".cast("double") / $"tot", 6).as("p"))
         .orderBy($"prev_type", $"next_type")
     }),
+
+    // [EXT r12] Mann–Whitney U (Wilcoxon rank-sum) between the click
+    // and view value samples — the rank-based companion to q_ks_test
+    // (robust to outliers, detects location shift). Midranks over the
+    // DISTINCT-value table (bounded by the 2-dp domain) in DOUBLED
+    // integer arithmetic so ties never produce a .5: midrank·2 =
+    // 2·(rank before) + t + 1, R1·2 = Σ c1·midrank2 in decimal(38,0),
+    // U1·2 = R1·2 − n1(n1+1). The tie-corrected normal approximation
+    // σ² = (n1n2/12)((N+1) − Σ(t³−t)/(N(N−1))) goes to doubles only
+    // in the closed form. NULL values excluded explicitly (the
+    // q_ks_test contract).
+    "q_mann_whitney" -> ((s, dir) => {
+      import s.implicits._
+      val byV = Tables.events(s, dir)
+        .filter($"event_type".isin("click", "view") && $"value".isNotNull)
+        .groupBy($"value")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "click", 0L).otherwise(1L)).as("c2"))
+        .withColumn("t", $"c1" + $"c2")
+      val w = Window.partitionBy(lit(0)).orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV
+        .withColumn("mr2", lit(2) * coalesce(sum($"t").over(w), lit(0L))
+          + $"t" + 1)
+        .agg(
+          sum($"c1").as("n1"), sum($"c2").as("n2"),
+          sum(($"c1".cast("decimal(38,0)") * $"mr2")).as("r1x2"),
+          sum(($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t")).as("ties"))
+        .withColumn("nn", $"n1" + $"n2")
+        .withColumn("u1x2",
+          $"r1x2" - ($"n1".cast("decimal(38,0)") * ($"n1" + 1)))
+        .withColumn("var",
+          $"n1".cast("double") * $"n2" / 12.0
+            * (($"nn" + 1).cast("double")
+              - $"ties".cast("double")
+                / ($"nn".cast("double") * ($"nn" - 1))))
+        .select($"n1", $"n2",
+          ($"u1x2".cast("double") / 2).as("u1"),
+          round(($"u1x2".cast("double") - $"n1".cast("double") * $"n2")
+            / (lit(2.0) * sqrt($"var")), 6).as("z"))
+    }),
+
+    // [EXT r12] Poisson-bootstrap confidence interval of the mean
+    // order value — the resampling CI a pipeline attaches to any
+    // per-batch statistic. The classic n-out-of-n resample needs a
+    // global coordinated draw; the Poisson(1) approximation gives
+    // each (row, replica) an INDEPENDENT weight — the standard
+    // distributed bootstrap — with the weight drawn by exact integer
+    // comparison of a 28-bit md5 uniform against the fixed-point
+    // [[PoissonThresholds28]] (pure function of the data; oracle
+    // replays the digest chain). Plan: rows × B=[[BootstrapReplicas]]
+    // explode (the q_count_min seeding shape), ONE map-combined
+    // aggregate with B groups, the percentile over the B-row replica
+    // means (type-7, both engines). Exact integer cents throughout;
+    // doubles only in each replica's final mean.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey",
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val point = o.agg(count(lit(1)).as("n_orders"),
+        sum($"cents".cast("decimal(38,0)")).as("sc"))
+      val ci = bootstrapMeans(s, dir).agg(
+        expr("percentile(m, array(0.025, 0.975))").as("q"))
+      point.crossJoin(broadcast(ci))
+        .select($"n_orders", lit(BootstrapReplicas).as("b_replicas"),
+          round($"sc".cast("double") / $"n_orders" / 100, 4).as("point_mean"),
+          round(element_at($"q", 1), 4).as("ci_lo"),
+          round(element_at($"q", 2), 4).as("ci_hi"))
+    }),
+
+    // [EXT r12] Herfindahl–Hirschman concentration of supplier
+    // revenue per nation — "is this market dominated by one
+    // supplier", the concentration screen next to q_gini's
+    // inequality. HHI = Σ shareᵢ² = Σcᵢ² / (Σcᵢ)², so both sums stay
+    // exact integers per nation (cents; squares in decimal(38,0))
+    // and ONE double division closes the statistic — no per-supplier
+    // share materialized. Plan: fact⋈dim broadcast, two nested
+    // bounded aggregates (supplier-, then nation-keyed), dim name
+    // joined at the end.
+    "q_hhi" -> ((s, dir) => {
+      import s.implicits._
+      val bySupp = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey", $"s_suppkey")
+        .agg(round(sum($"l_extendedprice") * 100).cast("long").as("cents"))
+      bySupp
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum($"cents".cast("decimal(38,0)")).as("sc"),
+          sum($"cents".cast("decimal(38,0)") * $"cents").as("sc2"))
+        .join(broadcast(Tables.nation(s, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"n_suppliers",
+          round($"sc2".cast("double")
+            / ($"sc".cast("double") * $"sc".cast("double")), 6).as("hhi"))
+        .orderBy($"n_name")
+    }),
   )
+
+  /** The per-replica bootstrap means `(b, m)` — split out so the spec
+    * can replay one replica's digest chain in the driver against the
+    * distributed draw.
+    */
+  private[graft] def bootstrapMeans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val u = call_function(graft.plans.Md5Prefix.FunctionName,
+      concat(lit("bs:"), $"b".cast("string"), lit(":"),
+        $"o_orderkey".cast("string")), lit(7))
+    val weight = PoissonThresholds28.zipWithIndex
+      .foldRight(lit(6L): org.apache.spark.sql.Column) {
+        case ((thr, k), acc) => when($"u" < thr, k.toLong).otherwise(acc)
+      }
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(BootstrapReplicas - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", weight)
+      .groupBy($"b")
+      .agg(sum(($"w" * $"cents").cast("decimal(38,0)")).as("sw"),
+        sum($"w").as("nw"))
+      .select($"b", ($"sw".cast("double") / $"nw" / 100).as("m"))
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_gini" ->
@@ -349,5 +492,85 @@ object Stats extends QueryModule {
         |  ROUND(CAST(n AS DOUBLE)
         |    / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
         |FROM cnt ORDER BY prev_type, next_type""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH byv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value),
+        |mr AS (
+        |  SELECT c1, c2, c1 + c2 AS t,
+        |    2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (c1 + c2) + 1 AS mr2
+        |  FROM byv),
+        |agg AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    SUM(CAST(c1 AS HUGEINT) * mr2) AS r1x2,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |  FROM mr),
+        |der AS (
+        |  SELECT n1, n2, n1 + n2 AS nn,
+        |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
+        |    ties
+        |  FROM agg)
+        |SELECT n1, n2,
+        |  CAST(u1x2 AS DOUBLE) / 2 AS u1,
+        |  ROUND((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+        |    / (2.0 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * (CAST(nn + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE)
+        |          / (CAST(nn AS DOUBLE) * (nn - 1))))), 6) AS z
+        |FROM der""".stripMargin,
+    "q_bootstrap_ci" -> {
+      val thrCase = PoissonThresholds28.zipWithIndex
+        .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |reps AS (SELECT unnest(range(0, $BootstrapReplicas)) AS b),
+         |drawn AS (
+         |  SELECT b, cents,
+         |    CAST(('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':'
+         |      || CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) AS u
+         |  FROM o CROSS JOIN reps),
+         |means AS (
+         |  SELECT CAST(SUM(CAST($thrCase AS HUGEINT) * cents) AS DOUBLE)
+         |      / SUM($thrCase) / 100 AS m
+         |  FROM drawn GROUP BY b),
+         |ci AS (
+         |  SELECT quantile_cont(m, 0.025) AS lo,
+         |    quantile_cont(m, 0.975) AS hi
+         |  FROM means),
+         |point AS (
+         |  SELECT COUNT(*) AS n_orders,
+         |    SUM(CAST(cents AS HUGEINT)) AS sc
+         |  FROM o)
+         |SELECT n_orders, $BootstrapReplicas AS b_replicas,
+         |  ROUND(CAST(sc AS DOUBLE) / n_orders / 100, 4) AS point_mean,
+         |  ROUND(lo, 4) AS ci_lo, ROUND(hi, 4) AS ci_hi
+         |FROM point CROSS JOIN ci""".stripMargin
+    },
+    "q_hhi" ->
+      """WITH bysupp AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey),
+        |bynat AS (
+        |  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |    SUM(CAST(cents AS HUGEINT)) AS sc,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS sc2
+        |  FROM bysupp GROUP BY s_nationkey)
+        |SELECT n_name, n_suppliers,
+        |  ROUND(CAST(sc2 AS DOUBLE)
+        |    / (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS hhi
+        |FROM bynat JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
   )
 }

@@ -217,6 +217,31 @@ object TimeSeries extends QueryModule {
           round(($"n" - $"e") * ($"n" - $"e") / $"e", 4).as("chi2_contrib"))
         .orderBy($"dow")
     }),
+
+    // [EXT r12] Additive day-of-week seasonal adjustment of the daily
+    // event series: adjusted_t = n_t − mean(same DOW) + mean(all) —
+    // the de-seasonalized series a changepoint/anomaly monitor should
+    // run on when weekly periodicity is real (q_dow_profile is the
+    // screen that says it is). Both means are exact-integer-sum /
+    // count divisions over the |days|-row aggregate; the DOW window
+    // partitions a calendar-bounded table 7 ways. Engine parity: the
+    // oracle shifts DuckDB's 0-based dayofweek (§2.8).
+    "q_seasonal_adjust" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek($"d"))
+      val g = daily.agg(avg($"n").as("g"))
+      daily
+        .withColumn("seasonal",
+          avg($"n").over(Window.partitionBy($"dow")))
+        .crossJoin(broadcast(g))
+        .select($"d".cast("timestamp").as("day"), $"n".as("n_events"),
+          $"dow",
+          round($"seasonal", 4).as("seasonal"),
+          round($"n" - $"seasonal" + $"g", 4).as("adjusted"))
+        .orderBy($"day")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -341,5 +366,17 @@ object TimeSeries extends QueryModule {
         |    AS chi2_contrib
         |FROM counts CROSS JOIN tot
         |ORDER BY dow""".stripMargin,
+    "q_seasonal_adjust" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events
+        |  GROUP BY 1),
+        |dowed AS (
+        |  SELECT d, n, CAST(DAYOFWEEK(d) + 1 AS INT) AS dow FROM daily),
+        |g AS (SELECT AVG(n) AS g FROM daily)
+        |SELECT CAST(d AS TIMESTAMP) AS day, n AS n_events, dow,
+        |  ROUND(AVG(n) OVER (PARTITION BY dow), 4) AS seasonal,
+        |  ROUND(n - AVG(n) OVER (PARTITION BY dow) + g, 4) AS adjusted
+        |FROM dowed CROSS JOIN g
+        |ORDER BY day""".stripMargin,
   )
 }

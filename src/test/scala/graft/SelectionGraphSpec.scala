@@ -260,6 +260,26 @@ class SelectionGraphSpec extends SparkSpec {
     }
   }
 
+  test("q_degree_dist histogram equals brute-force degrees; ccdf anchors at 1 and decreases") {
+    val edges = bruteForcePairs().toSeq.collect {
+      case ((a, b), n) if n >= Graph.MinSupport => (a, b)
+    }
+    val degrees = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map(_._2.size)
+    val expect = degrees.groupBy(identity)
+      .map { case (d, xs) => d.toLong -> xs.size.toLong }
+    val rows = run("q_degree_dist").collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === degrees.size.toLong)
+    val ccdfs = rows.sortBy(_.getLong(0)).map(_.getAs[Double]("ccdf"))
+    assert(math.abs(ccdfs.head - 1.0) < 1e-9,
+      "ccdf at the minimum degree must cover every node")
+    assert(ccdfs.zip(ccdfs.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "ccdf must be non-increasing in degree")
+    Storage.releaseAll(spark)
+  }
+
   test("q_link_predict: jaccard equals intersection over union of capped neighborhoods") {
     import spark.implicits._
     val pairs = bruteForcePairs()

@@ -428,6 +428,116 @@ class StatsMiningSpec extends SparkSpec {
     }
   }
 
+  test("q_mann_whitney matches a driver-side midrank recomputation") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view") && $"value".isNotNull)
+      .select($"value", $"event_type").collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "click"))
+    val byV = vals.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, xs) => (v, xs.count(_._2).toLong,
+        xs.count(!_._2).toLong) }
+    var before = 0L
+    var r1x2 = BigInt(0); var ties = BigInt(0)
+    byV.foreach { case (_, c1, c2) =>
+      val t = c1 + c2
+      r1x2 += BigInt(c1) * (2 * before + t + 1)
+      ties += BigInt(t) * t * t - t
+      before += t
+    }
+    val n1 = byV.map(_._2).sum; val n2 = byV.map(_._3).sum; val nn = n1 + n2
+    val u1x2 = r1x2 - BigInt(n1) * (n1 + 1)
+    val variance = n1.toDouble * n2 / 12.0 *
+      ((nn + 1).toDouble - ties.toDouble / (nn.toDouble * (nn - 1)))
+    val z = (u1x2.toDouble - n1.toDouble * n2) / (2.0 * math.sqrt(variance))
+    val r = run("q_mann_whitney").collect().head
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("u1") - u1x2.toDouble / 2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+  }
+
+  test("q_bootstrap_ci: replica 0's mean replays from the md5 chain; CI straddles the point") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u28(key: Long): Long = {
+      val hex = md.digest(s"bs:0:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val thr = Stats.PoissonThresholds28
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var sw = BigInt(0); var nw = 0L
+    rows.foreach { case (k, cents) =>
+      val u = u28(k)
+      val w = thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+      sw += BigInt(w) * cents; nw += w
+    }
+    val expect0 = sw.toDouble / nw / 100
+    val got0 = Stats.bootstrapMeans(spark, sf).filter($"b" === 0)
+      .collect().head.getDouble(1)
+    assert(math.abs(got0 - expect0) < 1e-9,
+      s"replica-0 mean $got0 vs driver replay $expect0")
+    val r = run("q_bootstrap_ci").collect().head
+    val (pm, lo, hi) = (r.getAs[Double]("point_mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < hi && lo <= pm && pm <= hi,
+      s"CI [$lo, $hi] must straddle the point mean $pm")
+    assert(r.getAs[Int]("b_replicas") === Stats.BootstrapReplicas)
+  }
+
+  test("q_hhi matches driver-side share-square sums and sits in (1/n, 1]") {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", $"s_suppkey")
+      .agg(round(sum($"l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(2)))
+    val expect = perSupp.groupBy(_._1).map { case (nk, xs) =>
+      val sc = xs.map(x => BigInt(x._2)).sum
+      val sc2 = xs.map(x => BigInt(x._2) * x._2).sum
+      nk -> (xs.length.toLong,
+        BigDecimal(sc2.toDouble / (sc.toDouble * sc.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getAs[Number](0).longValue).toMap
+    val got = run("q_hhi").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, hhi) = expect(nations(r.getString(0)))
+      assert(r.getAs[Long]("n_suppliers") === n, r.getString(0))
+      assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-5, r.getString(0))
+      assert(hhi > 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_seasonal_adjust conserves the series mean and recomputes per row") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val g = daily.map(_._2).sum.toDouble / daily.length
+    val byDow = daily.groupBy(_._1.getDayOfWeek).map { case (k, xs) =>
+      k -> xs.map(_._2).sum.toDouble / xs.length
+    }
+    val rows = run("q_seasonal_adjust").collect()
+    assert(rows.length === daily.length)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("day").toLocalDateTime.toLocalDate
+      val exp = byDow(d.getDayOfWeek)
+      assert(math.abs(r.getAs[Double]("seasonal") - exp) < 1e-3, d)
+      assert(math.abs(r.getAs[Double]("adjusted")
+        - (r.getAs[Long]("n_events") - exp + g)) < 1e-3, d)
+    }
+    // The additive adjustment conserves the total (Σ seasonal = Σ n,
+    // N·g = Σ n), so the de-seasonalized series has the same mean.
+    val adjSum = rows.map(_.getAs[Double]("adjusted")).sum
+    assert(math.abs(adjSum - daily.map(_._2).sum.toDouble) < 0.1)
+  }
+
   test("q_fk_audit orphan counts equal driver-side key-set differences") {
     import spark.implicits._
     def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
