@@ -230,6 +230,51 @@ object Aggregates extends QueryModule {
         .orderBy($"cohort_month", $"order_month")
     }),
 
+    // [EXT r12] Cohort lifetime value: cumulative revenue per customer
+    // by cohort month and months-since-cohort — the LTV triangle next
+    // to q_retention_cohorts' retention triangle. Revenue stays exact
+    // integer cents through the cumulative window (which runs over
+    // the cohort×age grid, bounded by the calendar squared, never
+    // order volume) and the per-customer LTV is an INTEGER division
+    // of exact cents — a double dollars-per-customer here landed on
+    // a .00005 representational boundary where Spark's round()
+    // (decimal rendering, HALF_UP) and DuckDB's (binary double)
+    // disagree by one ulp; integer cents make the column a pure
+    // function of the data in both engines. The month string
+    // arithmetic is shared verbatim with the retention query so the
+    // two triangles can never disagree on indexing.
+    "q_cohort_ltv" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_custkey",
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM")
+            .as("order_month"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val firstMonth = o.groupBy($"o_custkey")
+        .agg(min($"order_month").as("cohort_month"))
+      val sizes = firstMonth.groupBy($"cohort_month")
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = o.join(firstMonth, Seq("o_custkey"))
+        .withColumn("month_index",
+          ($"order_month".substr(1, 4).cast("int") * 12 +
+            $"order_month".substr(6, 2).cast("int")) -
+          ($"cohort_month".substr(1, 4).cast("int") * 12 +
+            $"cohort_month".substr(6, 2).cast("int")))
+        .groupBy($"cohort_month", $"month_index")
+        .agg(sum($"cents").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cohort_month").orderBy($"month_index")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rev
+        .withColumn("cum", sum($"c").over(w))
+        .join(broadcast(sizes), Seq("cohort_month"))
+        .select($"cohort_month", $"month_index", $"n_customers",
+          expr("cum div n_customers").as("ltv_cents_per_customer"))
+        .orderBy($"cohort_month", $"month_index")
+    }),
+
     // [EXT] argmax/argmin aggregates — "which row holds the extreme",
     // as a single map-side-combined aggregate instead of the window
     // (rn = 1) formulation (q_window_latest): no per-group sort, agg
@@ -707,6 +752,35 @@ object Aggregates extends QueryModule {
         |FROM o JOIN fm ON o.o_custkey = fm.o_custkey
         |GROUP BY cohort_month, order_month
         |ORDER BY cohort_month, order_month""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |fm AS (
+        |  SELECT o_custkey, MIN(order_month) AS cohort_month
+        |  FROM o GROUP BY o_custkey),
+        |sizes AS (
+        |  SELECT cohort_month, COUNT(*) AS n_customers
+        |  FROM fm GROUP BY cohort_month),
+        |rev AS (
+        |  SELECT cohort_month,
+        |    CAST((CAST(order_month[1:4] AS INT) * 12 + CAST(order_month[6:7] AS INT))
+        |       - (CAST(cohort_month[1:4] AS INT) * 12 + CAST(cohort_month[6:7] AS INT))
+        |      AS INT) AS month_index,
+        |    CAST(SUM(cents) AS BIGINT) AS c
+        |  FROM o JOIN fm ON o.o_custkey = fm.o_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_month, month_index,
+        |    SUM(c) OVER (PARTITION BY cohort_month ORDER BY month_index
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT cohort_month, month_index, n_customers,
+        |  CAST(cum // n_customers AS BIGINT) AS ltv_cents_per_customer
+        |FROM cum JOIN sizes USING (cohort_month)
+        |ORDER BY cohort_month, month_index""".stripMargin,
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,

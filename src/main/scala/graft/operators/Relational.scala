@@ -221,6 +221,43 @@ object Relational extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT r12] Sampling audit of the stratified sampler: per
+    // language, the realized sample count against the nominal
+    // expectation n·rate/100, with the χ² contribution that says
+    // whether the md5 buckets delivered the advertised rates — the
+    // gate a pipeline runs on its OWN sampler before trusting a
+    // mixture (rates and salt shared verbatim with
+    // q_sample_stratified, so the audit can never test a different
+    // sampler than the one shipping). ONE aggregate over the corpus:
+    // per-lang counts and in-sample counts in the same pass; the χ²
+    // arithmetic runs on the |langs|-row result.
+    "q_sample_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rate = StratRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when($"lang" === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select($"lang",
+          (graft.functions.Buckets.hashBucket(
+            concat(lit(StratSalt), $"doc_id".cast("string"))) < rate)
+            .as("in_sample"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_full"),
+          sum(when($"in_sample", 1L).otherwise(0L)).as("n_sample"))
+        .withColumn("rate", StratRates.foldLeft(lit(0)) {
+          case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+        })
+        // A zero-rate language has expectation 0 and an undefined χ²
+        // term — excluded, the q_psi empty-bin convention.
+        .filter($"rate" > 0)
+        .withColumn("e", $"n_full".cast("double") * $"rate" / 100)
+        .select($"lang", $"n_full", $"n_sample",
+          round($"e", 2).as("expected"),
+          round(($"n_sample" - $"e") * ($"n_sample" - $"e") / $"e", 4)
+            .as("chi2_contrib"))
+        .orderBy($"lang")
+    }),
+
     // [EXT] deterministic train/val/test split — hash-bucket
     // assignment (98/1/1) from md5 of the key, so the split is stable
     // across runs, machines, and engines (unlike RNG-based sampling):
@@ -266,6 +303,26 @@ object Relational extends QueryModule {
          |WHERE ${graft.functions.Buckets.hashBucketSql(s"'$StratSalt' || doc_id")}
          |  < $stratRateCaseSql
          |ORDER BY doc_id""".stripMargin,
+    "q_sample_audit" ->
+      s"""WITH flags AS (
+         |  SELECT lang,
+         |    ${graft.functions.Buckets.hashBucketSql(s"'$StratSalt' || doc_id")}
+         |      < $stratRateCaseSql AS in_sample
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT lang, COUNT(*) AS n_full,
+         |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sample,
+         |    $stratRateCaseSql AS rate
+         |  FROM flags GROUP BY lang),
+         |ex AS (
+         |  SELECT lang, n_full, n_sample,
+         |    CAST(n_full AS DOUBLE) * rate / 100 AS e
+         |  FROM cnt WHERE rate > 0)
+         |SELECT lang, n_full, n_sample,
+         |  ROUND(e, 2) AS expected,
+         |  ROUND((n_sample - e) * (n_sample - e) / e, 4) AS chi2_contrib
+         |FROM ex ORDER BY lang""".stripMargin,
     "q_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

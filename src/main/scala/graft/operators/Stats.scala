@@ -35,6 +35,10 @@ object Stats extends QueryModule {
   /** Bootstrap replica count for the CI of the mean. */
   val BootstrapReplicas = 32
 
+  /** The two order-priority segments Welch's t contrasts. */
+  val WelchA = "1-URGENT"
+  val WelchB = "5-LOW"
+
   /** Poisson(1) inverse-CDF thresholds on the 2²⁸ fixed-point scale:
     * a 28-bit md5 uniform u draws weight k for the first threshold it
     * falls under (0..5, else 6 — P(>6) ≈ 8·10⁻⁵). Computed ONCE here
@@ -326,6 +330,45 @@ object Stats extends QueryModule {
     // share materialized. Plan: fact⋈dim broadcast, two nested
     // bounded aggregates (supplier-, then nation-keyed), dim name
     // joined at the end.
+    // [EXT r12] Welch's unequal-variance t-test between the urgent
+    // and low-priority order-value samples — the two-sample mean test
+    // next to q_ab_lift's proportion test and q_mann_whitney's rank
+    // test. ONE conditional-sum aggregate produces both samples'
+    // (n, Σc, Σc²) in exact integers (cents; squares in
+    // decimal(38,0)); means, variances, t, and the Welch–
+    // Satterthwaite df close in doubles from those six exact sums —
+    // per-group state is six numbers however many orders.
+    "q_welch_t" -> ((s, dir) => {
+      import s.implicits._
+      val seg = Tables.orders(s, dir)
+        .filter($"o_orderpriority".isin(WelchA, WelchB))
+        .select(($"o_orderpriority" === WelchA).as("a"),
+          round($"o_totalprice" * 100).cast("long").as("c"))
+      seg.agg(
+          sum(when($"a", 1L).otherwise(0L)).as("n1"),
+          sum(when($"a", $"c").otherwise(0L)).as("s1"),
+          sum(when($"a", $"c".cast("decimal(38,0)") * $"c").otherwise(0))
+            .as("q1"),
+          sum(when($"a", 0L).otherwise(1L)).as("n2"),
+          sum(when($"a", 0L).otherwise($"c")).as("s2"),
+          sum(when($"a", lit(0)).otherwise($"c".cast("decimal(38,0)") * $"c"))
+            .as("q2"))
+        .withColumn("v1", ($"q1".cast("double")
+          - $"s1".cast("double") * $"s1" / $"n1") / ($"n1" - 1))
+        .withColumn("v2", ($"q2".cast("double")
+          - $"s2".cast("double") * $"s2" / $"n2") / ($"n2" - 1))
+        .withColumn("se2", $"v1" / $"n1" + $"v2" / $"n2")
+        .select($"n1", $"n2",
+          round($"s1".cast("double") / $"n1" / 100, 4).as("mean1"),
+          round($"s2".cast("double") / $"n2" / 100, 4).as("mean2"),
+          round(($"s1".cast("double") / $"n1" - $"s2".cast("double") / $"n2")
+            / sqrt($"se2"), 6).as("t"),
+          round($"se2" * $"se2"
+            / (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1)
+              + ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1)), 2)
+            .as("df"))
+    }),
+
     "q_hhi" -> ((s, dir) => {
       import s.implicits._
       val bySupp = Tables.lineitem(s, dir)
@@ -556,6 +599,36 @@ object Stats extends QueryModule {
          |  ROUND(lo, 4) AS ci_lo, ROUND(hi, 4) AS ci_hi
          |FROM point CROSS JOIN ci""".stripMargin
     },
+    "q_welch_t" ->
+      s"""WITH seg AS (
+         |  SELECT o_orderpriority = '$WelchA' AS a,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+         |  FROM orders
+         |  WHERE o_orderpriority IN ('$WelchA', '$WelchB')),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS s1,
+         |    SUM(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
+         |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN a THEN 0 ELSE c END) AS BIGINT) AS s2,
+         |    SUM(CASE WHEN a THEN 0 ELSE CAST(c AS HUGEINT) * c END) AS q2
+         |  FROM seg),
+         |v AS (
+         |  SELECT n1, n2, s1, s2,
+         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+         |  FROM agg),
+         |se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+         |SELECT n1, n2,
+         |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100, 4) AS mean1,
+         |  ROUND(CAST(s2 AS DOUBLE) / n2 / 100, 4) AS mean2,
+         |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         |    / SQRT(se2), 6) AS t,
+         |  ROUND(se2 * se2
+         |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+         |      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df
+         |FROM se""".stripMargin,
     "q_hhi" ->
       """WITH bysupp AS (
         |  SELECT s_nationkey, s_suppkey,

@@ -242,6 +242,31 @@ object TimeSeries extends QueryModule {
           round($"n" - $"seasonal" + $"g", 4).as("adjusted"))
         .orderBy($"day")
     }),
+
+    // [EXT r12] User-lifetime survival curve: S(k) = fraction of
+    // users whose observed activity span (last − first event day)
+    // reaches at least k days — the Kaplan–Meier-shaped churn curve
+    // (no censoring model: the fixture window is closed, so the span
+    // IS the lifetime). One per-user min/max aggregate, then the
+    // histogram + descending-CCDF window over the AGE-domain-bounded
+    // table (≤ calendar days rows) — the q_degree_dist shape on the
+    // time axis. Exact integers until the one share division.
+    "q_survival" -> ((s, dir) => {
+      import s.implicits._
+      val ages = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(datediff(max(to_date($"ts")), min(to_date($"ts"))).as("age"))
+      val hist = ages.groupBy($"age").agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum($"n_users").as("nn"))
+      val wTail = Window.partitionBy(lit(0)).orderBy($"age".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("surviving", sum($"n_users").over(wTail))
+        .crossJoin(broadcast(tot))
+        .select($"age".as("age_days"), $"n_users", $"surviving",
+          round($"surviving".cast("double") / $"nn", 6).as("survival"))
+        .orderBy($"age_days")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -378,5 +403,23 @@ object TimeSeries extends QueryModule {
         |  ROUND(n - AVG(n) OVER (PARTITION BY dow) + g, 4) AS adjusted
         |FROM dowed CROSS JOIN g
         |ORDER BY day""".stripMargin,
+    "q_survival" ->
+      """WITH ages AS (
+        |  SELECT user_id,
+        |    CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS INT) AS age
+        |  FROM events GROUP BY user_id),
+        |hist AS (
+        |  SELECT age, COUNT(*) AS n_users FROM ages GROUP BY age),
+        |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nn FROM hist)
+        |SELECT age AS age_days, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY age DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS surviving,
+        |  ROUND(CAST(SUM(n_users) OVER (ORDER BY age DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / nn, 6) AS survival
+        |FROM hist CROSS JOIN tot
+        |ORDER BY age_days""".stripMargin,
   )
 }

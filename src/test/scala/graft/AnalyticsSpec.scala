@@ -107,6 +107,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(over == 0, s"$over cohort cells exceed their cohort size")
   }
 
+  test("q_cohort_ltv: monotone per cohort, month-0 everywhere, total closes to corpus revenue") {
+    import spark.implicits._
+    val m = run("q_cohort_ltv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // Every cohort starts at month 0 and cumulative LTV never falls.
+    val byCohort = m.groupBy(_._1)
+    byCohort.foreach { case (c, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 === 0, s"cohort $c missing month 0")
+      val ltvs = sorted.map(_._4)
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a },
+        s"cohort $c LTV not monotone")
+    }
+    // Final-month LTV·size summed over cohorts recovers total corpus
+    // revenue (up to one floor-division cent per cohort member).
+    val finalCents = byCohort.map { case (_, rows) =>
+      val last = rows.maxBy(_._2)
+      BigInt(last._4) * last._3
+    }.sum
+    val total = BigInt(Tables.orders(spark, sf)
+      .agg(round(sum($"o_totalprice") * 100).cast("long")).collect().head.getLong(0))
+    val members = m.filter(_._2 == 0).map(_._3).sum
+    assert((total - finalCents) >= 0 && (total - finalCents) <= members,
+      s"total $total vs Σ ltv·size $finalCents (slack ${total - finalCents}, members $members)")
+  }
+
+  test("q_survival: anchors at 1, non-increasing, counts equal driver-side spans") {
+    import spark.implicits._
+    val ages = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(datediff(max(to_date($"ts")), min(to_date($"ts"))).as("age"))
+      .collect().map(_.getInt(1))
+    val expect = ages.groupBy(identity).map { case (a, xs) => a -> xs.length.toLong }
+    val rows = run("q_survival").collect()
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap === expect)
+    val sorted = rows.sortBy(_.getInt(0))
+    assert(math.abs(sorted.head.getAs[Double]("survival") - 1.0) < 1e-9)
+    val s = sorted.map(_.getAs[Double]("survival"))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
   test("q_skew_profile: ordered quantiles, consistent key count, skew factor = max/avg") {
     import spark.implicits._
     val r = run("q_skew_profile").collect()

@@ -538,6 +538,53 @@ class StatsMiningSpec extends SparkSpec {
     assert(math.abs(adjSum - daily.map(_._2).sum.toDouble) < 0.1)
   }
 
+  test("q_welch_t matches a driver-side recomputation over the two segments") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isin(Stats.WelchA, Stats.WelchB))
+      .select(($"o_orderpriority" === Stats.WelchA),
+        round($"o_totalprice" * 100).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    def stats(xs: Array[Long]) = {
+      val n = xs.length.toLong
+      val s = xs.sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val v = (q.toDouble - s.toDouble * s / n) / (n - 1)
+      (n, s, v)
+    }
+    val (n1, s1, v1) = stats(rows.filter(_._1).map(_._2))
+    val (n2, s2, v2) = stats(rows.filterNot(_._1).map(_._2))
+    val se2 = v1 / n1 + v2 / n2
+    val t = (s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(se2)
+    val df = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    val r = run("q_welch_t").collect().head
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("mean1") - s1.toDouble / n1 / 100) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mean2") - s2.toDouble / n2 / 100) < 1e-3)
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df") - df) < 0.02)
+    // df must sit between min(n−1) and n1+n2−2 (Welch–Satterthwaite).
+    assert(df >= math.min(n1, n2) - 1 && df <= n1 + n2 - 2)
+  }
+
+  test("q_sample_audit agrees with the ACTUAL stratified sample it audits") {
+    import spark.implicits._
+    val sampled = run("q_sample_stratified").collect()
+      .groupBy(_.getString(1)).map { case (l, xs) => l -> xs.length.toLong }
+    val full = Tables.documents(spark, sf).groupBy($"lang")
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q_sample_audit").collect()
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("n_full") === full(lang), lang)
+      assert(r.getAs[Long]("n_sample") === sampled.getOrElse(lang, 0L),
+        s"$lang: audit count must equal the sampler's own output")
+      assert(r.getAs[Double]("chi2_contrib") >= 0.0)
+    }
+  }
+
   test("q_fk_audit orphan counts equal driver-side key-set differences") {
     import spark.implicits._
     def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
