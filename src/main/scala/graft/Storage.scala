@@ -136,4 +136,35 @@ object Pins {
     * floor).
     */
   val MaxUnrelatedExecutions = 64
+
+  /** Build a query under a fresh scope and release every pin it
+    * created at the result's first materialization — the one-liner
+    * form of the standard lifecycle (`val pins = new Pins; …;
+    * pins.releaseOnMaterialize(result)`) for query bodies whose pins
+    * all share the result's lifetime. While `build` runs, the scope
+    * is also the AMBIENT scope: any [[ambient]] pin created by a
+    * nested helper (the dedup signature tables, the curation corpus
+    * pins) joins it without the helper's signature carrying a Pins
+    * parameter. Query building is single-threaded, so the dynamic
+    * variable is safe; nested scoped calls stack correctly.
+    */
+  def scoped(build: Pins => DataFrame): DataFrame = {
+    val pins = new Pins
+    val result = active.withValue(Some(pins))(build(pins))
+    pins.releaseOnMaterialize(result)
+  }
+
+  private val active =
+    new scala.util.DynamicVariable[Option[Pins]](None)
+
+  /** Pin `df` through the innermost [[scoped]] block if one is
+    * building, else fall back to a raw harness-released persist (the
+    * pre-r12 behavior — callers outside any scope, e.g. specs driving
+    * helpers directly, keep working unchanged).
+    */
+  def ambient(df: DataFrame): DataFrame =
+    active.value match {
+      case Some(pins) => pins(df)
+      case None => df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
 }

@@ -164,12 +164,12 @@ object Curation extends QueryModule {
     // the scoring projection (no global window). avg() summation order
     // differs across engines — the rounded score is the contract, the
     // same trick every float-emitting query here uses.
-    "q_unigram_lm" -> ((s, dir) => {
+    "q_unigram_lm" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val terms = docs
         .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
       val tot = broadcast(terms.agg(count(lit(1)).as("n")))
       val scored = terms.join(cnt, Seq("term")).crossJoin(tot)
@@ -201,12 +201,12 @@ object Curation extends QueryModule {
     // arrives by one-row broadcast. Docs under 2 tokens keep a row
     // with nll 0 (the unigram_lm left-join rule). Lower = more
     // fluent; rounded 4dp (avg order differs across engines).
-    "q_bigram_lm" -> ((s, dir) => {
+    "q_bigram_lm" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val toks = docs
         .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val inst = toks
         .select($"doc_id", explode(Text.bigrams($"tk")).as("bigram"))
         .withColumn("ctx", split($"bigram", " ").getItem(0))
@@ -238,14 +238,14 @@ object Curation extends QueryModule {
     // q_repetition's rule, this one measures cross-doc boilerplate.
     // Explode moves (doc, trigram) pairs; the df agg and the join are
     // both on the trigram key with map-side combine — never all-pairs.
-    "q_ngram_novelty" -> ((s, dir) => {
+    "q_ngram_novelty" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val tris = docs
         .select($"doc_id", Text.tokens($"text").as("tk"))
         .select($"doc_id", Text.trigrams($"tk").as("tg"))
         .select($"doc_id", explode(array_distinct($"tg")).as("tri"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val df = tris.groupBy($"tri").agg(count(lit(1)).as("df"))
       val r = tris.join(df, Seq("tri"))
         .groupBy($"doc_id")
@@ -277,12 +277,12 @@ object Curation extends QueryModule {
     // second window pass). Fully-scrubbed and zero-token docs both
     // land on md5("") via the left join back to the corpus — present,
     // empty, distinguishable by n_tokens.
-    "q_span_scrub" -> ((s, dir) => {
+    "q_span_scrub" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val toks = tokTable(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val grams = spanGrams(toks)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val dupGrams = grams.select($"doc_id", $"gram").distinct()
         .groupBy($"gram").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2)
@@ -324,12 +324,12 @@ object Curation extends QueryModule {
     //
     // Gram construction shared with q_span_scrub via [[spanGrams]] —
     // see the perf/trap notes there.
-    "q_dup_span_coverage" -> ((s, dir) => {
+    "q_dup_span_coverage" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val toks = tokTable(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val grams = spanGrams(toks)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val docFreq = grams.select($"doc_id", $"gram").distinct()
         .groupBy($"gram").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window

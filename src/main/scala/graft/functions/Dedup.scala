@@ -114,15 +114,15 @@ object Dedup extends QueryModule {
     * shape — materialize signatures once (there: to parquet), then
     * join.
     *
-    * LIFECYCLE is caller-owned: Verify and Bench call
-    * `spark.catalog.clearCache()` after every query and the spec
-    * harness clears per suite, so pinned blocks never outlive their
-    * query/suite there; a long-lived embedding session should do the
-    * same (or unpersist the returned frames) — nothing here
-    * unpersists automatically.
+    * LIFECYCLE: inside a `Pins.scoped` query body (every registered
+    * dedup query) the pin joins the query's scope and is released at
+    * the result's first materialization; outside any scope (specs
+    * driving helpers directly) it falls back to a raw persist that
+    * harness hygiene (`Storage.releaseAll` per query, clearCache per
+    * suite) cleans up — the pre-r12 behavior.
     */
   private def pinned(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Pins.ambient(df)
 
   /** Word n-gram shingles from an already-materialized token-array
     * column (distinct). Texts shorter than n tokens yield an empty
@@ -318,7 +318,8 @@ object Dedup extends QueryModule {
     // corpus size. Oracle-checked (shared affine family); the spec
     // additionally checks the flagged set against exact cross-batch
     // shingle Jaccard.
-    "q_minhash_incremental" -> ((s, dir) => incrementalNearDups(s, dir)),
+    "q_minhash_incremental" -> ((s, dir) =>
+      graft.Pins.scoped(_ => incrementalNearDups(s, dir))),
 
     // [EXT] CDC MERGE/upsert — apply a change batch to a snapshot:
     // matched-and-changed rows update, unmatched batch rows insert,
@@ -335,7 +336,7 @@ object Dedup extends QueryModule {
     // NEGATED key (-doc_id - 1): collision-free against the
     // non-negative id space at ANY corpus size, where a fixed offset
     // would collide once the corpus outgrew it.
-    "q_merge_upsert" -> ((s, dir) => {
+    "q_merge_upsert" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       // The plain fingerprint is pinned and shared by the snapshot and
@@ -392,10 +393,8 @@ object Dedup extends QueryModule {
     // (7 hex chars = 28 bits — MinHashSig's signed-64 overflow bound
     // depends on exactly that width; see minhashFromShingles /
     // plans.MinHashSig).
-    "q_dedup_minhash" -> ((s, dir) => {
-      import s.implicits._
-      minhashPairs(s, dir)
-    }),
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.Pins.scoped(_ => minhashPairs(s, dir))),
 
     // Near-dup group assignment: connected components of the candidate
     // graph via distributed min-label propagation. Oracle-checked: the
@@ -403,7 +402,7 @@ object Dedup extends QueryModule {
     // family and resolves components as a recursive reachability
     // fixpoint; the union-find parity spec remains as an independent
     // in-process check.
-    "q_dedup_groups" -> ((s, dir) => dedupGroups(s, dir)),
+    "q_dedup_groups" -> ((s, dir) => graft.Pins.scoped(_ => dedupGroups(s, dir))),
 
     // SimHash signatures — fully oracle-checked since the token hash
     // moved to the cross-engine md5-48 family (see [[tokenHash48]]).
@@ -419,7 +418,7 @@ object Dedup extends QueryModule {
     // Round 1 blocked all-pairs on `lang` (5 values → n²/5 pairs, 63%
     // of the whole bench); banding makes candidate generation linear
     // in bucket sizes, never quadratic in corpus size.
-    "q_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
+    "q_ngram_jaccard" -> ((s, dir) => graft.Pins.scoped(_ => ngramJaccardPairs(s, dir))),
 
     // SimHash near-dup pairs via bit-band blocking: the 48-bit
     // signature splits into 4 bands of 12 bits; by pigeonhole, any
@@ -433,7 +432,8 @@ object Dedup extends QueryModule {
     // both engines emit exactly the hamming≤3 pair set (pigeonhole
     // guarantees those pairs survive candidate generation in both).
     // The spec additionally pins parity with a brute-force scan.
-    "q_simhash_neardup" -> ((s, dir) => simhashNearDups(s, dir, maxHamming = 3)),
+    "q_simhash_neardup" -> ((s, dir) =>
+      graft.Pins.scoped(_ => simhashNearDups(s, dir, maxHamming = 3))),
 
     // Embedding-cosine near-dup pairs via LSH blocking — oracle-
     // checked since the hyperplanes became shared 3-dp literals
@@ -441,7 +441,7 @@ object Dedup extends QueryModule {
     // and the same pair join, so even the candidate set is verified.
     // Plane count scales with corpus size (Vectors.planeCount) so
     // within-bucket pair work stays O(n · bucket-target), not O(n²).
-    "q_embed_neardup" -> ((s, dir) => {
+    "q_embed_neardup" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val corpusSize = Tables.rowCount(s, dir, "embeddings")
       val planes = Vectors.planesFor(corpusSize, dim = 64, seed = 7L)

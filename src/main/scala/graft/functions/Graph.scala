@@ -248,7 +248,7 @@ object Graph extends QueryModule {
     */
   private def copurchasePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pairsFrom(cappedBaskets(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .transform(graft.Pins.ambient))
 
   /** Oriented pair support over an already-PINNED basket table — split
     * out so q_link_predict can derive pairs AND degrees from one pin.
@@ -286,10 +286,11 @@ object Graph extends QueryModule {
   private[graft] def triangleCounts(s: org.apache.spark.sql.SparkSession,
       dir: String, byDegree: Boolean = false): DataFrame = {
     import s.implicits._
-    val pins = new Pins
+    graft.Pins.scoped { pins =>
     // Pinned: the id-oriented table is all three wedge/close operands;
     // under byDegree it additionally feeds the two degree scans and
-    // the orientation join.
+    // the orientation join (and copurchasePairs' basket pin joins the
+    // same scope through the ambient route).
     val base = pins(copurchasePairs(s, dir)
       .filter($"support" >= MinSupport)
       .select($"s1".as("a"), $"s2".as("b")))
@@ -321,9 +322,9 @@ object Graph extends QueryModule {
       .filter(spokeOrder)
     val tri = wedges
       .join(oriented.select($"a".as("b"), $"b".as("cc")), Seq("b", "cc"))
-    pins.releaseOnMaterialize(
-      tri.select(explode(array($"a", $"b", $"cc")).as("node"))
-        .groupBy($"node").agg(count(lit(1)).as("n_triangles")))
+    tri.select(explode(array($"a", $"b", $"cc")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    }
   }
 
   override def queries: Map[String, Query] = Map(
@@ -345,7 +346,7 @@ object Graph extends QueryModule {
     // map-side-combined pair count whose state is bounded by the
     // distinct-pair vocabulary, TakeOrdered top-K. The shuffle moves
     // (pair, partial count), never baskets.
-    "q_copurchase" -> ((s, dir) => {
+    "q_copurchase" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       copurchasePairs(s, dir)
         .orderBy($"support".desc, $"s1", $"s2").limit(CopurchaseTopK)
@@ -385,10 +386,10 @@ object Graph extends QueryModule {
     // a metadata join and re-intersecting sets). One basket pin feeds
     // pairs AND degrees. The ratio is one double division of exact
     // integers, identical in both engines.
-    "q_link_predict" -> ((s, dir) => {
+    "q_link_predict" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val b = cappedBaskets(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val deg = b.groupBy($"sk").agg(count(lit(1)).as("deg"))
       pairsFrom(b).filter($"support" >= MinSupport)
         .join(broadcast(deg.select($"sk".as("s1"), $"deg".as("da"))), Seq("s1"))
@@ -408,7 +409,7 @@ object Graph extends QueryModule {
     // union; the histogram and its descending-CCDF window run over
     // the DEGREE-DOMAIN-bounded table (≤ max degree rows, never
     // |nodes|). Exact integers until the two share divisions.
-    "q_degree_dist" -> ((s, dir) => {
+    "q_degree_dist" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val e = copurchasePairs(s, dir)
         .filter($"support" >= MinSupport)

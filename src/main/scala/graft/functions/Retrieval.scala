@@ -55,12 +55,12 @@ object Retrieval extends QueryModule {
     // the same literals in both engines (1.2, 2.2, 0.25, 0.75): deriving
     // 2.2 as 1.2+1 at runtime could differ from the literal 2.2 in the
     // last ulp and flip a rounded score.
-    "q_bm25" -> ((s, dir) => {
+    "q_bm25" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val dld = Tables.documents(s, dir)
         .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
         .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val stats = broadcast(dld.agg(
         count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
       // tf is pinned too: it feeds BOTH the final join's probe side and
@@ -71,7 +71,7 @@ object Retrieval extends QueryModule {
       val tf = dld.select($"doc_id", $"dl", explode($"tk").as("term"))
         .filter($"term".isin(QueryTerms: _*))
         .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(df), Seq("term"))
         .crossJoin(stats)
@@ -83,7 +83,7 @@ object Retrieval extends QueryModule {
         .limit(25)
     }),
 
-    "q_contamination" -> ((s, dir) => contamination(s, dir)),
+    "q_contamination" -> ((s, dir) => graft.Pins.scoped(_ => contamination(s, dir))),
 
     // [EXT] Inverted-index build — the term → postings-list
     // materialization behind every lexical retrieval system (the
@@ -99,12 +99,12 @@ object Retrieval extends QueryModule {
     // postings truncate inside each partition before the window
     // sort). Postings ship as a comma-joined string: the index ROW is
     // the unit of storage, and the driver's compare hashes scalars.
-    "q_inverted_index" -> ((s, dir) => {
+    "q_inverted_index" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val posting = Tables.documents(s, dir)
         .select($"doc_id",
           explode(array_distinct(Text.tokens(lower($"text")))).as("term"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val df = posting.groupBy($"term").agg(count(lit(1)).as("df"))
       val top = broadcast(df.orderBy($"df".desc, $"term".asc).limit(IndexTerms))
       val w = org.apache.spark.sql.expressions.Window
@@ -130,7 +130,7 @@ object Retrieval extends QueryModule {
     // idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive); N
     // arrives as a broadcast one-row aggregate. Scores are rounded at
     // 4dp — sum order differs across engines (the q_tfidf contract).
-    "q_sparse_cosine" -> ((s, dir) => {
+    "q_sparse_cosine" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val tf = Tables.documents(s, dir)
         .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
@@ -141,7 +141,7 @@ object Retrieval extends QueryModule {
       val w = tf.join(df, Seq("term")).crossJoin(nDocs)
         .select($"doc_id", $"term",
           ($"tf" * (log(($"n" + 1) / ($"df" + 1)) + 1)).as("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val norms = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
       val qv = broadcast(w.filter($"doc_id" === 0)
         .select($"term", $"w".as("qw")))
@@ -198,7 +198,7 @@ object Retrieval extends QueryModule {
           .otherwise(transform(sequence(lit(1), size($"tk") - (ContamN - 1)),
             i => concat_ws(" ", (0 until ContamN).map(o => element_at($"tk", i + o)): _*)))
           .as("gs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.ambient)
     val evalGrams = grams.filter($"doc_id" % EvalMod === 0)
       .select(explode($"gs").as("g")).distinct()
     val trainGrams = grams.filter($"doc_id" % EvalMod =!= 0)

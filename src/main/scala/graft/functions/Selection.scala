@@ -87,7 +87,7 @@ object Selection extends QueryModule {
     */
   private[graft] def exclusiveOffsets(btot: org.apache.spark.sql.DataFrame,
                                       valCol: String): org.apache.spark.sql.DataFrame = {
-    val pinned = btot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = btot.transform(graft.Pins.ambient)
     if (pinned.count() <= PrefixBucket) {
       val wB = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
       pinned.withColumn("off", coalesce(sum(col(valCol)).over(wB), lit(0L)))
@@ -127,7 +127,7 @@ object Selection extends QueryModule {
     // ≤ PrefixBucket rows at ANY corpus size), then a per-bucket
     // window seeded by the broadcast offsets. The q_share_of_total
     // rule: nothing row-scale ever passes through one partition.
-    "q_weighted_sample" -> ((s, dir) => {
+    "q_weighted_sample" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select($"doc_id", $"n_chars".as("w"),
@@ -154,7 +154,7 @@ object Selection extends QueryModule {
     // per-bucket row_number. idx is dense 1..n in doc_id order, a pure
     // function of the data — invariant under partitioning, where
     // RDD.zipWithIndex depends on partition layout by construction.
-    "q_global_index" -> ((s, dir) => {
+    "q_global_index" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select($"doc_id", expr(s"doc_id div $PrefixBucket").as("bkt"))
@@ -231,14 +231,14 @@ object Selection extends QueryModule {
     // map-side combine, two one-row totals broadcast into the scoring
     // projection, a per-doc avg. Rounded to 4dp — avg order differs
     // across engines/partitionings (the q_unigram_lm contract).
-    "q_dsir_select" -> ((s, dir) => {
+    "q_dsir_select" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val terms = docs
         .select($"doc_id", $"lang",
           explode(Text.tokens(lower($"text"))).as("term"))
         .withColumn("b", dsirBucket($"term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.ambient)
       val tgtCnt = terms.filter($"lang" === "en")
         .groupBy($"b").agg(count(lit(1)).as("tc"))
       val rawCnt = terms.groupBy($"b").agg(count(lit(1)).as("rc"))

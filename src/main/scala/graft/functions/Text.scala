@@ -166,7 +166,7 @@ object Text extends QueryModule {
     // the term key. Both shuffles move pre-aggregated (key, count)
     // partials — corpus size only grows the linear tokenize stage, the
     // agg state is bounded by vocabulary size.
-    "q_tfidf" -> ((s, dir) => {
+    "q_tfidf" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       // One job, no driver pre-pass: n_docs is a one-row aggregate
@@ -174,8 +174,8 @@ object Text extends QueryModule {
       // tokenize stage (`terms`) is persisted so the tf and df branches
       // read it once instead of exploding the corpus twice.
       val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-      val terms = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val terms = graft.Pins.ambient(
+        docs.select($"doc_id", explode(tokens(lower($"text"))).as("term")))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -265,11 +265,10 @@ object Text extends QueryModule {
     // both dominate PMI spuriously and inflate the join — and the
     // ratio is assembled in doubles with one fixed operand order so
     // both engines round the same 4dp value.
-    "q_pmi_bigrams" -> ((s, dir) => {
+    "q_pmi_bigrams" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
-      val tk = Tables.documents(s, dir)
-        .select(tokens($"text").as("tk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tk = graft.Pins.ambient(Tables.documents(s, dir)
+        .select(tokens($"text").as("tk")))
       val uni = tk.select(explode($"tk").as("t"))
         .groupBy($"t").agg(count(lit(1)).as("c"))
       val uniTot = broadcast(uni.agg(sum($"c").cast("double").as("n")))

@@ -365,23 +365,24 @@ object Vectors extends QueryModule {
     // lookup and the cell scan (self-join re-execution trap).
     "q_ann_ivf_pq" -> ((s, dir) => {
       import s.implicits._
-      val assigned = ivfAssigned(Tables.embeddings(s, dir)
-          .select($"vec_id", asDouble($"embedding").as("v")))
-        .withColumn("amax",
-          greatest(aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
-        .withColumn("step", $"amax" / 127.0)
-        .withColumn("q8", transform($"v", x => round(x / $"step")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val query = broadcast(assigned.filter($"vec_id" === 0)
-        .select($"q8".as("qq8"), $"step".as("qstep"), $"v".as("qv"), $"cell".as("qcell")))
-      val cand = assigned.join(query, $"cell" === $"qcell")
-        .select($"vec_id", $"v", $"qv",
-          round(dot($"q8", $"qq8") * $"step" * $"qstep", 4).as("qsim"))
-        .orderBy($"qsim".desc, $"vec_id".asc)
-        .limit(20)
-      cand.select($"vec_id", $"qsim", round(cosine($"v", $"qv"), 4).as("sim"))
-        .orderBy($"sim".desc, $"vec_id".asc)
-        .limit(10)
+      graft.Pins.scoped { pins =>
+        val assigned = pins(ivfAssigned(Tables.embeddings(s, dir)
+            .select($"vec_id", asDouble($"embedding").as("v")))
+          .withColumn("amax",
+            greatest(aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+          .withColumn("step", $"amax" / 127.0)
+          .withColumn("q8", transform($"v", x => round(x / $"step"))))
+        val query = broadcast(assigned.filter($"vec_id" === 0)
+          .select($"q8".as("qq8"), $"step".as("qstep"), $"v".as("qv"), $"cell".as("qcell")))
+        val cand = assigned.join(query, $"cell" === $"qcell")
+          .select($"vec_id", $"v", $"qv",
+            round(dot($"q8", $"qq8") * $"step" * $"qstep", 4).as("qsim"))
+          .orderBy($"qsim".desc, $"vec_id".asc)
+          .limit(20)
+        cand.select($"vec_id", $"qsim", round(cosine($"v", $"qv"), 4).as("sim"))
+          .orderBy($"sim".desc, $"vec_id".asc)
+          .limit(10)
+      }
     }),
 
     // [EXT] SemDeDup-style semantic dedup (Abbas et al. '23,
@@ -407,25 +408,26 @@ object Vectors extends QueryModule {
       import s.implicits._
       val cents2d = array(ivfCells.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit): _*)): _*)
-      val a = ivfAssigned(Tables.embeddings(s, dir)
-          .select($"vec_id", asDouble($"embedding").as("v")))
-        .withColumn("simcent",
-          round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val x = a.select($"vec_id", $"cell", $"v", $"simcent")
-      val y = a.select($"vec_id".as("y_id"), $"cell".as("y_cell"),
-        $"v".as("y_v"), $"simcent".as("y_sc"))
-      val dropped = x.join(y,
-          $"cell" === $"y_cell" && $"vec_id" =!= $"y_id" &&
-            ($"y_sc" < $"simcent" ||
-              ($"y_sc" === $"simcent" && $"y_id" < $"vec_id")))
-        .filter(round(cosine($"v", $"y_v"), 4) >= SemDedupTau)
-        .select($"vec_id").distinct()
-        .withColumn("is_dropped", lit(1))
-      a.join(dropped, Seq("vec_id"), "left")
-        .select($"vec_id", $"cell", $"simcent",
-          when($"is_dropped".isNull, 1).otherwise(0).as("keep"))
-        .orderBy($"vec_id")
+      graft.Pins.scoped { pins =>
+        val a = pins(ivfAssigned(Tables.embeddings(s, dir)
+            .select($"vec_id", asDouble($"embedding").as("v")))
+          .withColumn("simcent",
+            round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4)))
+        val x = a.select($"vec_id", $"cell", $"v", $"simcent")
+        val y = a.select($"vec_id".as("y_id"), $"cell".as("y_cell"),
+          $"v".as("y_v"), $"simcent".as("y_sc"))
+        val dropped = x.join(y,
+            $"cell" === $"y_cell" && $"vec_id" =!= $"y_id" &&
+              ($"y_sc" < $"simcent" ||
+                ($"y_sc" === $"simcent" && $"y_id" < $"vec_id")))
+          .filter(round(cosine($"v", $"y_v"), 4) >= SemDedupTau)
+          .select($"vec_id").distinct()
+          .withColumn("is_dropped", lit(1))
+        a.join(dropped, Seq("vec_id"), "left")
+          .select($"vec_id", $"cell", $"simcent",
+            when($"is_dropped".isNull, 1).otherwise(0).as("keep"))
+          .orderBy($"vec_id")
+      }
     }),
 
     // [EXT] cluster-balanced selection — the diversity-balancing cap

@@ -180,23 +180,23 @@ object Aggregates extends QueryModule {
       val ev = Tables.events(s, dir)
       // viewed/clicked each feed TWO consumers (the next stage's join
       // and their own count) — pinned so the stage aggregate runs once,
-      // not once per consumer (self-join re-execution trap; harnesses
-      // clearCache per query).
-      val viewed = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val clicked = ev.filter($"event_type" === "click")
-        .join(viewed, Seq("user_id"))
-        .filter($"ts" >= $"v_ts")
-        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val purchased = ev.filter($"event_type" === "purchase")
-        .join(clicked, Seq("user_id"))
-        .filter($"ts" >= $"c_ts")
-        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
-      viewed.agg(count(lit(1)).as("n_viewed"))
-        .crossJoin(clicked.agg(count(lit(1)).as("n_clicked")))
-        .crossJoin(purchased.agg(count(lit(1)).as("n_purchased")))
+      // not once per consumer (self-join re-execution trap), with the
+      // query's own first materialization releasing the scope.
+      graft.Pins.scoped { pins =>
+        val viewed = pins(ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("v_ts")))
+        val clicked = pins(ev.filter($"event_type" === "click")
+          .join(viewed, Seq("user_id"))
+          .filter($"ts" >= $"v_ts")
+          .groupBy($"user_id").agg(min($"ts").as("c_ts")))
+        val purchased = ev.filter($"event_type" === "purchase")
+          .join(clicked, Seq("user_id"))
+          .filter($"ts" >= $"c_ts")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        viewed.agg(count(lit(1)).as("n_viewed"))
+          .crossJoin(clicked.agg(count(lit(1)).as("n_clicked")))
+          .crossJoin(purchased.agg(count(lit(1)).as("n_purchased")))
+      }
     }),
 
     // [EXT] retention cohorts: customers grouped by first-order month,
@@ -212,22 +212,24 @@ object Aggregates extends QueryModule {
       // string form keeps the driver compare type-stable (same
       // convention as q_date_arith). Pinned: `o` feeds both the
       // first-month aggregate and the probe side of the join — without
-      // the persist the orders scan + month formatting run twice.
-      val o = Tables.orders(s, dir)
-        .select($"o_custkey",
-          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("order_month"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val firstMonth = o.groupBy($"o_custkey")
-        .agg(min($"order_month").as("cohort_month"))
-      o.join(firstMonth, Seq("o_custkey"))
-        .groupBy($"cohort_month", $"order_month")
-        .agg(countDistinct($"o_custkey").as("n_customers"))
-        .withColumn("month_index",
-          (($"order_month".substr(1, 4).cast("int") * 12 +
-            $"order_month".substr(6, 2).cast("int")) -
-           ($"cohort_month".substr(1, 4).cast("int") * 12 +
-            $"cohort_month".substr(6, 2).cast("int"))).as("month_index"))
-        .orderBy($"cohort_month", $"order_month")
+      // the pin the orders scan + month formatting run twice; the
+      // query's own first materialization releases the scope.
+      graft.Pins.scoped { pins =>
+        val o = pins(Tables.orders(s, dir)
+          .select($"o_custkey",
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("order_month")))
+        val firstMonth = o.groupBy($"o_custkey")
+          .agg(min($"order_month").as("cohort_month"))
+        o.join(firstMonth, Seq("o_custkey"))
+          .groupBy($"cohort_month", $"order_month")
+          .agg(countDistinct($"o_custkey").as("n_customers"))
+          .withColumn("month_index",
+            (($"order_month".substr(1, 4).cast("int") * 12 +
+              $"order_month".substr(6, 2).cast("int")) -
+             ($"cohort_month".substr(1, 4).cast("int") * 12 +
+              $"cohort_month".substr(6, 2).cast("int"))).as("month_index"))
+          .orderBy($"cohort_month", $"order_month")
+      }
     }),
 
     // [EXT r12] Cohort lifetime value: cumulative revenue per customer
@@ -245,34 +247,35 @@ object Aggregates extends QueryModule {
     // two triangles can never disagree on indexing.
     "q_cohort_ltv" -> ((s, dir) => {
       import s.implicits._
-      val o = Tables.orders(s, dir)
-        .select($"o_custkey",
-          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM")
-            .as("order_month"),
-          round($"o_totalprice" * 100).cast("long").as("cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val firstMonth = o.groupBy($"o_custkey")
-        .agg(min($"order_month").as("cohort_month"))
-      val sizes = firstMonth.groupBy($"cohort_month")
-        .agg(count(lit(1)).as("n_customers"))
-      val rev = o.join(firstMonth, Seq("o_custkey"))
-        .withColumn("month_index",
-          ($"order_month".substr(1, 4).cast("int") * 12 +
-            $"order_month".substr(6, 2).cast("int")) -
-          ($"cohort_month".substr(1, 4).cast("int") * 12 +
-            $"cohort_month".substr(6, 2).cast("int")))
-        .groupBy($"cohort_month", $"month_index")
-        .agg(sum($"cents").as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"cohort_month").orderBy($"month_index")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      rev
-        .withColumn("cum", sum($"c").over(w))
-        .join(broadcast(sizes), Seq("cohort_month"))
-        .select($"cohort_month", $"month_index", $"n_customers",
-          expr("cum div n_customers").as("ltv_cents_per_customer"))
-        .orderBy($"cohort_month", $"month_index")
+      graft.Pins.scoped { pins =>
+        val o = pins(Tables.orders(s, dir)
+          .select($"o_custkey",
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM")
+              .as("order_month"),
+            round($"o_totalprice" * 100).cast("long").as("cents")))
+        val firstMonth = o.groupBy($"o_custkey")
+          .agg(min($"order_month").as("cohort_month"))
+        val sizes = firstMonth.groupBy($"cohort_month")
+          .agg(count(lit(1)).as("n_customers"))
+        val rev = o.join(firstMonth, Seq("o_custkey"))
+          .withColumn("month_index",
+            ($"order_month".substr(1, 4).cast("int") * 12 +
+              $"order_month".substr(6, 2).cast("int")) -
+            ($"cohort_month".substr(1, 4).cast("int") * 12 +
+              $"cohort_month".substr(6, 2).cast("int")))
+          .groupBy($"cohort_month", $"month_index")
+          .agg(sum($"cents").as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cohort_month").orderBy($"month_index")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        rev
+          .withColumn("cum", sum($"c").over(w))
+          .join(broadcast(sizes), Seq("cohort_month"))
+          .select($"cohort_month", $"month_index", $"n_customers",
+            expr("cum div n_customers").as("ltv_cents_per_customer"))
+          .orderBy($"cohort_month", $"month_index")
+      }
     }),
 
     // [EXT] argmax/argmin aggregates — "which row holds the extreme",
@@ -525,27 +528,28 @@ object Aggregates extends QueryModule {
       // historical partial by construction). Every row lands in
       // exactly one slice on ANY data, which the merge ≡ recompute
       // contract requires.
-      val docs = Tables.documents(s, dir)
-        .withColumn("batch_idx",
-          coalesce(Tables.docBatchIdx($"source"), lit(Tables.HistoryBatches)))
-        .select($"lang", $"batch_idx",
-          graft.functions.Text.tokenCount($"text").as("n_tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def partials(slice: org.apache.spark.sql.DataFrame) =
-        slice.groupBy($"lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum($"n_tok").cast("long").as("n_tokens"))
-      val hist = partials(docs.filter($"batch_idx" < Tables.HistoryBatches))
-      val batch = partials(docs.filter($"batch_idx" >= Tables.HistoryBatches))
-      // Null-safe key: with plain equality a NULL-lang group would
-      // split into two rows instead of merging (latent — the fixtures
-      // carry no NULL lang — but the merge ≡ recompute claim must
-      // hold on any data).
-      hist.as("h").join(batch.as("b"), $"h.lang" <=> $"b.lang", "full_outer")
-        .select(coalesce($"h.lang", $"b.lang").as("lang"),
-          (coalesce($"h.n_docs", lit(0L)) + coalesce($"b.n_docs", lit(0L))).as("n_docs"),
-          (coalesce($"h.n_tokens", lit(0L)) + coalesce($"b.n_tokens", lit(0L))).as("n_tokens"))
-        .orderBy($"lang")
+      graft.Pins.scoped { pins =>
+        val docs = pins(Tables.documents(s, dir)
+          .withColumn("batch_idx",
+            coalesce(Tables.docBatchIdx($"source"), lit(Tables.HistoryBatches)))
+          .select($"lang", $"batch_idx",
+            graft.functions.Text.tokenCount($"text").as("n_tok")))
+        def partials(slice: org.apache.spark.sql.DataFrame) =
+          slice.groupBy($"lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tok").cast("long").as("n_tokens"))
+        val hist = partials(docs.filter($"batch_idx" < Tables.HistoryBatches))
+        val batch = partials(docs.filter($"batch_idx" >= Tables.HistoryBatches))
+        // Null-safe key: with plain equality a NULL-lang group would
+        // split into two rows instead of merging (latent — the fixtures
+        // carry no NULL lang — but the merge ≡ recompute claim must
+        // hold on any data).
+        hist.as("h").join(batch.as("b"), $"h.lang" <=> $"b.lang", "full_outer")
+          .select(coalesce($"h.lang", $"b.lang").as("lang"),
+            (coalesce($"h.n_docs", lit(0L)) + coalesce($"b.n_docs", lit(0L))).as("n_docs"),
+            (coalesce($"h.n_tokens", lit(0L)) + coalesce($"b.n_tokens", lit(0L))).as("n_tokens"))
+          .orderBy($"lang")
+      }
     }),
 
     // [EXT] UDAF surface (§2.10): per-group geometric mean via the

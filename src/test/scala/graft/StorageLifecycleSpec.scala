@@ -58,19 +58,40 @@ class StorageLifecycleSpec extends SparkSpec {
     left
   }
 
-  test("PrefixScan family releases its range pins at materialization, zero residue, no harness help") {
-    // The round-11 verdict's top item: every in-query persist of the
-    // PrefixScan/prefixMax structure must be released by the query
-    // ITSELF (Pins.releaseOnMaterialize on the final frame), not by
-    // Storage.releaseAll between harness queries — the leak class
-    // that produced the round-10 pagerank regression, previously
-    // still open for these consumers in a long-lived interleaved
-    // session. Unlike q_pagerank (whose truncated rank table remains,
-    // ≤ 1 entry), the family's results are lazy, so a full release
-    // leaves storage EMPTY.
-    val family =
-      Seq("q_gini", "q_window_ntile", "q_token_budget", "q_skyline",
-        "q_concurrency")
+  test("self-releasing queries: zero storage residue at materialization, no harness help") {
+    // The round-11 verdict's top item, extended in round 12 from the
+    // PrefixScan family to EVERY query with an in-query persist:
+    // each pin is released by the query ITSELF (a Pins scope —
+    // explicit or ambient — released at the result's first
+    // materialization), not by Storage.releaseAll between harness
+    // queries — the leak class that produced the round-10 pagerank
+    // regression. These queries' results are lazy (no checkpoint), so
+    // a full release leaves storage EMPTY; the checkpoint-carrying
+    // iterative queries (q_pagerank ≤ 1, q_dedup_groups / q_bpe_* /
+    // q_kcore bounded) are covered by the bounded test above and the
+    // pagerank test below.
+    val family = Seq(
+      // PrefixScan/prefixMax (r11)
+      "q_gini", "q_window_ntile", "q_token_budget", "q_skyline",
+      "q_concurrency",
+      // aggregates & cohorts
+      "q_funnel", "q_retention_cohorts", "q_cohort_ltv",
+      "q_agg_incremental",
+      // vectors
+      "q_ann_ivf_pq", "q_semantic_dedup",
+      // dedup (non-iterative)
+      "q_minhash_incremental", "q_merge_upsert", "q_dedup_minhash",
+      "q_ngram_jaccard", "q_simhash_neardup", "q_embed_neardup",
+      // text & curation
+      "q_tfidf", "q_pmi_bigrams", "q_unigram_lm", "q_bigram_lm",
+      "q_ngram_novelty", "q_span_scrub", "q_dup_span_coverage",
+      // retrieval
+      "q_bm25", "q_contamination", "q_inverted_index", "q_sparse_cosine",
+      // selection
+      "q_weighted_sample", "q_global_index", "q_dsir_select",
+      // graph (non-iterative)
+      "q_copurchase", "q_link_predict", "q_degree_dist",
+      "q_triangle_count")
     Storage.releaseAll(spark)
     assert(awaitResident(0) == 0, "dirty storage before the sweep")
     val leaks = family.flatMap { name =>
