@@ -107,6 +107,33 @@ class StorageLifecycleSpec extends SparkSpec {
         s"resident entries left: ${leaks.mkString(", ")}")
   }
 
+  test("never-materialized scoped query: the safety valve releases its pins after foreign executions") {
+    // A session can build a query and drop it on the floor; its pins
+    // must not outlive MaxUnrelatedExecutions foreign actions. The
+    // valve is the only release path that never sees the result's
+    // plan — gate it directly, not just via the happy path.
+    import spark.implicits._
+    var pinnedDf: org.apache.spark.sql.DataFrame = null
+    val abandoned = Pins.scoped { pins =>
+      pinnedDf = pins(spark.range(100).select($"id", ($"id" * 2).as("x")))
+      pinnedDf.groupBy($"x").count()
+    }
+    assert(abandoned != null) // built, never materialized
+    assert(pinnedDf.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the pin must be registered while the scope is live")
+    for (_ <- 1 to Pins.MaxUnrelatedExecutions + 2)
+      spark.range(2).count() // foreign executions the listener sees
+    val deadline = System.currentTimeMillis + 30000
+    while (pinnedDf.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE
+        && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(pinnedDf.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "valve must unpin an abandoned query's storage")
+    Storage.releaseAll(spark)
+  }
+
   test("q_pagerank releases its edge/degree/base pins itself (long-lived-session discipline)") {
     // The query's own lifecycle, no harness help: after the result is
     // materialized, the four MEMORY_AND_DISK pins and the pairs pin
