@@ -60,19 +60,31 @@ object Storage {
   */
 final class Pins(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // Set by the FIRST releaseAll (the materialization listener, the
+  // never-materialized valve, or an owner's finally). Guarded by
+  // `this` together with `tracked`.
+  private var released = false
 
-  /** Persist `df` at the scope's level and remember it for release. */
-  def apply(df: DataFrame): DataFrame = {
-    tracked += df
+  /** Persist `df` at the scope's level and remember it for release.
+    * Synchronized with [[releaseAll]]: the scope releases from the
+    * listener-bus thread, and a pin registered AFTER the scope fired
+    * would be tracked by a scope nothing will release again — such a
+    * late pin falls back to a raw harness-released persist (the
+    * pre-scope behavior) instead of silently outliving the protocol.
+    */
+  def apply(df: DataFrame): DataFrame = synchronized {
+    if (!released) tracked += df
     df.persist(level)
   }
 
   /** Unpersist every tracked frame (non-blocking) and forget them.
     * Synchronized: [[releaseOnMaterialize]] calls this from the
     * listener-bus thread while the building thread may still hold the
-    * scope.
+    * scope. Marks the scope fired so late [[apply]] calls degrade to
+    * raw persists rather than joining a dead scope.
     */
   def releaseAll(): Unit = synchronized {
+    released = true
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
   }
@@ -150,7 +162,16 @@ object Pins {
     */
   def scoped(build: Pins => DataFrame): DataFrame = {
     val pins = new Pins
-    val result = active.withValue(Some(pins))(build(pins))
+    // A builder that THROWS after pinning would otherwise leave its
+    // pins parked forever: no result exists, so neither the
+    // materialization listener nor the foreign-execution valve is ever
+    // registered. Release eagerly on the failure path — unpersist of a
+    // never-built cache entry is free, and an abandoned build must not
+    // change the session's storage budget (StorageLifecycleSpec
+    // constructs exactly this scope).
+    val result =
+      try active.withValue(Some(pins))(build(pins))
+      catch { case t: Throwable => pins.releaseAll(); throw t }
     pins.releaseOnMaterialize(result)
   }
 

@@ -164,15 +164,7 @@ object Mining extends QueryModule {
     // split by name length.
     "q_fuzzy_block_join" -> ((s, dir) => {
       import s.implicits._
-      val names = Tables.part(s, dir).select($"p_name").distinct()
-        .withColumn("block", element_at(split($"p_name", " "), -1))
-        .withColumn("band", (length($"p_name") / FuzzyBandWidth).cast("int"))
-      val probe = names.select($"block", $"p_name".as("n1"),
-          explode(array($"band" - 1, $"band", $"band" + 1)).as("band"))
-      probe
-        .join(names.select($"block", $"band", $"p_name".as("n2")),
-          Seq("block", "band"))
-        .filter($"n1" < $"n2")
+      fuzzyCandidates(Tables.part(s, dir))
         .withColumn("dist", levenshtein($"n1", $"n2"))
         .filter($"dist" <= FuzzyMaxDist)
         .select($"block", $"n1", $"n2", $"dist")
@@ -351,6 +343,27 @@ object Mining extends QueryModule {
         .orderBy($"relation")
     }),
   )
+
+  /** Candidate pairs of `q_fuzzy_block_join`'s two-key blocking
+    * (final name word × length band ±1), BEFORE the edit-distance
+    * filter — split out so the spec can assert the candidate-count
+    * bound on an adversarially skewed fixture (one dominant final
+    * word) instead of the shape merely being asserted in comments.
+    * Input: any frame with a `p_name` string column.
+    */
+  private[graft] def fuzzyCandidates(
+      parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import parts.sparkSession.implicits._
+    val names = parts.select($"p_name").distinct()
+      .withColumn("block", element_at(split($"p_name", " "), -1))
+      .withColumn("band", (length($"p_name") / FuzzyBandWidth).cast("int"))
+    val probe = names.select($"block", $"p_name".as("n1"),
+        explode(array($"band" - 1, $"band", $"band" + 1)).as("band"))
+    probe
+      .join(names.select($"block", $"band", $"p_name".as("n2")),
+        Seq("block", "band"))
+      .filter($"n1" < $"n2")
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_fk_audit" ->

@@ -321,15 +321,6 @@ object Stats extends QueryModule {
           round(element_at($"q", 2), 4).as("ci_hi"))
     }),
 
-    // [EXT r12] Herfindahl–Hirschman concentration of supplier
-    // revenue per nation — "is this market dominated by one
-    // supplier", the concentration screen next to q_gini's
-    // inequality. HHI = Σ shareᵢ² = Σcᵢ² / (Σcᵢ)², so both sums stay
-    // exact integers per nation (cents; squares in decimal(38,0))
-    // and ONE double division closes the statistic — no per-supplier
-    // share materialized. Plan: fact⋈dim broadcast, two nested
-    // bounded aggregates (supplier-, then nation-keyed), dim name
-    // joined at the end.
     // [EXT r12] Welch's unequal-variance t-test between the urgent
     // and low-priority order-value samples — the two-sample mean test
     // next to q_ab_lift's proportion test and q_mann_whitney's rank
@@ -369,6 +360,15 @@ object Stats extends QueryModule {
             .as("df"))
     }),
 
+    // [EXT r12] Herfindahl–Hirschman concentration of supplier
+    // revenue per nation — "is this market dominated by one
+    // supplier", the concentration screen next to q_gini's
+    // inequality. HHI = Σ shareᵢ² = Σcᵢ² / (Σcᵢ)², so both sums stay
+    // exact integers per nation (cents; squares in decimal(38,0))
+    // and ONE double division closes the statistic — no per-supplier
+    // share materialized. Plan: fact⋈dim broadcast, two nested
+    // bounded aggregates (supplier-, then nation-keyed), dim name
+    // joined at the end.
     "q_hhi" -> ((s, dir) => {
       import s.implicits._
       val bySupp = Tables.lineitem(s, dir)
@@ -393,27 +393,51 @@ object Stats extends QueryModule {
   /** The per-replica bootstrap means `(b, m)` — split out so the spec
     * can replay one replica's digest chain in the driver against the
     * distributed draw.
+    *
+    * Shape (reworked per the round-12 verdict): the former
+    * rows × B explode fed ONE map-combined B-group aggregate — data-
+    * proportional ×B row traffic through the aggregate (the round's
+    * only 3.0× scaling ratio). Each row now computes its B weights as
+    * B columns in one projection (the md5 draws are unchanged —
+    * `bs:<b>:<orderkey>` digest for replica b, so the oracle twin and
+    * the spec's replica-0 replay hold verbatim) and the whole table
+    * folds into a SINGLE global aggregate with 2·B accumulators
+    * (Σwᵢ·cents as decimal(38,0), Σwᵢ as long — exact integers,
+    * order-free). No rows×B intermediate exists at any point; the
+    * replica means then unfold from the one-row result into the same
+    * (b, m) B-row frame, and the percentile over them is the SAME
+    * Spark aggregate as before (bit-identical to the twin's
+    * quantile_cont). At 10× data the aggregate now grows with rows,
+    * not rows×B.
     */
   private[graft] def bootstrapMeans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val u = call_function(graft.plans.Md5Prefix.FunctionName,
-      concat(lit("bs:"), $"b".cast("string"), lit(":"),
-        $"o_orderkey".cast("string")), lit(7))
-    val weight = PoissonThresholds28.zipWithIndex
-      .foldRight(lit(6L): org.apache.spark.sql.Column) {
-        case ((thr, k), acc) => when($"u" < thr, k.toLong).otherwise(acc)
-      }
-    Tables.orders(s, dir)
+    def weight(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      PoissonThresholds28.zipWithIndex
+        .foldRight(lit(6L): org.apache.spark.sql.Column) {
+          case ((thr, k), acc) => when(u < thr, k.toLong).otherwise(acc)
+        }
+    val o = Tables.orders(s, dir)
       .select($"o_orderkey",
-        round($"o_totalprice" * 100).cast("long").as("cents"),
-        explode(sequence(lit(0), lit(BootstrapReplicas - 1))).as("b"))
-      .withColumn("u", u)
-      .withColumn("w", weight)
-      .groupBy($"b")
-      .agg(sum(($"w" * $"cents").cast("decimal(38,0)")).as("sw"),
-        sum($"w").as("nw"))
-      .select($"b", ($"sw".cast("double") / $"nw" / 100).as("m"))
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    // One projection per stage: u_b first (CollapseProject keeps the
+    // non-cheap md5 calls single-evaluation), then the threshold fold.
+    val withU = (0 until BootstrapReplicas).foldLeft(o) { (df, b) =>
+      df.withColumn(s"u$b", call_function(graft.plans.Md5Prefix.FunctionName,
+        concat(lit(s"bs:$b:"), $"o_orderkey".cast("string")), lit(7)))
+    }
+    val withW = (0 until BootstrapReplicas).foldLeft(withU) { (df, b) =>
+      df.withColumn(s"w$b", weight(col(s"u$b")))
+    }
+    val accs = (0 until BootstrapReplicas).flatMap { b =>
+      Seq(sum((col(s"w$b") * $"cents").cast("decimal(38,0)")).as(s"s$b"),
+        sum(col(s"w$b")).as(s"n$b"))
+    }
+    withW.agg(accs.head, accs.tail: _*)
+      .select(posexplode(array((0 until BootstrapReplicas).map(b =>
+        col(s"s$b").cast("double") / col(s"n$b") / 100): _*)))
+      .toDF("b", "m")
   }
 
   override def oracles: Map[String, String] = Map(

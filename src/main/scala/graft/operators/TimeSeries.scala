@@ -169,12 +169,16 @@ object TimeSeries extends QueryModule {
     // flag compares 4-dp-rounded deviation against the 4-dp-rounded
     // control limit (the q_anomaly_zscore rounded-boundary contract),
     // with σ from exact integer count sums.
-    "q_ewma_control" -> ((s, dir) => {
+    "q_ewma_control" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      val daily = Tables.events(s, dir)
+      // `daily` is read THREE times per materialization — both sides
+      // of the |days|² self-join plus the sig aggregate — and its
+      // lineage is the row-scale events scan; the pin (released at
+      // the result's first materialization) makes that scan run once.
+      val daily = pins(Tables.events(s, dir)
         .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
         .withColumn("t", row_number().over(
-          Window.partitionBy(lit(0)).orderBy($"d")))
+          Window.partitionBy(lit(0)).orderBy($"d"))))
       val sig = daily.agg(
         count(lit(1)).as("nd"), sum($"n").as("sn"),
         sum($"n".cast("decimal(38,0)") * $"n").as("snn"))

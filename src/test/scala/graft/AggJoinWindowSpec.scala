@@ -145,24 +145,42 @@ class AggJoinWindowSpec extends SparkSpec {
 
   test("q_attribution matches a driver-side last-touch replay") {
     import spark.implicits._
+    // tm read as Option (a getLong on a NULL ts silently reads 0 and
+    // sorts FIRST, while the query pins NULLS LAST) — the replay's
+    // ordering and credit logic must encode the same contract the
+    // query states, not depend on the fixture having no null ts.
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", unix_micros($"ts").as("tm"),
         $"event_type")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
     val win = graft.operators.Windows.AttribWindowMicros
-    // Per user, in (ts, event_id) order, carry the last non-purchase
-    // touch; each purchase credits it when inside the window.
+    // Per user, in (ts NULLS LAST, event_id) order, carry the last
+    // non-purchase touch; each purchase credits it when inside the
+    // window. The carries mirror the query's two ignore-nulls last()
+    // columns exactly: prev_tm skips null-ts touches (their touch
+    // value is NULL), prev_type does not — and the window predicate
+    // follows SQL three-valued logic, so a null-ts purchase with a
+    // prior timed touch credits that touch with a NULL lag.
     val credited = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
-      var last: Option[(Long, String)] = None
-      evs.sortBy(e => (e._3, e._1)).flatMap { case (_, _, tm, tpe) =>
-        val out =
-          if (tpe != "purchase") { last = Some((tm, tpe)); None }
-          else last match {
-            case Some((ptm, pt)) if tm - ptm <= win => Some((pt, Some(tm - ptm)))
-            case _ => Some(("direct", None))
+      var lastTm: Option[Long] = None
+      var lastType: Option[String] = None
+      evs.sortBy(e => (e._3.isEmpty, e._3.getOrElse(0L), e._1)).flatMap {
+        case (_, _, tm, tpe) =>
+          if (tpe != "purchase") {
+            if (tm.isDefined) lastTm = tm
+            lastType = Some(tpe)
+            None
+          } else {
+            // when(prev_tm IS NULL OR tm − prev_tm > win, 'direct')
+            // .otherwise(prev_type): a NULL tm makes the comparison
+            // NULL (not true), falling through to the touch branch.
+            val direct = lastTm.isEmpty ||
+              (tm.isDefined && tm.get - lastTm.get > win)
+            if (direct) Some(("direct", None))
+            else Some((lastType.get, tm.map(_ - lastTm.get)))
           }
-        out
       }
     }
     val expect = credited.groupBy(_._1).map { case (ch, xs) =>
