@@ -35,6 +35,18 @@ object Stats extends QueryModule {
   /** Bootstrap replica count for the CI of the mean. */
   val BootstrapReplicas = 32
 
+  /** Replicas drawn per md5 digest: the 128-bit digest yields four
+    * DISJOINT 28-bit lanes (hex chars [7i, 7i+7)), so B replicas cost
+    * B/4 digests per row instead of B — the digest work, not the
+    * aggregate, is the operator's dominant per-row term (measured:
+    * the aggregate-shape rework alone left the sf0.1 time unchanged).
+    * Disjoint bit ranges of one digest are independent uniforms;
+    * replica b reads lane b mod 4 of digest `bs:<b div 4>:<key>`, so
+    * replica 0 is bit-identical to the pre-lane scheme and the spec's
+    * digest-chain replay pins both a lane-0 and a lane-3 replica.
+    */
+  val BootstrapLanes = 4
+
   /** The two order-priority segments Welch's t contrasts. */
   val WelchA = "1-URGENT"
   val WelchB = "5-LOW"
@@ -298,12 +310,13 @@ object Stats extends QueryModule {
     // global coordinated draw; the Poisson(1) approximation gives
     // each (row, replica) an INDEPENDENT weight — the standard
     // distributed bootstrap — with the weight drawn by exact integer
-    // comparison of a 28-bit md5 uniform against the fixed-point
+    // comparison of a 28-bit md5 lane against the fixed-point
     // [[PoissonThresholds28]] (pure function of the data; oracle
-    // replays the digest chain). Plan: rows × B=[[BootstrapReplicas]]
-    // explode (the q_count_min seeding shape), ONE map-combined
-    // aggregate with B groups, the percentile over the B-row replica
-    // means (type-7, both engines). Exact integer cents throughout;
+    // replays the digest chain, four lanes per digest — see
+    // [[BootstrapLanes]]). Plan: per-row weight columns into ONE
+    // map-combined 2·B-accumulator global aggregate (no rows×B
+    // intermediate), the percentile over the B-row replica means
+    // (type-7, both engines). Exact integer cents throughout;
     // doubles only in each replica's final mean.
     "q_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
@@ -397,18 +410,20 @@ object Stats extends QueryModule {
     * Shape (reworked per the round-12 verdict): the former
     * rows × B explode fed ONE map-combined B-group aggregate — data-
     * proportional ×B row traffic through the aggregate (the round's
-    * only 3.0× scaling ratio). Each row now computes its B weights as
-    * B columns in one projection (the md5 draws are unchanged —
-    * `bs:<b>:<orderkey>` digest for replica b, so the oracle twin and
-    * the spec's replica-0 replay hold verbatim) and the whole table
-    * folds into a SINGLE global aggregate with 2·B accumulators
-    * (Σwᵢ·cents as decimal(38,0), Σwᵢ as long — exact integers,
-    * order-free). No rows×B intermediate exists at any point; the
-    * replica means then unfold from the one-row result into the same
-    * (b, m) B-row frame, and the percentile over them is the SAME
-    * Spark aggregate as before (bit-identical to the twin's
-    * quantile_cont). At 10× data the aggregate now grows with rows,
-    * not rows×B.
+    * only 3.0× scaling ratio), and each exploded row paid its own md5.
+    * Each row now computes B/[[BootstrapLanes]] digests, splits each
+    * into four disjoint 28-bit lanes (replica b = lane b mod 4 of
+    * digest `bs:<b div 4>:<key>` — hex chars [(b mod 4)·7, +7) parsed
+    * base-16, the exact construction the DuckDB twin spells with
+    * substr(md5(..))), and folds the whole table into a SINGLE global
+    * aggregate with 2·B accumulators (Σwᵢ·cents as decimal(38,0),
+    * Σwᵢ as long — exact integers, order-free). No rows×B
+    * intermediate exists at any point and the digest count per row
+    * dropped B → B/4; the replica means then unfold from the one-row
+    * result into the same (b, m) B-row frame, and the percentile over
+    * them is the SAME Spark aggregate as before (bit-identical to the
+    * twin's quantile_cont). At 10× data the aggregate grows with
+    * rows, not rows×B.
     */
   private[graft] def bootstrapMeans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -418,14 +433,34 @@ object Stats extends QueryModule {
         .foldRight(lit(6L): org.apache.spark.sql.Column) {
           case ((thr, k), acc) => when(u < thr, k.toLong).otherwise(acc)
         }
+    // The draw projection is CPU-heavy per ROW (B/4 digests + B
+    // threshold folds) over a byte-compact columnar scan — scan
+    // partitioning follows bytes (maxPartitionBytes), so without an
+    // explicit spread the whole corpus's draw work can land on a
+    // handful of tasks (at sf0.1 the orders scan is ONE 2.7 MB split:
+    // measured 3.2 s single-core vs ~0.3 s spread). One round-robin
+    // shuffle of the two-column input buys full-cluster parallelism
+    // for the dominant stage; the result is an order-free integer
+    // sum, so the redistribution cannot change it.
     val o = Tables.orders(s, dir)
       .select($"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
-    // One projection per stage: u_b first (CollapseProject keeps the
-    // non-cheap md5 calls single-evaluation), then the threshold fold.
-    val withU = (0 until BootstrapReplicas).foldLeft(o) { (df, b) =>
-      df.withColumn(s"u$b", call_function(graft.plans.Md5Prefix.FunctionName,
-        concat(lit(s"bs:$b:"), $"o_orderkey".cast("string")), lit(7)))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    // One projection per stage — lane arrays (one codegen'd digest
+    // each, no hex-string round trip: graft.plans.Md5Lanes), then
+    // lane extraction, then the threshold fold — so CollapseProject
+    // keeps each non-cheap expression single-evaluation however many
+    // downstream references it has.
+    val withH = (0 until BootstrapReplicas / BootstrapLanes).foldLeft(o) {
+      (df, j) =>
+        df.withColumn(s"h$j",
+          call_function(graft.plans.Md5Prefix.LanesFunctionName,
+            concat(lit(s"bs:$j:"), $"o_orderkey".cast("string")),
+            lit(7), lit(BootstrapLanes)))
+    }
+    val withU = (0 until BootstrapReplicas).foldLeft(withH) { (df, b) =>
+      df.withColumn(s"u$b",
+        element_at(col(s"h${b / BootstrapLanes}"), b % BootstrapLanes + 1))
     }
     val withW = (0 until BootstrapReplicas).foldLeft(withU) { (df, b) =>
       df.withColumn(s"w$b", weight(col(s"u$b")))
@@ -603,8 +638,8 @@ object Stats extends QueryModule {
          |reps AS (SELECT unnest(range(0, $BootstrapReplicas)) AS b),
          |drawn AS (
          |  SELECT b, cents,
-         |    CAST(('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':'
-         |      || CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) AS u
+         |    CAST(('0x' || substr(md5('bs:' || CAST(b // $BootstrapLanes AS VARCHAR) || ':'
+         |      || CAST(o_orderkey AS VARCHAR)), (b % $BootstrapLanes) * 7 + 1, 7)) AS BIGINT) AS u
          |  FROM o CROSS JOIN reps),
          |means AS (
          |  SELECT CAST(SUM(CAST($thrCase AS HUGEINT) * cents) AS DOUBLE)

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `md5_prefix64(s, nHex)` — the first `nHex` hex digits of md5(s) as
@@ -70,6 +71,74 @@ case class Md5Prefix(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `md5_lanes64(s, nHex, nLanes)` — ONE md5 digest split into
+  * `nLanes` disjoint `nHex`-hex-digit lanes, returned as
+  * `array<long>`: lane i is `CONV(SUBSTRING(MD5(s), i*nHex + 1,
+  * nHex), 16, 10)` — the construction a DuckDB twin spells with
+  * `substr(md5(x), i*nHex + 1, nHex)`.
+  *
+  * Why not nLanes [[Md5Prefix]] calls with offsets: each call would
+  * recompute the digest, and the digest IS the cost — a consumer
+  * that needs k independent bounded uniforms per row (the Poisson
+  * bootstrap's per-replica draws) pays k/nLanes digests instead of k.
+  * Why not the builtin `md5` + substring/conv chain: measured SLOWER
+  * than even the per-lane digests it saves — the hex string, the
+  * substring, and conv's parse each allocate per evaluation.
+  * Disjoint bit ranges of one digest are independent uniforms.
+  *
+  * `nHex` in [1, 15], `nLanes ≥ 1`, `nHex·nLanes ≤ 32` (the digest's
+  * hex width), both foldable literals. Null input → null; elements
+  * never null. ExpressionSpec pins lane i == the conv chain at
+  * offset i·nHex + 1, interpreted == codegen, and the lane-0 ==
+  * md5_prefix64 identity.
+  */
+case class Md5Lanes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "md5_lanes64"
+
+  private lazy val nHex: Int = second.eval().asInstanceOf[Int]
+  private lazy val nLanes: Int = third.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: first argument must be string, got ${first.dataType.sql}")
+    } else if (second.dataType != IntegerType || !second.foldable ||
+        third.dataType != IntegerType || !third.foldable) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: nHex and nLanes must be int literals")
+    } else {
+      val h = second.eval(); val l = third.eval()
+      if (h == null || l == null) {
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: null shape literal")
+      } else {
+        val (hi, li) = (h.asInstanceOf[Int], l.asInstanceOf[Int])
+        if (hi < 1 || hi > 15)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: nHex must be in [1, 15], got $hi")
+        else if (li < 1 || hi * li > 32)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: need nLanes >= 1 and nHex*nLanes <= 32, got $hi*$li")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+
+  override protected def nullSafeEval(strAny: Any, hAny: Any, lAny: Any): Any =
+    Md5Prefix.lanes(strAny.asInstanceOf[UTF8String], nHex, nLanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Md5Prefix.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (str, _, _) =>
+      s"${ev.value} = $cls.lanes($str, $nHex, $nLanes);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object Md5Prefix {
   /** Thread-local digest: MessageDigest is stateful and not
     * thread-safe; one instance per executor thread amortizes
@@ -100,9 +169,37 @@ object Md5Prefix {
     v
   }
 
-  val FunctionName = "md5_prefix64"
+  /** All `nLanes` disjoint `nHex`-nibble lanes of md5(bytes of s) —
+    * lane i spans nibbles [i·nHex, (i+1)·nHex), each folded exactly
+    * like [[prefix]] (so lane 0 == prefix). Public static so
+    * generated code can call it.
+    */
+  def lanes(s: UTF8String, nHex: Int, nLanes: Int): ArrayData = {
+    val md = digests.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    val out = new Array[Long](nLanes)
+    var lane = 0
+    while (lane < nLanes) {
+      var v = 0L
+      var i = lane * nHex
+      val end = i + nHex
+      while (i < end) {
+        val b = digest(i >> 1)
+        val nib = if ((i & 1) == 0) (b >> 4) & 0xF else b & 0xF
+        v = (v << 4) | nib
+        i += 1
+      }
+      out(lane) = v
+      lane += 1
+    }
+    new GenericArrayData(out)
+  }
 
-  def register(ext: SparkSessionExtensions): Unit =
+  val FunctionName = "md5_prefix64"
+  val LanesFunctionName = "md5_lanes64"
+
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier(FunctionName),
       new ExpressionInfo(classOf[Md5Prefix].getName, FunctionName),
@@ -110,4 +207,12 @@ object Md5Prefix {
         require(args.length == 2, s"$FunctionName(str, nHex)")
         Md5Prefix(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier(LanesFunctionName),
+      new ExpressionInfo(classOf[Md5Lanes].getName, LanesFunctionName),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"$LanesFunctionName(str, nHex, nLanes)")
+        Md5Lanes(args.head, args(1), args(2))
+      }))
+  }
 }

@@ -159,6 +159,51 @@ class ExpressionSpec extends SparkSpec {
     assert(interpreted === viaDf)
   }
 
+  test("md5_lanes64: lane i equals the conv chain at offset i*nHex+1; lane 0 equals md5_prefix64") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(200).select($"text".as("s"))
+      .unionAll(Seq("", "héllo wörld 漢字", "a").toDF("s"))
+    for ((nHex, nLanes) <- Seq((7, 4), (4, 8), (15, 2), (1, 32))) {
+      val laneCols = (0 until nLanes).flatMap { i =>
+        Seq(element_at(col("h"), i + 1).as(s"e$i"),
+          conv(substring(md5($"s"), i * nHex + 1, nHex), 16, 10)
+            .cast("long").as(s"c$i"))
+      }
+      val rows = docs
+        .withColumn("h", call_function("md5_lanes64", $"s", lit(nHex), lit(nLanes)))
+        .select(laneCols: _*)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        (0 until nLanes).foreach { i =>
+          assert(r.getLong(2 * i) === r.getLong(2 * i + 1),
+            s"lane $i at shape $nHex x $nLanes")
+        }
+      }
+    }
+    // lane 0 is the md5_prefix64 identity (the scheme replica 0 of the
+    // bootstrap relies on), and null passes through as a null array.
+    val id = docs.select(
+        element_at(call_function("md5_lanes64", $"s", lit(7), lit(4)), 1).as("l0"),
+        call_function("md5_prefix64", $"s", lit(7)).as("p")).collect()
+    assert(id.forall(r => r.getLong(0) === r.getLong(1)))
+    val nulls = Seq((1L, None: Option[String])).toDF("id", "s")
+      .select(call_function("md5_lanes64", $"s", lit(7), lit(4)).as("h")).collect()
+    assert(nulls.head.isNullAt(0))
+    // interpreted eval == codegen'd result
+    val interpreted = graft.plans.Md5Lanes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")),
+      org.apache.spark.sql.catalyst.expressions.Literal(7),
+      org.apache.spark.sql.catalyst.expressions.Literal(4))
+      .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val viaDf = Seq("abc").toDF("s")
+      .select(call_function("md5_lanes64", $"s", lit(7), lit(4)))
+      .collect().head.getSeq[Long](0)
+    assert(interpreted.toSeq === viaDf.toSeq)
+  }
+
   test("simhash_sig is bit-identical to the higher-order-function formulation") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(100)

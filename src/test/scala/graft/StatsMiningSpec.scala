@@ -512,29 +512,40 @@ class StatsMiningSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
   }
 
-  test("q_bootstrap_ci: replica 0's mean replays from the md5 chain; CI straddles the point") {
+  test("q_bootstrap_ci: replicas 0 and 3 replay from the md5 lane chain; CI straddles the point") {
     import spark.implicits._
+    // Replica b reads 28-bit lane (b mod Lanes) of digest
+    // `bs:<b div Lanes>:<key>` — replica 0 is the pre-lane scheme
+    // verbatim (lane 0 of digest 0), replica 3 pins the hex-offset
+    // extraction (chars [21, 28) of the SAME digest).
     val md = java.security.MessageDigest.getInstance("MD5")
-    def u28(key: Long): Long = {
-      val hex = md.digest(s"bs:0:$key".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(7)
+    def u28(key: Long, b: Int): Long = {
+      val j = b / Stats.BootstrapLanes
+      val lane = b % Stats.BootstrapLanes
+      val hex = md.digest(s"bs:$j:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.slice(lane * 7, lane * 7 + 7)
       java.lang.Long.parseLong(hex, 16)
     }
     val thr = Stats.PoissonThresholds28
     val rows = Tables.orders(spark, sf)
       .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    var sw = BigInt(0); var nw = 0L
-    rows.foreach { case (k, cents) =>
-      val u = u28(k)
-      val w = thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
-      sw += BigInt(w) * cents; nw += w
+    def replay(b: Int): Double = {
+      var sw = BigInt(0); var nw = 0L
+      rows.foreach { case (k, cents) =>
+        val u = u28(k, b)
+        val w = thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+        sw += BigInt(w) * cents; nw += w
+      }
+      sw.toDouble / nw / 100
     }
-    val expect0 = sw.toDouble / nw / 100
-    val got0 = Stats.bootstrapMeans(spark, sf).filter($"b" === 0)
-      .collect().head.getDouble(1)
-    assert(math.abs(got0 - expect0) < 1e-9,
-      s"replica-0 mean $got0 vs driver replay $expect0")
+    val means = Stats.bootstrapMeans(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Seq(0, 3).foreach { b =>
+      val expect = replay(b)
+      assert(math.abs(means(b) - expect) < 1e-9,
+        s"replica-$b mean ${means(b)} vs driver replay $expect")
+    }
     val r = run("q_bootstrap_ci").collect().head
     val (pm, lo, hi) = (r.getAs[Double]("point_mean"),
       r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
