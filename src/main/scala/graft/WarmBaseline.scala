@@ -53,6 +53,17 @@ object WarmBaseline {
   /** The gate ratio — shared by [[regressions]] and Bench's
     * confirm-spread "unstable" detector so the two thresholds cannot
     * drift apart silently (they express the same tolerance).
+    *
+    * RECORDING DISCIPLINE (the round-12 lesson, now the rule): a
+    * committed midpoint must come from an ISOLATED QBench quad at the
+    * recorded config — run 1 discarded as compile floor, the midpoint
+    * read from the settled tail — and must REPRODUCE on an idle host,
+    * never from one sweep's quiet in-pass readings. Round 12 halved
+    * q_pagerank/q_kcore's midpoints from a single quiet sweep pair;
+    * no isolated quad could reproduce them, so every realistic driver
+    * window read >2× and the gate was structurally red with no code
+    * regression behind it. A baseline an idle quad cannot hit is not
+    * a baseline; it is a future false alarm.
     */
   val GateFactor: Double = 2.0
 
