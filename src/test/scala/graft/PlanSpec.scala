@@ -433,6 +433,22 @@ class PlanSpec extends SparkSpec {
       s"final top-K must not globally sort:\n$pq")
   }
 
+  test("q_bootstrap_ci: the draw projection runs SPREAD (round-robin exchange below it), one lane digest per replica quad") {
+    // Parallelism follows bytes (SCALING.md rule 6): the orders scan
+    // is a single split at bench scale, and without the explicit
+    // repartition the digest-dense draw stage serializes on one task.
+    // Pin (a) the round-robin spread below the partial aggregate and
+    // (b) the lane scheme — 8 md5_lanes64 digests, not 32 per-replica
+    // md5 calls — so a refactor that loses either re-serializes the
+    // dominant stage or re-quadruples the digest work loudly.
+    val p = plan("q_bootstrap_ci")
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+      s"draw stage must be spread off the single-split scan:\n$p")
+    assert("md5_lanes64".r.findAllIn(p).length ===
+      graft.operators.Stats.BootstrapReplicas / graft.operators.Stats.BootstrapLanes,
+      s"one digest per ${graft.operators.Stats.BootstrapLanes}-replica lane quad:\n$p")
+  }
+
   test("q_cluster_balance: per-cell cap rewrites to Partial+Final WindowGroupLimit") {
     // Each map task must pre-prune to ≤ClusterCap rows per cell
     // BEFORE the shuffle — without the rewrite the full corpus
