@@ -479,7 +479,8 @@ object Graph extends QueryModule {
   val KcoreRoundsPerCheckpoint = 2
 
   private[graft] def kcore(s: org.apache.spark.sql.SparkSession, dir: String,
-      strategy: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      strategy: CheckpointStrategy = CheckpointStrategy.Local,
+      roundsPerCheckpoint: Int = KcoreRoundsPerCheckpoint): DataFrame = {
     import s.implicits._
     val pins = new Pins
     try {
@@ -524,7 +525,7 @@ object Graph extends QueryModule {
       var alive: Option[DataFrame] = None
       var done = 0
       while (done < KcoreRounds) {
-        val steps = math.min(KcoreRoundsPerCheckpoint, KcoreRounds - done)
+        val steps = math.min(roundsPerCheckpoint, KcoreRounds - done)
         var cur = alive
         for (_ <- 1 to steps) cur = Some(peel(cur))
         gen.stage(cur.get)

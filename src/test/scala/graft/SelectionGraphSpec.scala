@@ -323,6 +323,28 @@ class SelectionGraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kcore: checkpoint composition is semantics-free — 1, 2, and 6 rounds per barrier agree row-for-row") {
+    // The r13 barrier diet composes peel rounds between checkpoint
+    // truncations. The peel is a pure function of the previous
+    // survivor set, so composition can only change WHERE the plan is
+    // materialized, never what it computes — pinned here as a
+    // property (row-identical results across barrier frequencies, the
+    // per-round shape, the committed 2, and the no-intermediate-
+    // barrier extreme) instead of asserted in the comment that calls
+    // the frequency "a knob, not a semantic".
+    def rows(rpc: Int): Seq[(Long, Long)] = {
+      val r = functions.Graph.kcore(spark, sf, roundsPerCheckpoint = rpc)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      Storage.releaseAll(spark)
+      r
+    }
+    val perRound = rows(1)
+    assert(perRound.nonEmpty)
+    assert(rows(2) === perRound, "2-per-barrier diverged from per-round peeling")
+    assert(rows(graft.functions.Graph.KcoreRounds) === perRound,
+      "fully-composed (single-barrier) peel diverged from per-round peeling")
+  }
+
   test("q_kcore matches a driver-side peel-to-fixpoint (fixed rounds reach it)") {
     import spark.implicits._
     // Rebuild the thresholded co-purchase edge set the query peels.
