@@ -154,6 +154,36 @@ object Curation extends QueryModule {
     "q_token_budget" -> ((s, dir) =>
       tokenBudgetScaled(Tables.documents(s, dir))),
 
+    // [EXT r13] Source mixture report — the audit companion of
+    // q_domain_cap/q_token_budget/q_mix_weighted: per-source document
+    // and TOKEN counts (tokens are the unit training consumes), each
+    // source's token share, and the cumulative coverage in descending
+    // token order ("the top k sources are X% of the mixture" — the
+    // concentration read a pipeline does before choosing caps and
+    // weights). One map-combined per-source aggregate; the
+    // rank/cumulative window runs over the |sources|-bounded
+    // aggregate, never rows (the q_degree_dist bounded-meta-window
+    // argument). Exact integers until the two share divisions.
+    "q_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      val bySrc = Tables.documents(s, dir)
+        .select($"source", Text.tokenCount($"text").cast("long").as("tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      val tot = bySrc.agg(sum($"n_tokens").as("tt"))
+      val ord = Window.partitionBy(lit(0))
+        .orderBy($"n_tokens".desc, $"source".asc)
+      bySrc
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum($"n_tokens").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select($"rank", $"source", $"n_docs", $"n_tokens",
+          round($"n_tokens".cast("double") / $"tt", 6).as("token_share"),
+          round($"cum".cast("double") / $"tt", 6).as("cum_share"))
+        .orderBy($"rank")
+    }),
+
     // [EXT] corpus unigram-LM scoring — the CCNet-style quality
     // signal: score each document by the mean log-probability of its
     // tokens under a unigram LM fit on the corpus itself. Three
@@ -482,6 +512,29 @@ object Curation extends QueryModule {
          |  FROM t)
          |SELECT doc_id, source, n_toks, cum_before FROM c
          |WHERE cum_before < $TokenBudget ORDER BY source, doc_id""".stripMargin,
+    "q_source_mix" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS tok
+         |  FROM documents),
+         |bysrc AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM bysrc),
+         |r AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS INT)
+         |      AS rank,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM bysrc)
+         |SELECT rank, source, n_docs, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+         |  ROUND(CAST(cum AS DOUBLE) / tt, 6) AS cum_share
+         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "q_unigram_lm" ->
       s"""WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

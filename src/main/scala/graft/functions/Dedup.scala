@@ -420,6 +420,12 @@ object Dedup extends QueryModule {
     // in bucket sizes, never quadratic in corpus size.
     "q_ngram_jaccard" -> ((s, dir) => graft.Pins.scoped(_ => ngramJaccardPairs(s, dir))),
 
+    // [EXT r13] Asymmetric containment near-dup — the
+    // subset/quotation detector (see [[containmentPairs]] for the
+    // rare-shingle blocking argument and the documented recall
+    // trade vs the Jaccard family).
+    "q_set_containment" -> ((s, dir) => graft.Pins.scoped(_ => containmentPairs(s, dir))),
+
     // SimHash near-dup pairs via bit-band blocking: the 48-bit
     // signature splits into 4 bands of 12 bits; by pigeonhole, any
     // pair within hamming distance 3 agrees on at least one full band,
@@ -528,6 +534,70 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
+  }
+
+  /** Rare-shingle df window (2..cap) for containment blocking: a
+    * shingle shared by ≥2 docs can witness a pair; one above the cap
+    * is boilerplate whose postings would send the self-join quadratic
+    * on a hot key. Candidates are bounded by Σ df² ≤ cap · |postings|
+    * — linear in the corpus at a fixed cap.
+    */
+  val ContainDfCap = 4
+
+  /** Minimum containment |A∩B| / min(|A|, |B|) reported. */
+  val ContainThreshold = 0.5
+  val ContainTopK = 100
+
+  /** ASYMMETRIC near-dup: containment C = |A∩B| / min(|A|, |B|) over
+    * 3-gram shingle sets — the subset/quotation detector Jaccard
+    * misses (a short doc fully contained in a long one has high C but
+    * LOW Jaccard, so the MinHash bands that estimate Jaccard would
+    * never candidate it). Candidate generation is RARE-SHINGLE
+    * blocking (the prefix-filtering idea of the set-similarity-join
+    * literature, e.g. PPJoin): only shingles with document frequency
+    * in [2, [[ContainDfCap]]] generate pairs, so the postings
+    * self-join is bounded by Σ df² per rare shingle — never all-pairs
+    * — and the exact intersection then costs one array_intersect per
+    * CANDIDATE. Documented recall trade: a pair whose every shared
+    * shingle is mass-duplicated (df > cap boilerplate) is not
+    * candidated — that mass-dup regime is exactly what
+    * q_dedup_exact/q_dedup_minhash already catch. Fully
+    * oracle-checked including the candidate set (the twin spells the
+    * same df window over the shared [[shingleCtes]]).
+    */
+  private[graft] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir))
+
+  /** [[containmentPairs]] over an arbitrary `(doc_id, text)` frame —
+    * split out so the spec can drive a constructed subset fixture
+    * through the exact query path.
+    */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    // Pinned: the shingle table feeds the postings explode AND both
+    // exact-intersection join sides; the postings table feeds the df
+    // count and both sides of the candidate self-join.
+    val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
+    val ds = pinned(sh.select(col("doc_id"), explode(col("sh")).as("s")))
+    val rare = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfCap)
+      .select(col("s"))
+    val cand = ds.join(rare, Seq("s"))
+      .select(col("s"), col("doc_id").as("a"))
+      .join(ds.select(col("s"), col("doc_id").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"),
+        least(size(col("sh_a")), size(col("sh_b"))).as("n_small"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_small"), 4))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(ContainTopK)
   }
 
   /** SimHash band-blocked near-dup pairs: band b of a signature is
@@ -811,8 +881,14 @@ object Dedup extends QueryModule {
     * Starts its own `WITH RECURSIVE` (consumed by the dedup-groups
     * twin's reachability CTE; legal with no recursive member).
     */
-  private def minhashCtes(numHashes: Int, bands: Int): String = {
-    val rpb = numHashes / bands
+  /** Shared tokenize→3-gram-shingle CTE prefix (`toks`, `shl`) — ONE
+    * spelling of the pinned tokenizer + distinct shingling consumed
+    * by the MinHash chain AND the containment oracle, so the shingle
+    * semantics cannot drift between them. RECURSIVE because some
+    * consumers (q_dedup_groups) append a recursive CTE to the same
+    * WITH list.
+    */
+  private def shingleCtes: String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, ${graft.Tables.docBatchIdxSql("source")} AS bi,
        |    list_filter(string_split_regex(text, '${Text.Ws}+'), t -> length(t) > 0) AS tk
@@ -821,7 +897,11 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, bi, unnest(list_distinct(list_transform(
        |    range(0, len(tk) - 2),
        |    i -> array_to_string(tk[i+1:i+3], ' ')))) AS s
-       |  FROM toks WHERE len(tk) >= 3),
+       |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  private def minhashCtes(numHashes: Int, bands: Int): String = {
+    val rpb = numHashes / bands
+    s"""$shingleCtes,
        |hb AS (SELECT doc_id, bi,
        |         CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h
        |       FROM shl),
@@ -892,6 +972,25 @@ object Dedup extends QueryModule {
          |                 JOIN szs nb ON nb.doc_id = itr.id_b)
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.1
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+    "q_set_containment" ->
+      s"""$shingleCtes,
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+         |rare AS (SELECT s FROM shl GROUP BY s
+         |         HAVING COUNT(*) BETWEEN 2 AND $ContainDfCap),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM shl x JOIN rare USING (s)
+         |         JOIN shl y ON y.s = x.s AND x.doc_id < y.doc_id),
+         |itr AS (SELECT cand.a, cand.b, COUNT(*) AS i
+         |        FROM cand JOIN shl x ON x.doc_id = cand.a
+         |                  JOIN shl y ON y.doc_id = cand.b AND y.s = x.s
+         |        GROUP BY cand.a, cand.b)
+         |SELECT itr.a AS doc_a, itr.b AS doc_b, CAST(i AS BIGINT) AS n_shared,
+         |  ROUND(CAST(i AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
+         |FROM itr JOIN szs na ON na.doc_id = itr.a
+         |         JOIN szs nb ON nb.doc_id = itr.b
+         |WHERE ROUND(CAST(i AS DOUBLE) / LEAST(na.n, nb.n), 4)
+         |  >= $ContainThreshold
+         |ORDER BY containment DESC, doc_a, doc_b LIMIT $ContainTopK""".stripMargin,
     "q_minhash_incremental" ->
       s"""${minhashCtes(32, 16)},
          |cand AS (SELECT DISTINCT f.doc_id AS doc_id, h.doc_id AS hist_id

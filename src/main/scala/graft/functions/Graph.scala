@@ -440,6 +440,27 @@ object Graph extends QueryModule {
         .orderBy($"degree")
     }),
 
+    // [EXT r13] Community detection by synchronous label propagation
+    // (LPA, Raghavan et al. 2007) over the embedding within-cell kNN
+    // graph — unsupervised cluster DISCOVERY next to the assignment
+    // queries (q_ivf_assign assigns to FIXED centroids; LPA finds the
+    // groups the neighbor structure itself implies), and the
+    // community layer between connected components (q_dedup_groups:
+    // any path merges) and k-core (density filter). Each round every
+    // node adopts the most frequent label among its kNN neighbors,
+    // ties broken by the SMALLER label. Sync updates + the (count
+    // DESC, label ASC) total order make every round a pure integer
+    // function of the previous labeling — deterministic, partition-
+    // invariant, hash-verifiable by an unrolled-CTE twin at the same
+    // fixed round count. Per round: one join of the |nodes|-row label
+    // table into the persisted edges, one map-combined (node, label)
+    // count, a per-node row_number(1) bounded by the node's
+    // distinct-neighbor-label count (≤ 2·[[LpaKnn]] — never a global
+    // window), then eager checkpoint truncation (the kcore
+    // Generations discipline). See [[labelProp]] for the graph
+    // construction and why the co-purchase graph was rejected.
+    "q_label_prop" -> ((s, dir) => labelProp(s, dir)),
+
     // [EXT] k-core decomposition by iterative peeling over the
     // thresholded co-purchase graph — the graph-density filter behind
     // crawl-graph curation and link-spam screening (a page's k-core
@@ -557,6 +578,105 @@ object Graph extends QueryModule {
     } finally pins.releaseAll()
   }
 
+  /** LPA fixed round count, per-node neighbor fan-out, and report
+    * size. Unlike the k-core peel (monotone, guaranteed fixpoint),
+    * synchronous LPA is NOT guaranteed to converge — labelings can
+    * drift or oscillate indefinitely (GraphFrames' labelPropagation
+    * documents the same caveat) — so the operator's contract is the
+    * round-[[LpaRounds]] SNAPSHOT: a pure, deterministic integer
+    * function of the graph that both engines compute identically at
+    * the same fixed budget (probed on both fixture SFs: rounds 4–9
+    * all yield ~50+ stable-size communities; the labeling keeps
+    * refining without changing the structure report materially). The
+    * count is FIXED so no convergence read touches the driver.
+    */
+  val LpaRounds = 4
+  val LpaKnn = 4
+  val LpaTopK = 50
+
+  /** Synchronous LPA over the embedding within-cell kNN graph: each
+    * vector links to its [[LpaKnn]] most-cosine-similar neighbors
+    * INSIDE its IVF cell (the cell-bounded pair join of
+    * q_semantic_dedup — never all-pairs; at 100 TB `cell` is the
+    * partition key and the kNN join reads one cell per task), edges
+    * symmetrized, then [[LpaRounds]] label-propagation rounds with
+    * the (count DESC, label ASC) deterministic tie-break. The
+    * co-purchase graph was deliberately NOT used: it is one dense
+    * component, where min-tie LPA collapses to a single label (the
+    * degenerate case); the kNN graph is disconnected across cells by
+    * construction, so the community structure is real and the report
+    * non-trivial at every SF.
+    */
+  private[graft] def labelProp(s: org.apache.spark.sql.SparkSession, dir: String,
+      strategy: CheckpointStrategy = CheckpointStrategy.Local,
+      rounds: Int = LpaRounds): DataFrame = {
+    import s.implicits._
+    val pins = new Pins
+    try {
+      // Pinned: the assigned table is both sides of the cell-bounded
+      // kNN self-join; the symmetrized edge table feeds every round.
+      val a = pins(Vectors.ivfAssigned(
+        Tables.embeddings(s, dir)
+          .select($"vec_id", Vectors.asDouble($"embedding").as("v"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"sim".desc, $"nb".asc)
+      val knn = a.select($"cell", $"vec_id", $"v")
+        .join(a.select($"cell", $"vec_id".as("nb"), $"v".as("nv")), Seq("cell"))
+        .filter($"vec_id" =!= $"nb")
+        .select($"vec_id", $"nb",
+          round(Vectors.cosine($"v", $"nv"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= LpaKnn)
+        .select($"vec_id", $"nb")
+      val edges = pins(
+        knn.select($"vec_id".as("src"), $"nb".as("dst"))
+          .union(knn.select($"nb".as("src"), $"vec_id".as("dst")))
+          .distinct())
+      val gen = new Generations(strategy)
+      // l0: every node its own label. Symmetrized edges ⇒ the node
+      // set is the distinct src domain and every node has ≥1
+      // neighbor, so the per-round inner join never drops a node.
+      var labels = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      for (_ <- 1 to rounds) {
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy($"src").orderBy($"cnt".desc, $"label".asc)
+        val nxt = edges
+          .join(labels.select($"node".as("dst"), $"label"), Seq("dst"))
+          .groupBy($"src", $"label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wr))
+          .filter($"rn" === 1)
+          .select($"src".as("node"), $"label")
+        gen.stage(nxt)
+        labels = gen.advance()
+      }
+      // Community report off the LAST generation only (a LogicalRDD —
+      // the finally's pin release cannot cost it a recompute).
+      labels.groupBy($"label")
+        .agg(count(lit(1)).as("n_members"), min($"node").as("min_member"))
+        .select($"label".as("community"), $"n_members", $"min_member")
+        .orderBy($"n_members".desc, $"community".asc)
+        .limit(LpaTopK)
+    } finally pins.releaseAll()
+  }
+
+  /** One synchronous LPA round as a SQL CTE — most frequent neighbor
+    * label, smaller label on ties, the SAME (COUNT DESC, label ASC)
+    * row_number order the Spark loop uses. MATERIALIZED for the same
+    * plan-growth reason as [[kcoreRoundCte]].
+    */
+  private def lpaRoundCte(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""l$i AS MATERIALIZED (
+       |  SELECT node, label FROM (
+       |    SELECT le.src AS node, pl.label,
+       |      ROW_NUMBER() OVER (PARTITION BY le.src
+       |        ORDER BY COUNT(*) DESC, pl.label) AS rn
+       |    FROM le JOIN $prev pl ON pl.node = le.dst
+       |    GROUP BY le.src, pl.label)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** One peeling round as a SQL CTE — the surviving node set after
     * dropping sub-k degrees within the previous survivors, with the
     * SAME single dst-side restriction as the Spark loop (a dropped
@@ -647,6 +767,30 @@ object Graph extends QueryModule {
          |FROM pr JOIN deg d1 ON d1.sk = pr.s1 JOIN deg d2 ON d2.sk = pr.s2
          |WHERE pr.support >= $MinSupport
          |ORDER BY jaccard DESC, pr.s1, pr.s2 LIMIT $LinkTopK""".stripMargin,
+    "q_label_prop" ->
+      s"""${Vectors.ivfAssignCte},
+         |knn0 AS (
+         |  SELECT x.vec_id, y.vec_id AS nb, ROUND(
+         |    list_sum(list_transform(list_zip(x.vv, y.vv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(x.vv, v -> v * v)))
+         |       * SQRT(list_sum(list_transform(y.vv, v -> v * v)))), 4) AS sim
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |knn AS (
+         |  SELECT vec_id, nb FROM (
+         |    SELECT vec_id, nb,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, nb) AS rn
+         |    FROM knn0) WHERE rn <= $LpaKnn),
+         |le AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, nb AS dst FROM knn
+         |    UNION ALL SELECT nb AS src, vec_id AS dst FROM knn)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM le),
+         |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}
+         |SELECT label AS community, COUNT(*) AS n_members,
+         |  MIN(node) AS min_member
+         |FROM l$LpaRounds GROUP BY label
+         |ORDER BY n_members DESC, community LIMIT $LpaTopK""".stripMargin,
     "q_kcore" ->
       s"""$copurchaseCtes,
          |te AS (SELECT s1, s2 FROM pr WHERE support >= $MinSupport),

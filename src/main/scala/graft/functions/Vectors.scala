@@ -505,7 +505,9 @@ object Vectors extends QueryModule {
     * (= lowest cell id) on distance ties to match Spark's
     * array_position argmin.
     */
-  private lazy val ivfAssignCte: String =
+  /** Shared with [[Graph]]'s q_label_prop oracle (the kNN-graph
+    * community query runs over the same cell assignment). */
+  private[graft] lazy val ivfAssignCte: String =
     s"""WITH cents(cell, c) AS (VALUES
        |        $ivfCentsSql),
        |v AS (SELECT vec_id,

@@ -66,6 +66,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_source_mix: contiguous ranks, monotone cumulative coverage closing at exactly 1, full doc accounting") {
+    val rows = run("q_source_mix").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length),
+      "ranks must be the contiguous 1..n in output order")
+    val cums = rows.map(_.getDouble(5)).toSeq
+    assert(cums === cums.sorted, "cumulative share must be nondecreasing")
+    assert(cums.last === 1.0,
+      "the final cumulative share is tt/tt — exactly 1 after rounding")
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    assert(math.abs(shares.sum - 1.0) < 1e-3,
+      "per-source shares must close to ~1 (6-dp rounding residue only)")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sf).count(),
+      "every document must be counted in exactly one source row")
+  }
+
   test("q_token_budget: every source's exclusive prefix is under budget and the crossing doc is kept") {
     import spark.implicits._
     val out = run("q_token_budget")

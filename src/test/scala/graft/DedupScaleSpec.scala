@@ -63,6 +63,39 @@ class DedupScaleSpec extends SparkSpec {
     assert(viaCandidates === brute)
   }
 
+  test("containment: a constructed subset is found at exactly 1.0 and unrelated docs are never candidated") {
+    import spark.implicits._
+    // doc 1 is a strict PREFIX of doc 2 (the subset/quotation case the
+    // Jaccard family misses: jaccard = 10/18 ≈ 0.56 but containment =
+    // 1.0); doc 3 shares nothing. Every shared shingle has df = 2 —
+    // inside the rare window — so the pair is guaranteed candidated.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val sup = base + " " + (13 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, sup), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // base has 10 3-gram shingles, all inside sup (18 shingles):
+    // n_shared 10, containment 10 / min(10, 18) = 1.0; no other pair
+    // shares a shingle, so no other candidate can exist.
+    assert(got === Seq((1L, 2L, 10L, 1.0)))
+    Storage.releaseAll(spark) // the helper's pins are harness-owned here
+  }
+
+  test("containment blocking: a mass-duplicated boilerplate shingle (df > cap) generates no candidates") {
+    import spark.implicits._
+    // Ten docs sharing ONE identical text: every shared shingle has
+    // df = 10 > ContainDfCap, so rare-shingle blocking candidates
+    // nothing — the documented recall trade (this regime belongs to
+    // q_dedup_exact/q_dedup_minhash, whose blocking keys are
+    // frequency-independent).
+    val same = (1 to 15).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 10L).map(i => (i, same)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairsOf(docs).collect().isEmpty)
+    Storage.releaseAll(spark)
+  }
+
   test("empty input: signature/text operators return zero rows, never crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

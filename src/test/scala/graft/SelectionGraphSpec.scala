@@ -323,6 +323,33 @@ class SelectionGraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_label_prop: deterministic snapshot, multiple communities, members account for every connectable node") {
+    import spark.implicits._
+    val r1 = run("q_label_prop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Storage.releaseAll(spark)
+    val r2 = run("q_label_prop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Storage.releaseAll(spark)
+    // Sync LPA is a fixed-budget snapshot (convergence NOT guaranteed
+    // — see LpaRounds), so the contract is determinism: identical
+    // runs, identical results.
+    assert(r1 === r2, "LPA snapshot must be a pure function of the data")
+    assert(r1.length > 1, "kNN-cell graph must yield multiple communities")
+    r1.foreach { case (_, n, _) => assert(n >= 1) }
+    // Node accounting: the graph's nodes are exactly the vectors with
+    // ≥1 same-cell neighbor; when the report is not truncated by the
+    // top-K, community sizes must sum to that count.
+    val cellSizes = functions.Vectors.ivfAssigned(
+        Tables.embeddings(spark, sf)
+          .select($"vec_id", functions.Vectors.asDouble($"embedding").as("v")))
+      .groupBy($"cell").count().collect().map(_.getLong(1))
+    val connectable = cellSizes.filter(_ >= 2).sum
+    if (r1.length < functions.Graph.LpaTopK)
+      assert(r1.map(_._2).sum === connectable,
+        "every node in a ≥2-occupant cell must land in exactly one community")
+  }
+
   test("kcore: checkpoint composition is semantics-free — 1, 2, and 6 rounds per barrier agree row-for-row") {
     // The r13 barrier diet composes peel rounds between checkpoint
     // truncations. The peel is a pure function of the previous
