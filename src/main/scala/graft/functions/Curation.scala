@@ -184,6 +184,43 @@ object Curation extends QueryModule {
         .orderBy($"rank")
     }),
 
+    // [EXT r13] Per-source distribution divergence: KL(source ‖
+    // corpus) over unigram term distributions — "which source's
+    // language is most unlike the mixture", the divergence companion
+    // of q_source_mix's volume audit (DSIR and CCNet both rank data
+    // by exactly this kind of LM divergence; here the statistic
+    // itself is the product). KL = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) ≥ 0,
+    // finite by construction: every source term IS a corpus term, so
+    // p_c > 0 wherever p_s > 0. One pinned tokenize pass feeds the
+    // (source, term) and term counts; both aggregates are
+    // vocabulary-bounded with map-side combine; the corpus total is a
+    // one-row broadcast. The log ratio is ln((cs·nc)/(ns·cc)) with
+    // the two products formed in exact doubles (all four factors <
+    // 2⁵³ here; at trillions of tokens the products move to
+    // decimal(38,0) like q_trend_fit's sums) — ONE libm call per
+    // (source, term), then the contribution sum rounds at 6 dp (the
+    // q_psi contract; summation order differs across engines).
+    "q_source_kl" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      val terms = Tables.documents(s, dir)
+        .select($"source", explode(Text.tokens(lower($"text"))).as("term"))
+        .transform(graft.Pins.ambient)
+      val st = terms.groupBy($"source", $"term").agg(count(lit(1)).as("cs"))
+        .transform(graft.Pins.ambient)
+      val ct = terms.groupBy($"term").agg(count(lit(1)).as("cc"))
+      val stot = st.groupBy($"source").agg(sum($"cs").as("ns"))
+      val tot = broadcast(terms.agg(count(lit(1)).as("nc")))
+      st.join(ct, Seq("term"))
+        .join(stot, Seq("source"))
+        .crossJoin(tot)
+        .groupBy($"source")
+        .agg(max($"ns").as("n_tokens"), count(lit(1)).as("n_terms"),
+          round(sum(($"cs".cast("double") / $"ns")
+            * log(($"cs".cast("double") * $"nc")
+              / ($"ns".cast("double") * $"cc"))), 6).as("kl"))
+        .orderBy($"kl".desc, $"source".asc)
+    }),
+
     // [EXT] corpus unigram-LM scoring — the CCNet-style quality
     // signal: score each document by the mean log-probability of its
     // tokens under a unigram LM fit on the corpus itself. Three
@@ -535,6 +572,26 @@ object Curation extends QueryModule {
          |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
          |  ROUND(CAST(cum AS DOUBLE) / tt, 6) AS cum_share
          |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q_source_kl" ->
+      s"""WITH terms AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(lower(text), '${Text.Ws}+'),
+         |    t -> length(t) > 0)) AS term
+         |  FROM documents),
+         |st AS (SELECT source, term, COUNT(*) AS cs FROM terms
+         |       GROUP BY source, term),
+         |ct AS (SELECT term, COUNT(*) AS cc FROM terms GROUP BY term),
+         |stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st
+         |         GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS nc FROM terms)
+         |SELECT st.source, MAX(stot.ns) AS n_tokens,
+         |  COUNT(*) AS n_terms,
+         |  ROUND(SUM((CAST(cs AS DOUBLE) / ns)
+         |    * ln((CAST(cs AS DOUBLE) * nc)
+         |      / (CAST(ns AS DOUBLE) * cc))), 6) AS kl
+         |FROM st JOIN ct USING (term) JOIN stot USING (source)
+         |CROSS JOIN tot
+         |GROUP BY st.source ORDER BY kl DESC, source ASC""".stripMargin,
     "q_unigram_lm" ->
       s"""WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -57,28 +57,7 @@ object Retrieval extends QueryModule {
     // last ulp and flip a rounded score.
     "q_bm25" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
-      val dld = Tables.documents(s, dir)
-        .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
-        .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
-        .transform(graft.Pins.ambient)
-      val stats = broadcast(dld.agg(
-        count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
-      // tf is pinned too: it feeds BOTH the final join's probe side and
-      // the df aggregate — unpersisted, Spark would re-run the corpus
-      // explode + tf aggregation once per consumer (the PLANS.md dump
-      // showed the Generate stage twice). The cached frame is tiny
-      // (one row per matching doc-term).
-      val tf = dld.select($"doc_id", $"dl", explode($"tk").as("term"))
-        .filter($"term".isin(QueryTerms: _*))
-        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
-        .transform(graft.Pins.ambient)
-      val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(df), Seq("term"))
-        .crossJoin(stats)
-        .withColumn("idf", log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
-        .withColumn("score_t", $"idf" * ($"tf" * lit(2.2)) /
-          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs"))))
-        .groupBy($"doc_id").agg(round(sum($"score_t"), 4).as("bm25"))
+      bm25Scored(s, dir)
         .orderBy($"bm25".desc, $"doc_id".asc)
         .limit(25)
     }),
@@ -132,29 +111,136 @@ object Retrieval extends QueryModule {
     // 4dp — sum order differs across engines (the q_tfidf contract).
     "q_sparse_cosine" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
-      val tf = Tables.documents(s, dir)
-        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
-      val nDocs = broadcast(Tables.documents(s, dir)
-        .agg(count(lit(1)).cast("double").as("n")))
-      val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-      val w = tf.join(df, Seq("term")).crossJoin(nDocs)
-        .select($"doc_id", $"term",
-          ($"tf" * (log(($"n" + 1) / ($"df" + 1)) + 1)).as("w"))
-        .transform(graft.Pins.ambient)
-      val norms = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
-      val qv = broadcast(w.filter($"doc_id" === 0)
-        .select($"term", $"w".as("qw")))
-      val qn = broadcast(norms.filter($"doc_id" === 0).select($"nrm".as("qnrm")))
-      w.filter($"doc_id" =!= 0)
-        .join(qv, Seq("term"))
-        .groupBy($"doc_id").agg(sum($"w" * $"qw").as("dot"))
-        .join(norms, Seq("doc_id")).crossJoin(qn)
-        .select($"doc_id", round($"dot" / ($"nrm" * $"qnrm"), 4).as("sim"))
+      sparseCosineScored(s, dir)
         .orderBy($"sim".desc, $"doc_id".asc)
         .limit(10)
     }),
+
+    // [EXT r13] Reciprocal-rank fusion of the two lexical rankers —
+    // hybrid retrieval's standard merge (Cormack, Clarke & Büttcher,
+    // SIGIR 2009): each ranker contributes 1/(K + rank) for the docs
+    // in its top [[RrfDepth]], and the sum orders the fused list.
+    // Rank-based fusion needs no score normalization, which is
+    // exactly why production hybrid search (BM25 + vector) uses it.
+    // Scale shape: each ranker's candidate list arrives by
+    // TakeOrdered (never a global rank window over the corpus — the
+    // row_number that ASSIGNS ranks runs over the ≤[[RrfDepth]]-row
+    // top-K result only), and the fusion is a full outer join of two
+    // tiny lists. Ranks are ints from 4-dp-rounded scores with
+    // doc_id tiebreaks (deterministic on both engines); absent-list
+    // membership is encoded as rank 0, keeping the output columns
+    // non-null integers. 1/(K+rank) is one exact IEEE division; the
+    // sum of two such doubles is deterministic; rrf rounds at 6 dp.
+    "q_rrf_fusion" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      def ranked(scored: DataFrame, score: String, rankAs: String) = {
+        val top = scored.orderBy(col(score).desc, $"doc_id".asc)
+          .limit(RrfDepth)
+        top.withColumn(rankAs, row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+              .orderBy(col(score).desc, $"doc_id".asc)))
+          .select($"doc_id", col(rankAs))
+      }
+      val ra = ranked(bm25Scored(s, dir), "bm25", "rank_bm25")
+      val rb = ranked(sparseCosineScored(s, dir), "sim", "rank_cos")
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"rank_bm25", lit(0)).as("rank_bm25"),
+          coalesce($"rank_cos", lit(0)).as("rank_cos"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + $"rank_bm25"), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + $"rank_cos"), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id".asc)
+        .limit(RrfTopK)
+    }),
   )
+
+  /** RRF smoothing constant (the k=60 of the original paper). */
+  val RrfK = 60
+  /** Per-ranker candidate-list depth entering the fusion. */
+  val RrfDepth = 50
+  /** Fused-list size reported. */
+  val RrfTopK = 25
+
+  /** BM25 (Okapi, k1=1.2 b=0.75) of the fixed [[QueryTerms]] against
+    * the corpus — the scored frame `(doc_id, bm25)`, shared by q_bm25
+    * (top-25 report) and q_rrf_fusion (rank source). Plan shape: the
+    * per-doc length table is computed ONCE and pinned (it feeds both
+    * the corpus-stats aggregate and the tf explode — an unpinned
+    * second consumer would re-tokenize the corpus, the round-3
+    * self-join trap); the term explode is filtered to the query terms
+    * BEFORE any aggregation, so the tf/df aggregates see only
+    * matching postings (at 100 TB this is the difference between
+    * aggregating the full posting list and the query's slice of it).
+    * N and avgdl arrive as a broadcast one-row aggregate, df as a
+    * broadcast |query-terms|-row join — nothing larger than the match
+    * set ever shuffles. Constants are written as the same literals in
+    * both engines (1.2, 2.2, 0.25, 0.75): deriving 2.2 as 1.2+1 at
+    * runtime could differ from the literal 2.2 in the last ulp and
+    * flip a rounded score. Callers must be inside a Pins scope.
+    */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dld = Tables.documents(s, dir)
+      .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
+      .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
+      .transform(graft.Pins.ambient)
+    val stats = broadcast(dld.agg(
+      count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
+    // tf is pinned too: it feeds BOTH the final join's probe side and
+    // the df aggregate — unpersisted, Spark would re-run the corpus
+    // explode + tf aggregation once per consumer (the PLANS.md dump
+    // showed the Generate stage twice). The cached frame is tiny
+    // (one row per matching doc-term).
+    val tf = dld.select($"doc_id", $"dl", explode($"tk").as("term"))
+      .filter($"term".isin(QueryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).cast("double").as("tf"))
+      .transform(graft.Pins.ambient)
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(stats)
+      .withColumn("idf", log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("score_t", $"idf" * ($"tf" * lit(2.2)) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs"))))
+      .groupBy($"doc_id").agg(round(sum($"score_t"), 4).as("bm25"))
+  }
+
+  /** Sparse TF-IDF cosine of every corpus doc against query doc 0 —
+    * the scored frame `(doc_id, sim)`, shared by q_sparse_cosine
+    * (top-10 report) and q_rrf_fusion (rank source). The sparse shape
+    * never materializes a vector: the weighted postings table
+    * (doc, term, w) is pinned once (it feeds the query slice, the
+    * corpus side, and the norm aggregate), the query doc's ≤|doc|
+    * terms broadcast, the dot product is a term-key join + per-doc
+    * sum — only docs SHARING a term with the query are ever touched
+    * (the inverted-index property; a dense scan touches all).
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive); N
+    * arrives as a broadcast one-row aggregate. Scores are rounded at
+    * 4dp — sum order differs across engines (the q_tfidf contract).
+    * Callers must be inside a Pins scope.
+    */
+  private[graft] def sparseCosineScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = broadcast(Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("double").as("n")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(df, Seq("term")).crossJoin(nDocs)
+      .select($"doc_id", $"term",
+        ($"tf" * (log(($"n" + 1) / ($"df" + 1)) + 1)).as("w"))
+      .transform(graft.Pins.ambient)
+    val norms = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    val qv = broadcast(w.filter($"doc_id" === 0)
+      .select($"term", $"w".as("qw")))
+    val qn = broadcast(norms.filter($"doc_id" === 0).select($"nrm".as("qnrm")))
+    w.filter($"doc_id" =!= 0)
+      .join(qv, Seq("term"))
+      .groupBy($"doc_id").agg(sum($"w" * $"qw").as("dot"))
+      .join(norms, Seq("doc_id")).crossJoin(qn)
+      .select($"doc_id", round($"dot" / ($"nrm" * $"qnrm"), 4).as("sim"))
+  }
 
   /** Conservative planning estimate of the eval-gram broadcast size:
     * one gram per token (~50/doc on this corpus; production pipelines
@@ -284,5 +370,57 @@ object Retrieval extends QueryModule {
          |SELECT doc_id, COUNT(*) AS n_hits
          |FROM tr JOIN ev USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Both rankers' full CTE chains (the q_bm25 and q_sparse_cosine
+    // twins verbatim, b*/c*-prefixed), each top-RrfDepth'd and
+    // ranked, then fused.
+    "q_rrf_fusion" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |dl AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dl),
+         |btf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |        FROM t WHERE term IN $termList GROUP BY doc_id, dl, term),
+         |bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM btf GROUP BY term),
+         |bscore AS (
+         |  SELECT doc_id, ROUND(SUM(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))), 4) AS bm25
+         |  FROM btf JOIN bdf USING (term), stats GROUP BY doc_id),
+         |btop AS (SELECT doc_id, bm25 FROM bscore
+         |         ORDER BY bm25 DESC, doc_id LIMIT $RrfDepth),
+         |brank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |            (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_bm25
+         |          FROM btop),
+         |ctf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |        FROM t GROUP BY doc_id, term),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |cdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ctf GROUP BY term),
+         |w AS (
+         |  SELECT doc_id, term, tf * (ln((n + 1) / (df + 1)) + 1) AS w
+         |  FROM ctf JOIN cdf USING (term) CROSS JOIN nd),
+         |norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+         |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT w.doc_id, SUM(w.w * qv.qw) AS dot
+         |  FROM w JOIN qv USING (term) WHERE w.doc_id <> 0 GROUP BY w.doc_id),
+         |cscore AS (
+         |  SELECT dd.doc_id, ROUND(dd.dot / (norms.nrm * qn.qnrm), 4) AS sim
+         |  FROM dots dd JOIN norms ON dd.doc_id = norms.doc_id CROSS JOIN qn),
+         |ctop AS (SELECT doc_id, sim FROM cscore
+         |         ORDER BY sim DESC, doc_id LIMIT $RrfDepth),
+         |crank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |            (ORDER BY sim DESC, doc_id) AS INT) AS rank_cos
+         |          FROM ctop)
+         |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |  COALESCE(b.rank_bm25, 0) AS rank_bm25,
+         |  COALESCE(c.rank_cos, 0) AS rank_cos,
+         |  ROUND(COALESCE(1.0 / ($RrfK + b.rank_bm25), 0.0)
+         |    + COALESCE(1.0 / ($RrfK + c.rank_cos), 0.0), 6) AS rrf
+         |FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin,
   )
 }

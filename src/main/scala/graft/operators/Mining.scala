@@ -342,6 +342,35 @@ object Mining extends QueryModule {
           Tables.customer(s, dir), "c_custkey"))
         .orderBy($"relation")
     }),
+
+    // [EXT r13] Entity consolidation — the step AFTER
+    // q_fuzzy_block_join that makes it entity resolution: the matched
+    // name pairs form a graph whose CONNECTED COMPONENTS are the
+    // entities (A~B and B~C put A,C in one entity even when their
+    // direct distance exceeds the threshold — transitive merge, the
+    // standard ER clustering rule). Names map to stable integer node
+    // ids (min p_partkey per name — a names-bounded aggregate), the
+    // components come from the same large-star/small-star alternation
+    // as q_dedup_groups (O(log n) checkpoint-truncated rounds, fully
+    // distributed), and the report is one bounded aggregate per
+    // entity: member count + lexicographic-min canonical name (the
+    // survivorship pick). Singleton names never enter (only matched
+    // pairs carry edges) — the q_dedup_groups rule.
+    "q_er_entities" -> ((s, dir) => {
+      import s.implicits._
+      val parts = Tables.part(s, dir)
+      val ids = parts.groupBy($"p_name").agg(min($"p_partkey").as("nid"))
+      val edges = fuzzyCandidates(parts)
+        .filter(levenshtein($"n1", $"n2") <= FuzzyMaxDist)
+        .join(ids.select($"p_name".as("n1"), $"nid".as("src")), Seq("n1"))
+        .join(ids.select($"p_name".as("n2"), $"nid".as("dst")), Seq("n2"))
+        .select($"src", $"dst")
+      graft.functions.Dedup.connectedComponents(edges)
+        .join(ids.select($"nid".as("id"), $"p_name"), Seq("id"))
+        .groupBy($"label".as("entity_id"))
+        .agg(count(lit(1)).as("n_names"), min($"p_name").as("canonical_name"))
+        .orderBy($"entity_id")
+    }),
   )
 
   /** Candidate pairs of `q_fuzzy_block_join`'s two-key blocking
@@ -527,5 +556,35 @@ object Mining extends QueryModule {
          |  GROUP BY t.l_partkey)
          |SELECT l_partkey, n_exact, n_est, n_est - n_exact AS overcount
          |FROM est ORDER BY n_exact DESC, l_partkey ASC""".stripMargin,
+    // Entity components as a reachability fixpoint — the
+    // q_dedup_groups recursive-CTE pattern over the fuzzy-matched
+    // name graph (blocking is a candidate-generation optimization;
+    // the matched PAIR set, and hence the components, are exactly
+    // the block-equal dist≤d pairs this twin spells).
+    "q_er_entities" ->
+      s"""WITH RECURSIVE names AS (
+         |  SELECT DISTINCT p_name,
+         |    string_split(p_name, ' ')[-1] AS block
+         |  FROM part),
+         |ids AS (SELECT p_name, MIN(p_partkey) AS nid FROM part
+         |        GROUP BY p_name),
+         |pr AS (
+         |  SELECT ia.nid AS a, ib.nid AS b
+         |  FROM names x JOIN names y
+         |    ON x.block = y.block AND x.p_name < y.p_name
+         |  JOIN ids ia ON ia.p_name = x.p_name
+         |  JOIN ids ib ON ib.p_name = y.p_name
+         |  WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist),
+         |ed AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+         |nodes AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, label) AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM ed e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+         |SELECT comp.label AS entity_id, COUNT(*) AS n_names,
+         |  MIN(i.p_name) AS canonical_name
+         |FROM comp JOIN ids i ON i.nid = comp.id
+         |GROUP BY comp.label ORDER BY entity_id""".stripMargin,
   )
 }

@@ -401,6 +401,71 @@ object Stats extends QueryModule {
             / ($"sc".cast("double") * $"sc".cast("double")), 6).as("hhi"))
         .orderBy($"n_name")
     }),
+
+    // [EXT r13] CUPED variance-reduced experiment readout (Deng et
+    // al., WSDM 2013): the pre-period purchase spend of each user is
+    // the covariate X, the experiment-period spend the metric Y, and
+    // the adjusted metric Y − θ(X − X̄) with θ = cov(X,Y)/var(X)
+    // removes the variance X explains — the de-noising every mature
+    // A/B platform applies before the q_ab_lift z-test. The variant
+    // split is q_ab_lift's deterministic user_id mod 2; the
+    // pre/post boundary is q_psi's mid-month day. EVERYTHING derives
+    // from one per-user cents aggregate and ONE global sum row —
+    // the adjusted group means are mean(Y_v) − θ(mean(X_v) − X̄),
+    // so no per-row adjusted column is ever materialized, and the
+    // variance reduction is exactly ρ²(X,Y) — both from the same
+    // eleven exact sums (cents in long, cross-products in
+    // decimal(38,0), the q_trend_fit guard). θ rounds at 6 dp
+    // BEFORE the adjusted means are formed (the q_trend_fit
+    // intercept-from-rounded-slope rule) so both engines subtract
+    // identical inputs; NULLIF guards the zero-variance corner.
+    "q_cuped" -> ((s, dir) => {
+      import s.implicits._
+      val cents = round($"value" * 100).cast("long")
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "purchase" && dayofmonth($"ts") <= 15,
+            cents).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase" && dayofmonth($"ts") > 15,
+            cents).otherwise(0L)).as("y"))
+        .withColumn("v", pmod($"user_id", lit(2)))
+      perUser.agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+          sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
+          sum(when($"v" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"v" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"v" === 0, $"x").otherwise(0L)).as("sxa"),
+          sum(when($"v" === 1, $"x").otherwise(0L)).as("sxb"),
+          sum(when($"v" === 0, $"y").otherwise(0L)).as("sya"),
+          sum(when($"v" === 1, $"y").otherwise(0L)).as("syb"))
+        .withColumn("theta", round(
+          ($"n".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double"))
+          / nullif($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"), lit(0.0)), 6))
+        .withColumn("mx", $"sx".cast("double") / $"n")
+        .withColumn("adj_a", ($"sya".cast("double") / $"n_a"
+          - $"theta" * ($"sxa".cast("double") / $"n_a" - $"mx")) / 100)
+        .withColumn("adj_b", ($"syb".cast("double") / $"n_b"
+          - $"theta" * ($"sxb".cast("double") / $"n_b" - $"mx")) / 100)
+        .select($"n_a", $"n_b", $"theta",
+          round($"syb".cast("double") / $"n_b" / 100
+            - $"sya".cast("double") / $"n_a" / 100, 4).as("raw_diff"),
+          round($"adj_b" - $"adj_a", 4).as("adj_diff"),
+          round(($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            * ($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / nullif(($"n".cast("double") * $"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double"))
+              * ($"n".cast("double") * $"syy".cast("double")
+                - $"sy".cast("double") * $"sy".cast("double")), lit(0.0)), 6)
+            .as("var_reduction"))
+    }),
   )
 
   /** The per-replica bootstrap means `(b, m)` — split out so the spec
@@ -704,5 +769,57 @@ object Stats extends QueryModule {
         |    / (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS hhi
         |FROM bynat JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY n_name""".stripMargin,
+    "q_cuped" ->
+      """WITH peruser AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+        |      THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+        |      THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS y,
+        |    user_id % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |    CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+        |    CAST(SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |    CAST(SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+        |  FROM peruser),
+        |th AS (
+        |  SELECT *,
+        |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+        |      AS theta,
+        |    CAST(sx AS DOUBLE) / n AS mx
+        |  FROM agg),
+        |adj AS (
+        |  SELECT *,
+        |    (CAST(sya AS DOUBLE) / n_a
+        |      - theta * (CAST(sxa AS DOUBLE) / n_a - mx)) / 100 AS adj_a,
+        |    (CAST(syb AS DOUBLE) / n_b
+        |      - theta * (CAST(sxb AS DOUBLE) / n_b - mx)) / 100 AS adj_b
+        |  FROM th)
+        |SELECT n_a, n_b, theta,
+        |  ROUND(CAST(syb AS DOUBLE) / n_b / 100
+        |    - CAST(sya AS DOUBLE) / n_a / 100, 4) AS raw_diff,
+        |  ROUND(adj_b - adj_a, 4) AS adj_diff,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)
+        |    AS var_reduction
+        |FROM adj""".stripMargin,
   )
 }

@@ -271,7 +271,104 @@ object TimeSeries extends QueryModule {
           round($"surviving".cast("double") / $"nn", 6).as("survival"))
         .orderBy($"age_days")
     }),
+
+    // [EXT r13] Theil–Sen robust trend per event type: the slope is
+    // the MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over the
+    // daily-count series — the estimator that shrugs off the outlier
+    // days that drag q_trend_fit's OLS line (29.3% breakdown point,
+    // Sen 1968). The pair join is |days|²-bounded PER TYPE (the
+    // q_ewma_control bounded-meta product — calendar², never event
+    // volume), and the median select runs a row_number over that same
+    // bounded table. Each slope is ONE IEEE division of exact
+    // integers (identical in both engines); the median averages the
+    // one or two middle slopes by position, so ties in slope value
+    // cannot change the selected VALUES; rounding only at the end.
+    "q_theil_sen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select($"event_type", unix_date($"d").cast("long").as("x"),
+          $"n".as("y"))
+      val slopes = daily.as("a")
+        .join(daily.as("b"),
+          $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
+        .select($"a.event_type".as("event_type"),
+          (($"b.y" - $"a.y").cast("double") / ($"b.x" - $"a.x")).as("slope"))
+      val byType = Window.partitionBy($"event_type")
+      val nDays = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+      slopes
+        .withColumn("m", count(lit(1)).over(byType))
+        .withColumn("rn", row_number().over(byType.orderBy($"slope")))
+        // Column `/` is DOUBLE division — floor() recovers the integer
+        // median positions ⌊(m+1)/2⌋ and ⌊m/2⌋+1 (equal when m is odd).
+        .filter($"rn" === floor(($"m" + 1) / 2) ||
+          $"rn" === floor($"m" / 2) + 1)
+        .groupBy($"event_type")
+        .agg(max($"m").as("n_pairs"), round(avg($"slope"), 6).as("ts_slope"))
+        .join(broadcast(nDays), Seq("event_type"))
+        .select($"event_type", $"n_days", $"n_pairs", $"ts_slope")
+        .orderBy($"event_type")
+    }),
+
+    // [EXT r13] Lead–lag cross-correlation: for every ORDERED pair of
+    // event types, the lag k ∈ [0, XcorrMaxLag] maximizing the
+    // Pearson correlation between series A's day-t count and series
+    // B's day-(t+k) count — "does A lead B, and by how much", the
+    // cross-series companion of q_autocorr's self-lag. The probe side
+    // replicates the |days|·|types| daily table over XcorrMaxLag+1
+    // lags (a broadcast of a 1-column literal frame), the join is a
+    // shifted-day equi-join of two bounded aggregates, and the five
+    // Pearson sums accumulate in decimal(38,0) (the q_trend_fit
+    // guard). The argmax compares 6-dp-ROUNDED r (the q_argmax
+    // rounded-boundary contract) with NULLS LAST pinned on both
+    // engines (a zero-variance overlap nulls r via the NULLIF guard
+    // instead of erroring).
+    "q_xcorr" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select($"event_type", unix_date($"d").cast("long").as("x"),
+          $"n".as("y"))
+      val lags = (0 to XcorrMaxLag).toDF("lag")
+      val probe = daily
+        .select($"event_type".as("ta"), $"x", $"y".as("ya"))
+        .crossJoin(broadcast(lags))
+        .withColumn("xb", $"x" + $"lag")
+      val corr = probe
+        .join(daily.select($"event_type".as("tb"), $"x".as("xb"),
+          $"y".as("yb")), Seq("xb"))
+        .filter($"ta" =!= $"tb")
+        .groupBy($"ta", $"tb", $"lag")
+        .agg(count(lit(1)).as("n"),
+          sum($"ya").as("sa"), sum($"yb").as("sb"),
+          sum($"ya".cast("decimal(38,0)") * $"yb").as("sab"),
+          sum($"ya".cast("decimal(38,0)") * $"ya").as("saa"),
+          sum($"yb".cast("decimal(38,0)") * $"yb").as("sbb"))
+        .withColumn("r", round(
+          ($"n".cast("double") * $"sab".cast("double")
+            - $"sa".cast("double") * $"sb".cast("double"))
+          / nullif(sqrt(
+              ($"n".cast("double") * $"saa".cast("double")
+                - $"sa".cast("double") * $"sa".cast("double"))
+              * ($"n".cast("double") * $"sbb".cast("double")
+                - $"sb".cast("double") * $"sb".cast("double"))),
+            lit(0.0)), 6))
+      corr
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"ta", $"tb")
+            .orderBy(abs($"r").desc_nulls_last, $"lag".asc)))
+        .filter($"rk" === 1)
+        .select($"ta", $"tb", $"lag".as("best_lag"), $"n".as("n_days"), $"r")
+        .orderBy($"ta", $"tb")
+    }),
   )
+
+  /** Maximum lead–lag offset probed by q_xcorr, in days (one week —
+    * the same horizon as [[AutocorrLagDays]]).
+    */
+  val XcorrMaxLag = 7
 
   override def oracles: Map[String, String] = Map(
     "q_psi" ->
@@ -425,5 +522,67 @@ object TimeSeries extends QueryModule {
         |    / nn, 6) AS survival
         |FROM hist CROSS JOIN tot
         |ORDER BY age_days""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily
+        |       GROUP BY event_type),
+        |slopes AS (
+        |  SELECT a.event_type, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn
+        |  FROM slopes),
+        |med AS (
+        |  SELECT event_type, MAX(m) AS n_pairs,
+        |    ROUND(AVG(slope), 6) AS ts_slope
+        |  FROM ranked
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |  GROUP BY event_type)
+        |SELECT med.event_type, nd.n_days, med.n_pairs, med.ts_slope
+        |FROM med JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_xcorr" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS x,
+         |    COUNT(*) AS y
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |lags AS (SELECT unnest(range($XcorrMaxLag + 1)) AS lag),
+         |corr AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+         |    COUNT(*) AS n,
+         |    CAST(SUM(a.y) AS BIGINT) AS sa, CAST(SUM(b.y) AS BIGINT) AS sb,
+         |    SUM(CAST(a.y AS HUGEINT) * b.y) AS sab,
+         |    SUM(CAST(a.y AS HUGEINT) * a.y) AS saa,
+         |    SUM(CAST(b.y AS HUGEINT) * b.y) AS sbb
+         |  FROM daily a CROSS JOIN lags l
+         |  JOIN daily b ON b.x = a.x + l.lag AND a.event_type <> b.event_type
+         |  GROUP BY 1, 2, 3),
+         |rr AS (
+         |  SELECT ta, tb, lag, n,
+         |    ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+         |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         |      / NULLIF(SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+         |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+         |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0.0), 6)
+         |      AS r
+         |  FROM corr),
+         |pick AS (
+         |  SELECT ta, tb, lag, n, r,
+         |    ROW_NUMBER() OVER (PARTITION BY ta, tb
+         |      ORDER BY ABS(r) DESC NULLS LAST, lag ASC) AS rk
+         |  FROM rr)
+         |SELECT ta, tb, CAST(lag AS INT) AS best_lag, n AS n_days, r
+         |FROM pick WHERE rk = 1 ORDER BY ta, tb""".stripMargin,
   )
 }

@@ -265,4 +265,36 @@ class CurationSpec extends SparkSpec {
       "interval union over-counted past the token count")
     assert(out.filter($"coverage" < 0 || $"coverage" > 1).isEmpty)
   }
+
+  test("q_source_kl: Gibbs nonnegativity and a driver-side replay per source") {
+    import spark.implicits._
+    val rows = run("q_source_kl").collect()
+    assert(rows.length === Tables.documents(spark, sf)
+      .select($"source").distinct().count().toInt)
+    // KL(P‖Q) ≥ 0 with equality iff P = Q (Gibbs' inequality) — a
+    // negative row means the twin-shared formula is not a KL at all.
+    assert(rows.forall(_.getAs[Double]("kl") >= 0.0),
+      "negative KL divergence")
+    // Driver replay from raw token counts, every source.
+    val toks = Tables.documents(spark, sf)
+      .select($"source", explode(Text.tokens(lower($"text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nc = toks.length.toDouble
+    val cc = toks.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val bySrc = toks.groupBy(_._1)
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("kl")))).toMap
+    bySrc.foreach { case (src, ts) =>
+      val ns = ts.length.toDouble
+      val cs = ts.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val kl = BigDecimal(cs.toSeq.sortBy(_._1).map { case (t, c) =>
+        (c / ns) * math.log((c * nc) / (ns * cc(t)))
+      }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gt, gk) = got(src)
+      assert(gn === ns.toLong && gt === cs.size.toLong, src)
+      assert(math.abs(gk - kl) <= 1e-6,
+        s"$src: kl $gk != replay $kl (sum-order tolerance exceeded)")
+    }
+  }
 }

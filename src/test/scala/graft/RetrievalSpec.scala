@@ -206,4 +206,30 @@ class RetrievalSpec extends SparkSpec {
     assert(flagged.length < total / 10,
       s"${flagged.length} of $total events flagged — threshold not selective")
   }
+
+  test("q_rrf_fusion equals a driver-side fusion of the two rankers' score lists") {
+    import spark.implicits._
+    val bm = graft.Pins.scoped(_ => Retrieval.bm25Scored(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val cos = graft.Pins.scoped(_ => Retrieval.sparseCosineScored(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    def ranks(scored: Array[(Long, Double)]): Map[Long, Int] =
+      scored.sortBy { case (id, s) => (-s, id) }.take(Retrieval.RrfDepth)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val (ra, rb) = (ranks(bm), ranks(cos))
+    val fused = (ra.keySet ++ rb.keySet).toSeq.map { id =>
+      val rrf = BigDecimal(
+        ra.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+          + rb.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ra.getOrElse(id, 0), rb.getOrElse(id, 0), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(Retrieval.RrfTopK)
+    val got = run("q_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got === fused)
+    // A doc in BOTH top lists must outrank one at the same single-list
+    // position alone — the fusion property the operator exists for.
+    val both = got.filter(t => t._2 > 0 && t._3 > 0)
+    assert(both.nonEmpty, "no doc appears in both rankers' top lists")
+  }
 }

@@ -676,4 +676,139 @@ class StatsMiningSpec extends SparkSpec {
         (child.length.toLong, child.count(k => !parents(k)).toLong), rel)
     }
   }
+
+  test("q_cuped matches a driver-side recomputation from per-user sums") {
+    import spark.implicits._
+    val row = run("q_cuped").collect().head
+    val users = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(
+        sum(when(dayofmonth($"ts") <= 15, round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("x"),
+        sum(when(dayofmonth($"ts") > 15, round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // The query aggregates over ALL users (non-purchasers contribute
+    // (0,0) rows); rebuild that frame from the full user domain.
+    val allUsers = Tables.events(spark, sf).select($"user_id").distinct()
+      .collect().map(_.getLong(0))
+    val xy = {
+      val m = users.map(t => t._1 -> (t._2, t._3)).toMap
+      allUsers.map(u => (u, m.getOrElse(u, (0L, 0L))))
+    }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._2._1).sum.toDouble
+    val sy = xy.map(_._2._2).sum.toDouble
+    val sxy = xy.map(t => BigInt(t._2._1) * t._2._2).sum.toDouble
+    val sxx = xy.map(t => BigInt(t._2._1) * t._2._1).sum.toDouble
+    val syy = xy.map(t => BigInt(t._2._2) * t._2._2).sum.toDouble
+    val theta = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("theta") === theta)
+    val byV = xy.groupBy(_._1 % 2)
+    def means(v: Long) = {
+      val g = byV(v)
+      (g.map(_._2._1).sum.toDouble / g.length,
+        g.map(_._2._2).sum.toDouble / g.length, g.length.toLong)
+    }
+    val (mxa, mya, na) = means(0L); val (mxb, myb, nb) = means(1L)
+    assert(row.getAs[Long]("n_a") === na && row.getAs[Long]("n_b") === nb)
+    val mx = sx / n
+    val adjDiff = BigDecimal(
+      (myb - theta * (mxb - mx)) / 100 - (mya - theta * (mxa - mx)) / 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("adj_diff") === adjDiff)
+    val vr = row.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0, s"ρ² out of [0,1]: $vr")
+  }
+
+  test("q_theil_sen matches a driver-side median-of-pairwise-slopes") {
+    import spark.implicits._
+    val got = run("q_theil_sen").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("ts_slope"))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_date($"d").cast("long"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1))
+        .sorted
+      val m = slopes.length
+      val med = if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2
+      val expect = BigDecimal(med)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(et) === ((m.toLong, expect)), s"event_type $et")
+    }
+  }
+
+  test("q_xcorr reports the argmax lag over a driver-side Pearson sweep") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_date($"d").cast("long"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def pearson(a: Map[Long, Long], b: Map[Long, Long], lag: Int): Option[Double] = {
+      val pts = a.keys.toSeq.sorted.flatMap(x => b.get(x + lag).map(a(x) -> _))
+      val n = pts.length.toDouble
+      if (pts.isEmpty) None else {
+        val sa = pts.map(_._1).sum.toDouble; val sb = pts.map(_._2).sum.toDouble
+        val sab = pts.map(t => t._1 * t._2).sum.toDouble
+        val saa = pts.map(t => t._1 * t._1).sum.toDouble
+        val sbb = pts.map(t => t._2 * t._2).sum.toDouble
+        val den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        if (den == 0.0) None
+        else Some(BigDecimal((n * sab - sa * sb) / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val rows = run("q_xcorr").collect()
+    assert(rows.length === 20, "5 types → 20 ordered pairs")
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val sweep = (0 to operators.TimeSeries.XcorrMaxLag)
+        .map(l => l -> pearson(daily(ta), daily(tb), l))
+      val best = sweep.filter(_._2.isDefined)
+        .maxBy { case (l, or) => (math.abs(or.get), -l) }
+      assert(r.getAs[Int]("best_lag") === best._1, s"$ta->$tb lag")
+      assert(r.getAs[Double]("r") === best._2.get, s"$ta->$tb r")
+    }
+  }
+
+  test("q_er_entities matches a driver-side union-find over the matched pairs") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf)
+    val ids = parts.groupBy($"p_name").agg(min($"p_partkey").as("nid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = Mining.fuzzyCandidates(parts)
+      .filter(levenshtein($"n1", $"n2") <= Mining.FuzzyMaxDist)
+      .select($"n1", $"n2").distinct()
+      .collect().map(r => ids(r.getString(0)) -> ids(r.getString(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nameOf = ids.map(_.swap)
+    val entities = parent.keys.toSeq.map(x => find(x) -> x)
+      .groupBy(_._1).view
+      .mapValues(ms => (ms.length.toLong, ms.map(m => nameOf(m._2)).min))
+      .toMap
+    val got = run("q_er_entities").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === entities,
+      s"components differ: got ${got.size}, union-find ${entities.size}")
+  }
 }
