@@ -426,7 +426,58 @@ object Curation extends QueryModule {
             .as("coverage"))
         .orderBy($"doc_id")
     }),
+
+    // [EXT r13] Distinctive terms per source — weighted log-odds with
+    // an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    // "Fightin' Words"), the statistic that answers "what vocabulary
+    // makes this source different from the rest" without the raw-
+    // log-odds failure (rare terms dominate) or the TF-IDF failure
+    // (frequency conflated with distinctiveness): each term's prior
+    // α_t = α0·c_t/n is its CORPUS rate, the log-odds contrast is
+    // source vs rest-of-corpus, and the z-score divides by the
+    // estimator's variance ≈ 1/(y_s+α_t) + 1/(y_r+α_t) — the top-z
+    // terms per source are its signature. Next to q_source_kl (one
+    // number per source) this is the per-TERM attribution. Shape: the
+    // same pinned tokenize, two vocabulary-bounded aggregates, the
+    // |sources|-row and 1-row totals broadcast back, two ln calls per
+    // (source, term); z rounds at 4 dp BEFORE the per-source top-
+    // [[LogOddsTopK]] rank (term tiebreak — the rounded-boundary
+    // contract), which Catalyst runs as WindowGroupLimit over the
+    // vocabulary-bounded frame.
+    "q_log_odds" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      val terms = Tables.documents(s, dir)
+        .select($"source", explode(Text.tokens(lower($"text"))).as("term"))
+        .transform(graft.Pins.ambient)
+      val st = terms.groupBy($"source", $"term").agg(count(lit(1)).as("ys"))
+        .transform(graft.Pins.ambient)
+      val ct = st.groupBy($"term").agg(sum($"ys").cast("long").as("yc"))
+      val stot = broadcast(st.groupBy($"source").agg(sum($"ys").cast("long").as("ns")))
+      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+      val a0 = lit(LogOddsPrior)
+      val scored = st.join(ct, Seq("term"))
+        .join(stot, Seq("source"))
+        .crossJoin(tot)
+        .withColumn("at", a0 * $"yc" / $"n")
+        .withColumn("yr", ($"yc" - $"ys").cast("double"))
+        .withColumn("nr", ($"n" - $"ns").cast("double"))
+        .withColumn("delta",
+          log(($"ys" + $"at") / ($"ns" + a0 - $"ys" - $"at"))
+            - log(($"yr" + $"at") / ($"nr" + a0 - $"yr" - $"at")))
+        .withColumn("z", round($"delta"
+          / sqrt(lit(1.0) / ($"ys" + $"at") + lit(1.0) / ($"yr" + $"at")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"z".desc, $"term".asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= LogOddsTopK)
+        .select($"source", $"rk", $"term", $"ys".as("n_src"), $"z")
+        .orderBy($"source", $"rk")
+    }),
   )
+
+  /** q_log_odds Dirichlet prior mass (α0) and per-source report size. */
+  val LogOddsPrior = 100.0
+  val LogOddsTopK = 5
 
   /** The budget cut over [[graft.operators.PrefixScan.scan]]: chunked
     * exclusive running token count in (n_chars desc, doc_id) order
@@ -592,6 +643,39 @@ object Curation extends QueryModule {
          |FROM st JOIN ct USING (term) JOIN stot USING (source)
          |CROSS JOIN tot
          |GROUP BY st.source ORDER BY kl DESC, source ASC""".stripMargin,
+    "q_log_odds" ->
+      s"""WITH terms AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(lower(text), '${Text.Ws}+'),
+         |    t -> length(t) > 0)) AS term
+         |  FROM documents),
+         |st AS (SELECT source, term, COUNT(*) AS ys FROM terms
+         |       GROUP BY source, term),
+         |ct AS (SELECT term, CAST(SUM(ys) AS BIGINT) AS yc FROM st
+         |       GROUP BY term),
+         |stot AS (SELECT source, CAST(SUM(ys) AS BIGINT) AS ns FROM st
+         |         GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS n FROM terms),
+         |prep AS (
+         |  SELECT st.source, st.term, st.ys, stot.ns, tot.n,
+         |    $LogOddsPrior * ct.yc / tot.n AS at,
+         |    CAST(ct.yc - st.ys AS DOUBLE) AS yr,
+         |    CAST(tot.n - stot.ns AS DOUBLE) AS nr
+         |  FROM st JOIN ct USING (term) JOIN stot USING (source)
+         |  CROSS JOIN tot),
+         |sc AS (
+         |  SELECT source, term, ys,
+         |    ROUND((ln((ys + at) / (ns + $LogOddsPrior - ys - at))
+         |         - ln((yr + at) / (nr + $LogOddsPrior - yr - at)))
+         |      / SQRT(1.0 / (ys + at) + 1.0 / (yr + at)), 4) AS z
+         |  FROM prep)
+         |SELECT source, CAST(rk AS INT) AS rk, term, ys AS n_src, z
+         |FROM (SELECT source, term, ys, z,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY z DESC, term) AS rk
+         |      FROM sc)
+         |WHERE rk <= $LogOddsTopK
+         |ORDER BY source, rk""".stripMargin,
     "q_unigram_lm" ->
       s"""WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -465,6 +465,31 @@ object Dedup extends QueryModule {
         .orderBy($"sim".desc, $"id_a", $"id_b")
         .limit(100)
     }),
+
+    // [EXT r13] Per-source exact-duplicate rate — the dedup PLANNING
+    // report: before running the q_dedup_survivor pipeline over 100 TB,
+    // this says which sources even need it and what the corpus shrinks
+    // to ("source X is 40% redundant" is the number that justifies the
+    // job). Within-source grouping on the 16-byte [[Text.fingerprint]]
+    // (cross-source overlap is q_contamination's shape): the shuffle
+    // moves (source, fingerprint) pairs, never documents, then a
+    // second |sources|-bounded aggregate — redundant = docs − distinct
+    // fingerprints, all exact integers, one division at the end.
+    "q_dup_rate" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source", Text.fingerprint($"text").as("fp"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"source")
+        .agg(sum($"cnt").cast("long").as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          count(when($"cnt" > 1, lit(1))).as("n_dup_groups"))
+        .select($"source", $"n_docs", $"n_unique", $"n_dup_groups",
+          ($"n_docs" - $"n_unique").as("n_redundant"),
+          round(($"n_docs" - $"n_unique") / $"n_docs".cast("double"), 4)
+            .as("redundancy"))
+        .orderBy($"redundancy".desc, $"source".asc)
+    }),
   )
 
   /** Band-bucket rows: one (id, bucket) row per band, bucket = hash of
@@ -1073,6 +1098,20 @@ object Dedup extends QueryModule {
         |FROM documents
         |GROUP BY ${Text.fingerprintSql("text")}
         |ORDER BY keep_id""".stripMargin,
+    "q_dup_rate" ->
+      s"""WITH g AS (
+         |  SELECT source, ${Text.fingerprintSql("text")} AS fp,
+         |    COUNT(*) AS cnt
+         |  FROM documents GROUP BY source, fp),
+         |r AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |    COUNT(*) AS n_unique,
+         |    COUNT(*) FILTER (WHERE cnt > 1) AS n_dup_groups
+         |  FROM g GROUP BY source)
+         |SELECT source, n_docs, n_unique, n_dup_groups,
+         |  n_docs - n_unique AS n_redundant,
+         |  ROUND((n_docs - n_unique) / CAST(n_docs AS DOUBLE), 4) AS redundancy
+         |FROM r ORDER BY redundancy DESC, source ASC""".stripMargin,
     "q_distinct_pairs" ->
       """SELECT DISTINCT lang, source FROM documents
         |ORDER BY lang, source""".stripMargin,

@@ -153,7 +153,53 @@ object Retrieval extends QueryModule {
         .orderBy($"rrf".desc, $"doc_id".asc)
         .limit(RrfTopK)
     }),
+
+    // [EXT r13] Ranker agreement report — the diagnostic run BEFORE
+    // deciding a fusion is worth shipping: how much do the lexical
+    // rankers (BM25, sparse TF-IDF cosine) actually agree at depth
+    // 10/25/50? High overlap means fusion adds nothing; low overlap
+    // means the rankers see different relevance signals and RRF has
+    // something to merge (the complementarity argument of the hybrid-
+    // retrieval literature). Same plan scale-shape as q_rrf_fusion:
+    // each list arrives by TakeOrdered (the rank window runs over
+    // ≤[[RrfDepth]] rows, never the corpus), the comparison is a full
+    // outer join of two tiny lists crossed with a 3-row depth frame —
+    // everything after the shared scoring pipelines is constant-size.
+    // Absence is encoded as rank MAXINT so `rank <= depth` IS the
+    // membership test; overlap is exact integer counts, Jaccard =
+    // common/union rounded at 4 dp (one exact division).
+    "q_rank_overlap" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      def ranked(scored: DataFrame, score: String, rankAs: String) = {
+        val top = scored.orderBy(col(score).desc, $"doc_id".asc)
+          .limit(RrfDepth)
+        top.withColumn(rankAs, row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+              .orderBy(col(score).desc, $"doc_id".asc)))
+          .select($"doc_id", col(rankAs))
+      }
+      val ra = ranked(bm25Scored(s, dir), "bm25", "ra")
+      val rb = ranked(sparseCosineScored(s, dir), "sim", "rb")
+      val depths = broadcast(OverlapDepths.toDF("depth"))
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select(coalesce($"ra", lit(Int.MaxValue)).as("ra"),
+          coalesce($"rb", lit(Int.MaxValue)).as("rb"))
+        .crossJoin(depths)
+        .groupBy($"depth")
+        .agg(count(when($"ra" <= $"depth", lit(1))).as("n_bm25"),
+          count(when($"rb" <= $"depth", lit(1))).as("n_cos"),
+          count(when($"ra" <= $"depth" && $"rb" <= $"depth", lit(1)))
+            .as("n_common"))
+        .select($"depth", $"n_bm25", $"n_cos", $"n_common",
+          round($"n_common" / nullif(
+            ($"n_bm25" + $"n_cos" - $"n_common").cast("double"), lit(0.0)),
+            4).as("jaccard"))
+        .orderBy($"depth")
+    }),
   )
+
+  /** Depths at which q_rank_overlap compares the two rank lists. */
+  val OverlapDepths: Seq[Int] = Seq(10, 25, 50)
 
   /** RRF smoothing constant (the k=60 of the original paper). */
   val RrfK = 60
@@ -374,47 +420,7 @@ object Retrieval extends QueryModule {
     // twins verbatim, b*/c*-prefixed), each top-RrfDepth'd and
     // ranked, then fused.
     "q_rrf_fusion" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0) AS tk
-         |  FROM documents),
-         |dl AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM d),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-         |t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dl),
-         |btf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
-         |        FROM t WHERE term IN $termList GROUP BY doc_id, dl, term),
-         |bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM btf GROUP BY term),
-         |bscore AS (
-         |  SELECT doc_id, ROUND(SUM(
-         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))), 4) AS bm25
-         |  FROM btf JOIN bdf USING (term), stats GROUP BY doc_id),
-         |btop AS (SELECT doc_id, bm25 FROM bscore
-         |         ORDER BY bm25 DESC, doc_id LIMIT $RrfDepth),
-         |brank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
-         |            (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_bm25
-         |          FROM btop),
-         |ctf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-         |        FROM t GROUP BY doc_id, term),
-         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-         |cdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ctf GROUP BY term),
-         |w AS (
-         |  SELECT doc_id, term, tf * (ln((n + 1) / (df + 1)) + 1) AS w
-         |  FROM ctf JOIN cdf USING (term) CROSS JOIN nd),
-         |norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
-         |qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
-         |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
-         |dots AS (
-         |  SELECT w.doc_id, SUM(w.w * qv.qw) AS dot
-         |  FROM w JOIN qv USING (term) WHERE w.doc_id <> 0 GROUP BY w.doc_id),
-         |cscore AS (
-         |  SELECT dd.doc_id, ROUND(dd.dot / (norms.nrm * qn.qnrm), 4) AS sim
-         |  FROM dots dd JOIN norms ON dd.doc_id = norms.doc_id CROSS JOIN qn),
-         |ctop AS (SELECT doc_id, sim FROM cscore
-         |         ORDER BY sim DESC, doc_id LIMIT $RrfDepth),
-         |crank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
-         |            (ORDER BY sim DESC, doc_id) AS INT) AS rank_cos
-         |          FROM ctop)
+      s"""$rankerCtes
          |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
          |  COALESCE(b.rank_bm25, 0) AS rank_bm25,
          |  COALESCE(c.rank_cos, 0) AS rank_cos,
@@ -422,5 +428,75 @@ object Retrieval extends QueryModule {
          |    + COALESCE(1.0 / ($RrfK + c.rank_cos), 0.0), 6) AS rrf
          |FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin,
+    // The same two rank lists, compared instead of fused: absent-list
+    // membership encoded as rank MAXINT so a `<= depth` test is the
+    // membership test on both engines.
+    "q_rank_overlap" ->
+      s"""$rankerCtes,
+         |j AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |        COALESCE(b.rank_bm25, 2147483647) AS ra,
+         |        COALESCE(c.rank_cos, 2147483647) AS rb
+         |      FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id),
+         |dep(depth) AS (VALUES (10), (25), (50))
+         |SELECT depth,
+         |  COUNT(*) FILTER (WHERE ra <= depth) AS n_bm25,
+         |  COUNT(*) FILTER (WHERE rb <= depth) AS n_cos,
+         |  COUNT(*) FILTER (WHERE ra <= depth AND rb <= depth) AS n_common,
+         |  ROUND((COUNT(*) FILTER (WHERE ra <= depth AND rb <= depth))
+         |    / NULLIF(CAST(COUNT(*) FILTER (WHERE ra <= depth)
+         |        + COUNT(*) FILTER (WHERE rb <= depth)
+         |        - COUNT(*) FILTER (WHERE ra <= depth AND rb <= depth)
+         |        AS DOUBLE), 0.0), 4) AS jaccard
+         |FROM j CROSS JOIN dep
+         |GROUP BY depth ORDER BY depth""".stripMargin,
   )
+
+  /** The two lexical rankers' shared CTE chain (the q_bm25 and
+    * q_sparse_cosine twins verbatim, prefixed b/c per ranker), each
+    * list top-[[RrfDepth]]'d and rank-assigned — composed by the
+    * q_rrf_fusion (merge) and q_rank_overlap (compare) twins so the
+    * two evaluations can never read different rankings.
+    */
+  private lazy val rankerCtes: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |dl AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dl),
+       |btf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |        FROM t WHERE term IN $termList GROUP BY doc_id, dl, term),
+       |bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM btf GROUP BY term),
+       |bscore AS (
+       |  SELECT doc_id, ROUND(SUM(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))), 4) AS bm25
+       |  FROM btf JOIN bdf USING (term), stats GROUP BY doc_id),
+       |btop AS (SELECT doc_id, bm25 FROM bscore
+       |         ORDER BY bm25 DESC, doc_id LIMIT $RrfDepth),
+       |brank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |            (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_bm25
+       |          FROM btop),
+       |ctf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |        FROM t GROUP BY doc_id, term),
+       |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |cdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ctf GROUP BY term),
+       |w AS (
+       |  SELECT doc_id, term, tf * (ln((n + 1) / (df + 1)) + 1) AS w
+       |  FROM ctf JOIN cdf USING (term) CROSS JOIN nd),
+       |norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+       |qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+       |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+       |dots AS (
+       |  SELECT w.doc_id, SUM(w.w * qv.qw) AS dot
+       |  FROM w JOIN qv USING (term) WHERE w.doc_id <> 0 GROUP BY w.doc_id),
+       |cscore AS (
+       |  SELECT dd.doc_id, ROUND(dd.dot / (norms.nrm * qn.qnrm), 4) AS sim
+       |  FROM dots dd JOIN norms ON dd.doc_id = norms.doc_id CROSS JOIN qn),
+       |ctop AS (SELECT doc_id, sim FROM cscore
+       |         ORDER BY sim DESC, doc_id LIMIT $RrfDepth),
+       |crank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |            (ORDER BY sim DESC, doc_id) AS INT) AS rank_cos
+       |          FROM ctop)""".stripMargin
 }

@@ -495,7 +495,69 @@ object Text extends QueryModule {
         .select($"doc_id", call_function(graft.plans.RollingHash.FunctionName, $"s").as("rhash"))
         .orderBy($"doc_id")
     }),
+
+    // [EXT r13] Language-ID confusion matrix — the accuracy report of
+    // the q_lang_id heuristic against the labeled `lang` column: per
+    // (actual, guessed) cell, the count and its share of the actual
+    // language's row (recall when the guess matches). q_lang_id ships
+    // the per-doc guesses; this is the evaluation that says whether
+    // they can gate a mixture (a classifier you haven't scored against
+    // labels is a rumor). One groupBy on a ≤|langs|×3 key — the share
+    // window runs over that bounded aggregate, never the corpus.
+    "q_lang_confusion" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", langGuess($"text").as("lang_guess"))
+        .groupBy($"lang", $"lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share", round($"n" / sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang"))
+          .cast("double"), 4))
+        .orderBy($"lang", $"lang_guess")
+    }),
+
+    // [EXT r13] Packing-efficiency report — the utilization audit of
+    // the q_seq_pack assignment: per packed sequence the chunk tokens
+    // sum, then ONE global row: sequence count, token total, mean
+    // tokens per [[PackBudget]]-token sequence, utilization (a
+    // sequence's tokens can exceed the budget — the chunk that crosses
+    // the boundary closes it — so utilization is honest, not clamped),
+    // and the underfull share (< 80% of budget — each doc's LAST
+    // sequence is the padding the packer exists to amortize). This is
+    // the number that decides whether the chunk/budget geometry wastes
+    // accelerator hours. Shape: the q_seq_pack pipeline, one
+    // map-side-combined (doc, seq) aggregate, one 1-row global
+    // aggregate; exact integer sums, doubles only in the final ratios.
+    "q_pack_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"chunk_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val seqs = chunked(Tables.documents(s, dir))
+        .select($"doc_id", $"chunk_id", $"n_chunk_tokens")
+        .withColumn("cum_before",
+          coalesce(sum($"n_chunk_tokens").over(w), lit(0L)).cast("long"))
+        .withColumn("seq_id", floor($"cum_before" / PackBudget.toDouble).cast("int"))
+        .groupBy($"doc_id", $"seq_id")
+        .agg(sum($"n_chunk_tokens").cast("long").as("seq_tokens"))
+      seqs.agg(
+          count(lit(1)).as("n_seqs"),
+          sum($"seq_tokens").cast("long").as("n_tokens"),
+          count(when($"seq_tokens" < (PackBudget * 4 / 5), lit(1)))
+            .as("n_underfull"))
+        // nullif(0) guards the empty corpus: ANSI division by a zero
+        // sequence count must yield a NULL report row, not an error.
+        .select($"n_seqs", $"n_tokens", $"n_underfull",
+          round($"n_tokens" / nullif(
+            ($"n_seqs" * PackBudget.toLong).cast("double"), lit(0.0)), 4)
+            .as("utilization"),
+          round($"n_underfull" / nullif($"n_seqs".cast("double"), lit(0.0)), 4)
+            .as("underfull_share"))
+    }),
   )
+
+  /** q_seq_pack / q_pack_efficiency token budget per packed sequence. */
+  val PackBudget = 512
 
   /** Merge rounds learned by q_bpe_merges. */
   val BpeRounds = 6
@@ -1017,5 +1079,51 @@ object Text extends QueryModule {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM salted ORDER BY doc_id""".stripMargin,
+    // The q_lang_id CASE expression verbatim, aggregated to the
+    // confusion matrix.
+    "q_lang_confusion" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
+        |         WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
+        |         ELSE 'unknown' END AS lang_guess
+        |  FROM documents)
+        |SELECT lang, lang_guess, COUNT(*) AS n,
+        |  ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)
+        |    AS DOUBLE), 4) AS row_share
+        |FROM g GROUP BY lang, lang_guess
+        |ORDER BY lang, lang_guess""".stripMargin,
+    // The q_seq_pack CTE chain verbatim, then the (doc, seq) token
+    // aggregate and the one-row utilization report.
+    "q_pack_efficiency" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '$Ws+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk) - 10, 1), 40)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |    CAST(len(list_slice(tk, start + 1, start + 50)) AS INT) AS n_chunk_tokens
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id, n_chunk_tokens,
+        |    CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
+        |      ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / $PackBudget.0) AS INT) AS seq_id
+        |  FROM c),
+        |seqs AS (
+        |  SELECT doc_id, seq_id, CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens
+        |  FROM p GROUP BY doc_id, seq_id),
+        |g AS (
+        |  SELECT COUNT(*) AS n_seqs, CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+        |    COUNT(*) FILTER (WHERE seq_tokens < ${PackBudget * 4 / 5}) AS n_underfull
+        |  FROM seqs)
+        |SELECT n_seqs, n_tokens, n_underfull,
+        |  ROUND(n_tokens / NULLIF(CAST(n_seqs * $PackBudget AS DOUBLE), 0.0), 4) AS utilization,
+        |  ROUND(n_underfull / NULLIF(CAST(n_seqs AS DOUBLE), 0.0), 4) AS underfull_share
+        |FROM g""".stripMargin,
   )
 }

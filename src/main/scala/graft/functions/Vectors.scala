@@ -468,7 +468,60 @@ object Vectors extends QueryModule {
         .agg(round(avg($"v"), 4).as("centroid"))
         .orderBy($"label", $"pos")
     }),
+
+    // [EXT r13] ANN recall evaluation — the harness that decides
+    // whether an approximate index is SHIPPABLE: for each probe in a
+    // fixed query set, the exact brute-force top-k (the q_knn_join
+    // shape) and the IVF single-probe top-k (the q_ann_ivf shape) are
+    // computed from the SAME pinned assigned frame, and recall@k =
+    // |approx ∩ exact| / k is reported per query. Every production
+    // ANN deployment runs exactly this loop when tuning k/nprobe —
+    // here the measurement itself is the operator, and because the
+    // IVF cascade is deterministic the whole report (candidate sets
+    // included) is oracle-checked. Plan shape: the query set
+    // broadcasts, both rank windows are per-query top-k that Catalyst
+    // rewrites to Partial+Final WindowGroupLimit (each mapper forwards
+    // ≤ k rows per query — the shuffle is O(queries × k × partitions)
+    // regardless of corpus size), and the recall join touches only
+    // the ≤ queries × k surviving rows. Similarities are rounded at
+    // 4 dp BEFORE ranking with vec_id tiebreaks (the rounded-boundary
+    // contract), so the rank-k cut is identical across engines.
+    "q_ann_recall" -> ((s, dir) => graft.Pins.scoped { pins =>
+      import s.implicits._
+      val assigned = pins(ivfAssigned(Tables.embeddings(s, dir)
+        .select($"vec_id", asDouble($"embedding").as("v"))))
+      val probes = broadcast(assigned.filter($"vec_id" < RecallQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("qcell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id".asc)
+      def topK(cand: DataFrame) = cand
+        .select($"q_id", $"vec_id", round(cosine($"v", $"qv"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= RecallK)
+        .select($"q_id", $"vec_id")
+      val exact = topK(assigned.join(probes, $"vec_id" =!= $"q_id"))
+      val approx = topK(assigned.join(probes,
+        $"cell" === $"qcell" && $"vec_id" =!= $"q_id"))
+      val nApprox = approx.groupBy($"q_id").agg(count(lit(1)).as("n_approx"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+      probes.select($"q_id")
+        .join(nApprox, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"n_approx", lit(0L)).as("n_approx"),
+          coalesce($"hits", lit(0L)).as("hits"),
+          round(coalesce($"hits", lit(0L)) / lit(RecallK.toDouble), 4)
+            .as("recall"))
+        .orderBy($"q_id")
+    }),
   )
+
+  /** q_ann_recall probe-set size (vec_id < RecallQueries — the
+    * q_knn_join query-set convention) and evaluation depth.
+    */
+  private val RecallQueries = 5
+  private val RecallK = 10
 
   /** The IVF centroids as a DuckDB VALUES list — generated from the
     * SAME `ivfCells` array the Spark queries use, so the two engines
@@ -684,5 +737,29 @@ object Vectors extends QueryModule {
         |  FROM embeddings e, q)
         |SELECT vec_id, sim FROM scored
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_recall" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS q_id, vv AS qv, cell AS qcell FROM a
+         |      WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.q_id, q.qcell, a.vec_id, a.cell, ROUND(
+         |    list_sum(list_transform(list_zip(a.vv, q.qv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+         |  FROM a, q WHERE a.vec_id <> q.q_id),
+         |exact AS (SELECT q_id, vec_id FROM sc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) <= 10),
+         |approx AS (SELECT q_id, vec_id FROM sc WHERE cell = qcell
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) <= 10),
+         |na AS (SELECT q_id, COUNT(*) AS n_approx FROM approx GROUP BY q_id),
+         |nh AS (SELECT q_id, COUNT(*) AS hits
+         |       FROM exact JOIN approx USING (q_id, vec_id) GROUP BY q_id)
+         |SELECT q.q_id, COALESCE(na.n_approx, 0) AS n_approx,
+         |  COALESCE(nh.hits, 0) AS hits,
+         |  ROUND(COALESCE(nh.hits, 0) / 10.0, 4) AS recall
+         |FROM q LEFT JOIN na USING (q_id) LEFT JOIN nh USING (q_id)
+         |ORDER BY q_id""".stripMargin,
   )
 }

@@ -297,4 +297,39 @@ class CurationSpec extends SparkSpec {
         s"$src: kl $gk != replay $kl (sum-order tolerance exceeded)")
     }
   }
+
+  test("q_log_odds: full driver replay of the Monroe z-scores and top-5 selection") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf)
+      .select($"source", explode(Text.tokens(lower($"text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = toks.length.toLong
+    val yc = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1)
+    val a0 = Curation.LogOddsPrior
+    val expect = bySrc.flatMap { case (src, ts) =>
+      val ns = ts.length.toLong
+      val ys = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      ys.toSeq.map { case (term, y) =>
+        val at = a0 * yc(term) / n
+        val yr = (yc(term) - y).toDouble
+        val nr = (n - ns).toDouble
+        val delta = math.log((y + at) / (ns + a0 - y - at)) -
+          math.log((yr + at) / (nr + a0 - yr - at))
+        val z = BigDecimal(delta / math.sqrt(1.0 / (y + at) + 1.0 / (yr + at)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, term, y, z)
+      }.sortBy { case (_, term, _, z) => (-z, term) }
+        .take(Curation.LogOddsTopK)
+        .zipWithIndex.map { case ((s2, t2, y2, z2), i) => (s2, i + 1, t2, y2, z2) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = run("q_log_odds").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expect)
+    // The prior must be doing its job: no selected term is a hapax
+    // seen once in the whole corpus (raw log-odds would rank those first).
+    assert(got.forall { case (_, _, term, _, _) => yc(term) > 1 },
+      "a corpus-hapax term won the z ranking — the Dirichlet prior is inert")
+  }
 }

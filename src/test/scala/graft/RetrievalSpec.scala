@@ -232,4 +232,28 @@ class RetrievalSpec extends SparkSpec {
     val both = got.filter(t => t._2 > 0 && t._3 > 0)
     assert(both.nonEmpty, "no doc appears in both rankers' top lists")
   }
+
+  test("q_rank_overlap equals a driver-side comparison of the two rank lists") {
+    val bm = graft.Pins.scoped(_ => Retrieval.bm25Scored(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val cos = graft.Pins.scoped(_ => Retrieval.sparseCosineScored(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    def ranks(scored: Array[(Long, Double)]): Map[Long, Int] =
+      scored.sortBy { case (id, s) => (-s, id) }.take(Retrieval.RrfDepth)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val (ra, rb) = (ranks(bm), ranks(cos))
+    val got = run("q_rank_overlap").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Retrieval.OverlapDepths)
+    got.foreach { case (depth, nBm, nCos, nCommon, jac) =>
+      val a = ra.filter(_._2 <= depth).keySet
+      val b = rb.filter(_._2 <= depth).keySet
+      assert(nBm === a.size.toLong && nCos === b.size.toLong, s"depth $depth sizes")
+      assert(nCommon === (a & b).size.toLong, s"depth $depth common")
+      assert(jac === BigDecimal((a & b).size.toDouble / (a | b).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"depth $depth jaccard")
+    }
+    // Counts are monotone in depth (list prefixes nest).
+    assert(got.sliding(2).forall(p => p(0)._4 <= p(1)._4), "common not monotone")
+  }
 }

@@ -271,4 +271,99 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(cellSizes.values.exists(_ > Vectors.ClusterCap),
       "no cell over cap — the trimming branch is dead at this sf")
   }
+
+  test("q_ann_recall: full driver replay of exact and probed top-10 per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", Vectors.asDouble($"embedding").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sqd(a: Array[Double], c: Array[Double]) =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cells = emb.map { case (id, v) =>
+      id -> Vectors.ivfCells.zipWithIndex.minBy { case (c, i) => (sqd(v, c), i) }._2
+    }.toMap
+    // Sequential-fold cosine (the VecDot order), rounded like the query.
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = run("q_ann_recall").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === (0L until 5L).toSet)
+    (0L until 5L).foreach { q =>
+      val qv = emb.find(_._1 == q).get._2
+      def top10(cand: Array[(Long, Array[Double])]) = cand
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(10).map(_._1).toSet
+      val exact = top10(emb.filter(_._1 != q))
+      val approx = top10(emb.filter { case (id, _) => id != q && cells(id) == cells(q) })
+      val (nApprox, hits, recall) = got(q)
+      assert(nApprox === approx.size.toLong, s"q$q n_approx")
+      assert(hits === (exact & approx).size.toLong, s"q$q hits")
+      assert(recall === BigDecimal((exact & approx).size / 10.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"q$q recall")
+    }
+  }
+
+  test("q_lang_confusion replays the per-doc q_lang_id guesses") {
+    val perDoc = run("q_lang_id").collect()
+      .map(r => (r.getString(2), r.getString(1)))
+    val expect = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = perDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = run("q_lang_confusion").collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expect(key), s"$key count")
+      assert(r.getDouble(3) === BigDecimal(expect(key).toDouble / rowTot(key._1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$key share")
+    }
+  }
+
+  test("q_pack_efficiency replays the q_seq_pack assignment") {
+    val packed = run("q_seq_pack").collect()
+      .map(r => ((r.getLong(0), r.getInt(4)), r.getInt(2).toLong))
+    val seqTokens = packed.groupBy(_._1).view.mapValues(_.map(_._2).sum).values.toSeq
+    val nSeqs = seqTokens.length.toLong
+    val nTokens = seqTokens.sum
+    val under = seqTokens.count(_ < Text.PackBudget * 4 / 5).toLong
+    val row = run("q_pack_efficiency").collect().head
+    assert(row.getLong(0) === nSeqs)
+    assert(row.getLong(1) === nTokens)
+    assert(row.getLong(2) === under)
+    assert(row.getDouble(3) === BigDecimal(nTokens.toDouble / (nSeqs * Text.PackBudget))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(4) === BigDecimal(under.toDouble / nSeqs)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // The report is only meaningful if multi-sequence docs exist.
+    assert(nSeqs > packed.map(_._1._1).distinct.length.toLong / 2,
+      "degenerate fixture: almost no packing happened")
+  }
+
+  test("q_dup_rate replays per-source redundancy from the fingerprint table") {
+    import spark.implicits._
+    val fps = Tables.documents(spark, sf)
+      .select($"source", Text.fingerprint($"text").as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = fps.groupBy(_._1)
+    val got = run("q_dup_rate").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      val grp = rows.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val uniq = grp.length.toLong
+      val (gn, gu, gd, gr, gred) = got(src)
+      assert(gn === n && gu === uniq, src)
+      assert(gd === grp.count(_ > 1).toLong, src)
+      assert(gr === n - uniq, src)
+      assert(gred === BigDecimal((n - uniq).toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, src)
+    }
+    // Conservation: per-source doc counts must add to the corpus.
+    assert(got.values.map(_._1).sum === fps.length.toLong)
+  }
 }
