@@ -141,8 +141,10 @@ object Retrieval extends QueryModule {
               .orderBy(col(score).desc, $"doc_id".asc)))
           .select($"doc_id", col(rankAs))
       }
-      val ra = ranked(bm25Scored(s, dir), "bm25", "rank_bm25")
-      val rb = ranked(sparseCosineScored(s, dir), "sim", "rank_cos")
+      // ONE pinned tokenize pass feeds both rankers (docTokens).
+      val dld = docTokens(s, dir)
+      val ra = ranked(bm25From(s, dld), "bm25", "rank_bm25")
+      val rb = ranked(sparseCosineFrom(s, dld), "sim", "rank_cos")
       ra.join(rb, Seq("doc_id"), "full_outer")
         .select($"doc_id",
           coalesce($"rank_bm25", lit(0)).as("rank_bm25"),
@@ -178,8 +180,10 @@ object Retrieval extends QueryModule {
               .orderBy(col(score).desc, $"doc_id".asc)))
           .select($"doc_id", col(rankAs))
       }
-      val ra = ranked(bm25Scored(s, dir), "bm25", "ra")
-      val rb = ranked(sparseCosineScored(s, dir), "sim", "rb")
+      // ONE pinned tokenize pass feeds both rankers (docTokens).
+      val dld = docTokens(s, dir)
+      val ra = ranked(bm25From(s, dld), "bm25", "ra")
+      val rb = ranked(sparseCosineFrom(s, dld), "sim", "rb")
       val depths = broadcast(OverlapDepths.toDF("depth"))
       ra.join(rb, Seq("doc_id"), "full_outer")
         .select(coalesce($"ra", lit(Int.MaxValue)).as("ra"),
@@ -225,12 +229,26 @@ object Retrieval extends QueryModule {
     * runtime could differ from the literal 2.2 in the last ulp and
     * flip a rounded score. Callers must be inside a Pins scope.
     */
-  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25From(s, docTokens(s, dir))
+
+  /** The corpus tokenized ONCE — `(doc_id, tk, dl)`, pinned. Both
+    * rankers derive from this frame, so a query composing them
+    * (q_rrf_fusion, q_rank_overlap) tokenizes the corpus once instead
+    * of once per ranker — at 100 TB the tokenize pass IS the linear
+    * cost, everything downstream is match-set- or vocabulary-bounded.
+    * Callers must be inside a Pins scope.
+    */
+  private[graft] def docTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dld = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
       .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
       .transform(graft.Pins.ambient)
+  }
+
+  private[graft] def bm25From(s: SparkSession, dld: DataFrame): DataFrame = {
+    import s.implicits._
     val stats = broadcast(dld.agg(
       count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
     // tf is pinned too: it feeds BOTH the final join's probe side and
@@ -265,12 +283,26 @@ object Retrieval extends QueryModule {
     * 4dp — sum order differs across engines (the q_tfidf contract).
     * Callers must be inside a Pins scope.
     */
+  /** Standalone entry (q_sparse_cosine): tf explodes STRAIGHT off the
+    * scan — tf is consumed exactly once (into the pinned w), so
+    * materializing a token-array frame first would cost a full extra
+    * write of the corpus tokens for nothing (measured 0.9 → 1.8 s at
+    * sf0.1 when this path briefly went through [[docTokens]]). Only
+    * the two-ranker composition queries, where the SECOND consumer
+    * exists, route through the shared pinned frame.
+    */
   private[graft] def sparseCosineScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.documents(s, dir)
-      .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+    sparseCosineFrom(s, Tables.documents(s, dir)
+      .select($"doc_id", Text.tokens(lower($"text")).as("tk")))
+  }
+
+  private[graft] def sparseCosineFrom(s: SparkSession, dld: DataFrame): DataFrame = {
+    import s.implicits._
+    val tf = dld
+      .select($"doc_id", explode($"tk").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
-    val nDocs = broadcast(Tables.documents(s, dir)
+    val nDocs = broadcast(dld
       .agg(count(lit(1)).cast("double").as("n")))
     val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
     val w = tf.join(df, Seq("term")).crossJoin(nDocs)
