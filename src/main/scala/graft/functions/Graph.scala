@@ -24,16 +24,19 @@ import org.apache.spark.sql.functions._
   * 1e12 scale factor.
   *
   * Scale shape: the edge table is built once, persisted, and reused
-  * by every round (the loop invariant); each round joins the rank
-  * table (|nodes| rows) into the edges — by BROADCAST while nodes ≤
-  * [[BroadcastNodeLimit]], and above it as a co-partitioned shuffle
-  * join against edges hash-partitioned on src once at build (the
-  * web-scale fallback; each round then moves only the rank table) —
-  * plus one map-side-combined groupBy(dst). Iterations are a FIXED
-  * count (3) — no convergence check reads data back to the driver.
-  * Dangling nodes (no out-edge) keep their mass in the graph: their
-  * rank is re-shared equally each round via a one-row broadcast
-  * aggregate, skipped entirely for graphs constructed dangling-free.
+  * by every round (the loop invariant); the carried state is the
+  * IN-FLOW table inc_t (|nodes-with-in-edges| rows — rank is its
+  * closed-form blend, assembled once at the end), joined into the
+  * edges — by BROADCAST while nodes ≤ [[BroadcastNodeLimit]], and
+  * above it as a co-partitioned shuffle join against edges
+  * hash-partitioned on src once at build (the web-scale fallback;
+  * each round then moves only the inflow table) — plus one
+  * map-side-combined groupBy(dst). Round 1 is join-FREE (rank_0 is a
+  * constant). Iterations are a FIXED count (3) — no convergence check
+  * reads data back to the driver. Dangling nodes (no out-edge) keep
+  * their mass in the graph: their rank is re-shared equally each
+  * round via a one-row broadcast aggregate, skipped entirely for
+  * graphs constructed dangling-free.
   */
 object Graph extends QueryModule {
 
@@ -56,11 +59,11 @@ object Graph extends QueryModule {
     * a general edge table would silently lose the dangling mass
     * (PropertiesSpec pins conservation on random directed graphs).
     *
-    * Per-round join strategy: the rank table is |nodes| rows. While
-    * nodes ≤ [[BroadcastNodeLimit]] it broadcasts into the persisted
-    * edge table (no edge movement at all); above the limit the edges
-    * are instead hash-partitioned on `src` ONCE at build, and each
-    * round shuffles only the rank table to meet them — the
+    * Per-round join strategy: the carried inflow table is ≤ |nodes|
+    * rows. While nodes ≤ [[BroadcastNodeLimit]] it broadcasts into the
+    * persisted edge table (no edge movement at all); above the limit
+    * the edges are instead hash-partitioned on `src` ONCE at build,
+    * and each round shuffles only the inflow table to meet them — the
     * co-partitioned fallback a web-scale graph needs, selected by the
     * same kind of cheap size read AQE's join planning uses
     * (`broadcastRanks` forces either path; SelectionGraphSpec pins
@@ -71,6 +74,14 @@ object Graph extends QueryModule {
                               broadcastRanks: Option[Boolean] = None,
                               strategy: CheckpointStrategy = CheckpointStrategy.Local,
                               pins: Pins = new Pins): DataFrame =
+    // AQE is OFF for the solver's own actions (the probe and the
+    // eager truncate — both run INSIDE this scope, so the bracket
+    // covers every heavy job; the escaping TakeOrdered reads a
+    // truncated LogicalRDD and has nothing left to adapt): every join
+    // strategy here is chosen explicitly, so AQE contributes only its
+    // per-exchange job amplification — see [[graft.Aqe.off]] for the
+    // measurements and the cluster-side caveat.
+    //
     // The finally releases the pins on success AND failure (a lost job
     // in the head() probe or a round must not leave four pinned tables
     // behind — repeated failing invocations would otherwise accumulate
@@ -78,8 +89,10 @@ object Graph extends QueryModule {
     // release runs after solve's eager truncate, so the returned frame
     // never depends on the pins. Under Noop (plan inspection) the
     // caller owns the pins and nothing releases.
-    try solve(edges, broadcastRanks, strategy, pins)
-    finally { if (strategy ne CheckpointStrategy.Noop) pins.releaseAll() }
+    graft.Aqe.off(edges.sparkSession) {
+      try solve(edges, broadcastRanks, strategy, pins)
+      finally { if (strategy ne CheckpointStrategy.Noop) pins.releaseAll() }
+    }
 
   private def solve(edges: DataFrame,
                     broadcastRanks: Option[Boolean],
@@ -96,11 +109,10 @@ object Graph extends QueryModule {
     // round's join reads it — at sf0.1 Spark's exchange reuse already
     // dedupes identical subtrees (pinning measured time-neutral), but
     // reuse is a planner optimization, not a contract, and the pins
-    // make "one cached-edge join + one groupBy + one cached base
-    // projection per round" guaranteed rather than plan-shape-
-    // dependent. base itself stays unpinned: it is a stateless
-    // projection over the cached nodeStats, so each consumer pays one
-    // cache scan, never a recompute of the underlying shuffle.
+    // make "one cached-edge join + one groupBy per round" guaranteed
+    // rather than plan-shape-dependent. The final node frame stays
+    // unpinned: it is a stateless projection over the cached
+    // nodeStats, read exactly once by the closing blend.
     //
     // LIFECYCLE (the round-10 sweep regression): every pin goes
     // through `pins` — including any the caller created building
@@ -148,39 +160,85 @@ object Graph extends QueryModule {
     val edgedRaw = pinnedEdges.join(deg, Seq("src"))
     val edged = pins(
       if (useBroadcast) edgedRaw else edgedRaw.repartition($"src"))
-    val base = nodeStats
-      .select($"node", ($"outdeg" === 0).as("dangling"),
-        lit(RankScale / n).as("init"),
-        lit((15L * (RankScale / n)) / 100L).as("b"))
-    val dangNodes = base.filter($"dangling").select($"node")
-    val r0 = base.select($"node", $"init".as("rank"))
-    val ranks = (1 to Rounds).foldLeft(r0) { (r, _) =>
-      val rsrc = r.withColumnRenamed("node", "src")
-      val inc = edged
-        .join(if (useBroadcast) broadcast(rsrc) else rsrc, Seq("src"))
-        .select($"dst", expr("rank div outdeg").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("inc"))
-      val blended = base.join(inc, $"node" === $"dst", "left")
-      if (!hasDangling)
-        blended.select($"node",
-          ($"b" + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
-      else {
-        // Dangling mass D = Σ rank over out-edge-less nodes; every
-        // node receives the integer share D div n inside the damped
-        // blend. One-row aggregate, broadcast — the same scalar-funnel
-        // shape as q_share_of_total.
-        val dshare = broadcast(
-          r.join(dangNodes, Seq("node"), "left_semi")
-            .agg(expr(s"coalesce(sum(rank), 0L) div $n").as("dshare")))
-        blended.crossJoin(dshare)
-          .select($"node",
-            ($"b" + expr("(85 * (coalesce(inc, 0L) + dshare)) div 100")).as("rank"))
+    val init = RankScale / n
+    val b = (15L * init) / 100L
+    // The state carried between rounds is the IN-FLOW table inc_t
+    // (dst → Σ contributions), NOT the blended rank table: the rank of
+    // any node is the closed form b + (85·(inc + dshare)) div 100, so
+    // the per-round base join that used to materialize it (one
+    // |nodes|-row join + projection per round, a broadcast barrier
+    // each) is recomputed INLINE where the next round's contributions
+    // need it, and the full rank table is assembled exactly ONCE at
+    // the end. Same integers — the blend expression is evaluated on
+    // the same (inc, dshare) inputs, just per-edge-row instead of
+    // per-node-row — but the round-over-round plan drops from
+    // [join + agg + blend-join] to [join + agg], and round 1 needs no
+    // join at all (rank_0 = init is a constant, so the first round's
+    // contributions are a pure aggregate over the pinned edges). The
+    // shorter barrier chain is the round-13 verdict's q_pagerank
+    // driver-cold item: fewer sequential driver-visible jobs for the
+    // scheduler to stall under load.
+    //
+    // `blended(df, dsh)` returns the frame (cross-joined with the
+    // one-row dangling-share aggregate when one exists) plus the rank
+    // SQL expression over its `inc` column. dshare_0 is a DRIVER
+    // LITERAL — Σ_dang rank_0 = dangCount·init exactly — so even the
+    // dangling path pays no scalar aggregate for round 1.
+    def blended(df: DataFrame, dsh: Either[Long, DataFrame]): (DataFrame, String) =
+      dsh match {
+        case Left(0L) => (df, s"${b}L + (85 * coalesce(inc, 0L)) div 100")
+        case Left(v) =>
+          (df, s"${b}L + (85 * (coalesce(inc, 0L) + ${v}L)) div 100")
+        case Right(d) =>
+          (df.crossJoin(d),
+            s"${b}L + (85 * (coalesce(inc, 0L) + dshare)) div 100")
       }
+    val dangNodes = nodeStats.filter($"outdeg" === 0).select($"node")
+    // Round 1: every rank_0 is the init constant — contributions are
+    // one map-side-combined aggregate over the cached edge table.
+    var inc = edged
+      .select($"dst", expr(s"${init}L div outdeg").as("c"))
+      .groupBy($"dst").agg(sum($"c").as("inc"))
+    var dsh: Either[Long, DataFrame] =
+      Left(if (hasDangling) ((n - nd.getLong(1)) * init) / n else 0L)
+    for (_ <- 2 to Rounds) {
+      // Dangling mass D = Σ rank over out-edge-less nodes; every node
+      // receives the integer share D div n inside the damped blend.
+      // One-row aggregate over the |dangling|-row left join, broadcast
+      // — the same scalar-funnel shape as q_share_of_total. Computed
+      // from the PREVIOUS round's (inc, dshare) — i.e. rank_{t-1} —
+      // before both are superseded.
+      val nextDsh: Either[Long, DataFrame] =
+        if (!hasDangling) Left(0L)
+        else {
+          val (dj, rk) = blended(
+            dangNodes.join(inc.select($"dst".as("node"), $"inc"),
+              Seq("node"), "left"), dsh)
+          Right(broadcast(
+            dj.agg(expr(s"coalesce(sum($rk), 0L) div ${n}L").as("dshare"))))
+        }
+      // Contributions: LEFT join (a src with no in-edges is absent
+      // from inc but still holds rank b + the dshare term — exactly
+      // what the blend's coalesce reconstructs).
+      val rsrc = inc.select($"dst".as("src"), $"inc")
+      val (j, rk) = blended(
+        edged.join(if (useBroadcast) broadcast(rsrc) else rsrc,
+          Seq("src"), "left"), dsh)
+      inc = j.select($"dst", expr(s"($rk) div outdeg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inc"))
+      dsh = nextDsh
     }
-    // Eagerly materialize the final (|nodes|-row) rank table;
-    // pagerank's finally then frees every pin this invocation created.
-    // Under Noop (plan inspection only) truncate is identity.
-    strategy.truncate(ranks)
+    // The ONE full-rank-table assembly: blend inc_R (+ dshare_{R-1})
+    // over every node. Eagerly materialize the final (|nodes|-row)
+    // rank table; pagerank's finally then frees every pin this
+    // invocation created. Under Noop (plan inspection) truncate is
+    // identity.
+    val incNode = inc.select($"dst".as("node"), $"inc")
+    val (fin, rkF) = blended(
+      nodeStats.select($"node")
+        .join(if (useBroadcast) broadcast(incNode) else incNode,
+          Seq("node"), "left"), dsh)
+    strategy.truncate(fin.select($"node", expr(rkF).as("rank")))
   }
 
   /** The trade graph: one undirected edge per distinct

@@ -407,9 +407,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_pagerank: every round joins ranks by broadcast over the persisted edges") {
-    // Three rounds = three broadcast joins of the rank table into the
-    // edge table (ranks ≪ edges), plus the degree/edge builds; a
-    // rank-side shuffle join would mean re-shuffling the edge table
+    // Round 1 is join-free (rank_0 is a constant — a pure aggregate
+    // over the cached edges); rounds 2..R broadcast the carried inflow
+    // table into the edge table, and the closing blend broadcasts
+    // inc_R into the node frame — so R = 3 rounds still show exactly
+    // three broadcast joins of rank-side tables (inflow ≪ edges). An
+    // inflow-side shuffle join would mean re-shuffling the edge table
     // once per round — the iterative-join scale trap. The registered
     // query eagerly truncates its result (its executed plan is just a
     // TakeOrdered over a LogicalRDD), so the round shape is read via
