@@ -561,6 +561,17 @@ object Graph extends QueryModule {
       strategy: CheckpointStrategy = CheckpointStrategy.Local,
       roundsPerCheckpoint: Int = KcoreRoundsPerCheckpoint): DataFrame = {
     import s.implicits._
+    // AQE off for the peel loop's own actions (the generation
+    // truncations run INSIDE this builder): the loop is fixed-round
+    // semi-join+aggregate over a pinned edge table with nothing to
+    // replan, and AQE's per-exchange jobs tripled the sequential
+    // chain — measured 41 jobs vs 14 at identical isolated runtime
+    // (see [[graft.Aqe.off]]). The closing core report materializes
+    // OUTSIDE this scope, under the caller's restored conf. The same
+    // bracket was measured and REJECTED for q_label_prop (+2 s) and
+    // q_dedup_groups (+8 s) — their joins profit from AQE's runtime
+    // broadcast conversion, so they keep it.
+    graft.Aqe.off(s) {
     val pins = new Pins
     try {
       val thresholded = copurchasePairs(s, dir)
@@ -634,6 +645,7 @@ object Graph extends QueryModule {
         .select($"src".as("node"), $"core_deg")
         .orderBy($"core_deg".desc, $"node")
     } finally pins.releaseAll()
+    }
   }
 
   /** LPA fixed round count, per-node neighbor fan-out, and report

@@ -133,15 +133,8 @@ object Retrieval extends QueryModule {
     // sum of two such doubles is deterministic; rrf rounds at 6 dp.
     "q_rrf_fusion" -> ((s, dir) => graft.Pins.scoped { _ =>
       import s.implicits._
-      def ranked(scored: DataFrame, score: String, rankAs: String) = {
-        val top = scored.orderBy(col(score).desc, $"doc_id".asc)
-          .limit(RrfDepth)
-        top.withColumn(rankAs, row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-              .orderBy(col(score).desc, $"doc_id".asc)))
-          .select($"doc_id", col(rankAs))
-      }
-      // ONE pinned tokenize pass feeds both rankers (docTokens).
+      // ONE pinned tokenize pass feeds both rankers (docTokens);
+      // rank assignment is the shared [[ranked]] contract.
       val dld = docTokens(s, dir)
       val ra = ranked(bm25From(s, dld), "bm25", "rank_bm25")
       val rb = ranked(sparseCosineFrom(s, dld), "sim", "rank_cos")
@@ -171,36 +164,44 @@ object Retrieval extends QueryModule {
     // membership test; overlap is exact integer counts, Jaccard =
     // common/union rounded at 4 dp (one exact division).
     "q_rank_overlap" -> ((s, dir) => graft.Pins.scoped { _ =>
-      import s.implicits._
-      def ranked(scored: DataFrame, score: String, rankAs: String) = {
-        val top = scored.orderBy(col(score).desc, $"doc_id".asc)
-          .limit(RrfDepth)
-        top.withColumn(rankAs, row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-              .orderBy(col(score).desc, $"doc_id".asc)))
-          .select($"doc_id", col(rankAs))
-      }
-      // ONE pinned tokenize pass feeds both rankers (docTokens).
+      // ONE pinned tokenize pass feeds both rankers (docTokens);
+      // rank assignment is the shared [[ranked]] contract and the
+      // depth comparison is [[overlapReport]] (spec-driven on a
+      // constructed fixture, so the absence encoding is pinned).
       val dld = docTokens(s, dir)
-      val ra = ranked(bm25From(s, dld), "bm25", "ra")
-      val rb = ranked(sparseCosineFrom(s, dld), "sim", "rb")
-      val depths = broadcast(OverlapDepths.toDF("depth"))
-      ra.join(rb, Seq("doc_id"), "full_outer")
-        .select(coalesce($"ra", lit(Int.MaxValue)).as("ra"),
-          coalesce($"rb", lit(Int.MaxValue)).as("rb"))
-        .crossJoin(depths)
-        .groupBy($"depth")
-        .agg(count(when($"ra" <= $"depth", lit(1))).as("n_bm25"),
-          count(when($"rb" <= $"depth", lit(1))).as("n_cos"),
-          count(when($"ra" <= $"depth" && $"rb" <= $"depth", lit(1)))
-            .as("n_common"))
-        .select($"depth", $"n_bm25", $"n_cos", $"n_common",
-          round($"n_common" / nullif(
-            ($"n_bm25" + $"n_cos" - $"n_common").cast("double"), lit(0.0)),
-            4).as("jaccard"))
-        .orderBy($"depth")
+      overlapReport(
+        ranked(bm25From(s, dld), "bm25", "ra"),
+        ranked(sparseCosineFrom(s, dld), "sim", "rb"))
     }),
   )
+
+  /** The depth-sweep comparison of two rank lists `(doc_id, ra)` /
+    * `(doc_id, rb)` — q_rank_overlap's tail, split out so a
+    * constructed-fixture spec can drive the trickiest encoding
+    * directly: absence from a list is rank Int.MaxValue, so
+    * `rank <= depth` IS the membership test at every depth (a doc in
+    * one ranker's top-10 but both top-50s flips from non-common at
+    * depth 10 to common at depth 50 — RetrievalSpec pins the flip).
+    */
+  private[graft] def overlapReport(ra: DataFrame, rb: DataFrame): DataFrame = {
+    val s = ra.sparkSession
+    import s.implicits._
+    val depths = broadcast(OverlapDepths.toDF("depth"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(coalesce($"ra", lit(Int.MaxValue)).as("ra"),
+        coalesce($"rb", lit(Int.MaxValue)).as("rb"))
+      .crossJoin(depths)
+      .groupBy($"depth")
+      .agg(count(when($"ra" <= $"depth", lit(1))).as("n_bm25"),
+        count(when($"rb" <= $"depth", lit(1))).as("n_cos"),
+        count(when($"ra" <= $"depth" && $"rb" <= $"depth", lit(1)))
+          .as("n_common"))
+      .select($"depth", $"n_bm25", $"n_cos", $"n_common",
+        round($"n_common" / nullif(
+          ($"n_bm25" + $"n_cos" - $"n_common").cast("double"), lit(0.0)),
+          4).as("jaccard"))
+      .orderBy($"depth")
+  }
 
   /** Depths at which q_rank_overlap compares the two rank lists. */
   val OverlapDepths: Seq[Int] = Seq(10, 25, 50)
@@ -245,6 +246,25 @@ object Retrieval extends QueryModule {
       .select($"doc_id", Text.tokens(lower($"text")).as("tk"))
       .select($"doc_id", $"tk", size($"tk").cast("double").as("dl"))
       .transform(graft.Pins.ambient)
+  }
+
+  /** Top-[[RrfDepth]] of a scored frame with dense ranks assigned —
+    * the rank-assignment contract SHARED by q_rrf_fusion and
+    * q_rank_overlap (one definition, so the two evaluations cannot
+    * drift): TakeOrdered first (the rank window never sees the
+    * corpus, only the ≤[[RrfDepth]]-row list), then row_number by
+    * (score DESC, doc_id) — the same total order as the cut, so rank
+    * i IS the i-th list entry on both engines.
+    */
+  private[graft] def ranked(scored: DataFrame, score: String,
+      rankAs: String): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.orderBy(col(score).desc, $"doc_id".asc)
+      .limit(RrfDepth)
+      .withColumn(rankAs, row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col(score).desc, $"doc_id".asc)))
+      .select($"doc_id", col(rankAs))
   }
 
   private[graft] def bm25From(s: SparkSession, dld: DataFrame): DataFrame = {

@@ -389,8 +389,8 @@ object Text extends QueryModule {
     // Spark longs would wrap silently on overflow where DuckDB BIGINTs
     // raise — staying small keeps the twins exactly comparable.
     // [EXT] sequence packing — assign each chunk to a fixed-budget
-    // training sequence (512 tokens) by exclusive running token count
-    // per doc: seq_id = floor(tokens_before_this_chunk / 512). The
+    // training sequence ([[PackBudget]] tokens) by exclusive running
+    // token count per doc: seq_id = floor(tokens_before / budget). The
     // distributed-friendly approximation of greedy bin packing (greedy
     // is inherently sequential; per-doc running sums are one window
     // pass, partitioned by doc — no cross-doc coordination, which is
@@ -404,7 +404,8 @@ object Text extends QueryModule {
         .select($"doc_id", $"chunk_id", $"n_chunk_tokens")
         .withColumn("cum_before",
           coalesce(sum($"n_chunk_tokens").over(w), lit(0L)).cast("long"))
-        .withColumn("seq_id", floor($"cum_before" / 512.0).cast("int"))
+        .withColumn("seq_id",
+          floor($"cum_before" / PackBudget.toDouble).cast("int"))
         .orderBy($"doc_id", $"chunk_id")
     }),
 
@@ -1014,7 +1015,7 @@ object Text extends QueryModule {
         |    0) AS BIGINT) AS cum_before,
         |  CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
         |    ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    0) / 512.0) AS INT) AS seq_id
+        |    0) / $PackBudget.0) AS INT) AS seq_id
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (

@@ -740,7 +740,7 @@ object Vectors extends QueryModule {
     "q_ann_recall" ->
       s"""$ivfAssignCte,
          |q AS (SELECT vec_id AS q_id, vv AS qv, cell AS qcell FROM a
-         |      WHERE vec_id < 5),
+         |      WHERE vec_id < $RecallQueries),
          |sc AS (
          |  SELECT q.q_id, q.qcell, a.vec_id, a.cell, ROUND(
          |    list_sum(list_transform(list_zip(a.vv, q.qv), p -> p[1] * p[2]))
@@ -749,16 +749,16 @@ object Vectors extends QueryModule {
          |  FROM a, q WHERE a.vec_id <> q.q_id),
          |exact AS (SELECT q_id, vec_id FROM sc
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) <= 10),
+         |    ORDER BY sim DESC, vec_id) <= $RecallK),
          |approx AS (SELECT q_id, vec_id FROM sc WHERE cell = qcell
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) <= 10),
+         |    ORDER BY sim DESC, vec_id) <= $RecallK),
          |na AS (SELECT q_id, COUNT(*) AS n_approx FROM approx GROUP BY q_id),
          |nh AS (SELECT q_id, COUNT(*) AS hits
          |       FROM exact JOIN approx USING (q_id, vec_id) GROUP BY q_id)
          |SELECT q.q_id, COALESCE(na.n_approx, 0) AS n_approx,
          |  COALESCE(nh.hits, 0) AS hits,
-         |  ROUND(COALESCE(nh.hits, 0) / 10.0, 4) AS recall
+         |  ROUND(COALESCE(nh.hits, 0) / $RecallK.0, 4) AS recall
          |FROM q LEFT JOIN na USING (q_id) LEFT JOIN nh USING (q_id)
          |ORDER BY q_id""".stripMargin,
   )

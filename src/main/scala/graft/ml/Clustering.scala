@@ -107,6 +107,13 @@ object Clustering extends QueryModule {
     // sizes are). No oracle: clustering is not SQL-expressible.
     "q_kmeans_predict" -> ((s, dir) => {
       import s.implicits._
+      // Deliberately UNPINNED (measured, round 14): persisting the
+      // assembled frame makes KMeans.fit skip its internal
+      // handlePersistence cache of the extracted instances RDD, so
+      // every Lloyd round re-reads the row cache and re-extracts
+      // vectors — 13.8 s warm at sf0.1 vs 5.2 s unpinned. The
+      // predict pass recomputing the assemble lineage once is far
+      // cheaper than the trainer losing its instance cache.
       val feats = assembler().transform(
         Tables.lineitem(s, dir).select(FeatureCols.toIndexedSeq.map(col): _*))
       val model = fitKMeans(feats)
@@ -117,7 +124,8 @@ object Clustering extends QueryModule {
 
     // KMeans on STANDARDIZED features — the scale-corrected variant of
     // q_kmeans_predict (same k/seed; cluster-size distribution output;
-    // no oracle: clustering is not SQL-expressible).
+    // no oracle: clustering is not SQL-expressible). Unpinned for the
+    // q_kmeans_predict reason (same measured regression).
     "q_kmeans_scaled" -> ((s, dir) => {
       import s.implicits._
       val feats = scaled(assembler().transform(

@@ -283,13 +283,19 @@ object TimeSeries extends QueryModule {
     // integers (identical in both engines); the median averages the
     // one or two middle slopes by position, so ties in slope value
     // cannot change the selected VALUES; rounding only at the end.
-    "q_theil_sen" -> ((s, dir) => {
+    "q_theil_sen" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      val daily = Tables.events(s, dir)
+      // `daily` is read three times per materialization — both sides
+      // of the pair self-join plus the nDays aggregate — and its
+      // lineage is the row-scale events scan; the pin (released at
+      // the result's first materialization) makes that scan run once
+      // (the q_ewma_control discipline — exchange reuse is a planner
+      // optimization, not a contract).
+      val daily = pins(Tables.events(s, dir)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("n"))
         .select($"event_type", unix_date($"d").cast("long").as("x"),
-          $"n".as("y"))
+          $"n".as("y")))
       val slopes = daily.as("a")
         .join(daily.as("b"),
           $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
@@ -324,13 +330,16 @@ object TimeSeries extends QueryModule {
     // rounded-boundary contract) with NULLS LAST pinned on both
     // engines (a zero-variance overlap nulls r via the NULLIF guard
     // instead of erroring).
-    "q_xcorr" -> ((s, dir) => {
+    "q_xcorr" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      val daily = Tables.events(s, dir)
+      // `daily` feeds both the lag-replicated probe side and the
+      // shifted-day join side — pinned so the events scan behind it
+      // runs once (the q_ewma_control discipline).
+      val daily = pins(Tables.events(s, dir)
         .groupBy($"event_type", to_date($"ts").as("d"))
         .agg(count(lit(1)).as("n"))
         .select($"event_type", unix_date($"d").cast("long").as("x"),
-          $"n".as("y"))
+          $"n".as("y")))
       val lags = (0 to XcorrMaxLag).toDF("lag")
       val probe = daily
         .select($"event_type".as("ta"), $"x", $"y".as("ya"))

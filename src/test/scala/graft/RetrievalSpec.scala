@@ -256,4 +256,32 @@ class RetrievalSpec extends SparkSpec {
     // Counts are monotone in depth (list prefixes nest).
     assert(got.sliding(2).forall(p => p(0)._4 <= p(1)._4), "common not monotone")
   }
+
+  test("rank_overlap absence encoding: a doc in one top-10 but both top-50s flips membership with depth") {
+    // The trickiest encoding in the report: absence from a list is
+    // rank Int.MaxValue, so `rank <= depth` is the membership test at
+    // EVERY depth. Constructed fixture: doc 1 is rank 5 in ranker B
+    // but rank 30 in ranker A — inside both top-50s, inside only B's
+    // top-10 — so it must flip from non-common at depth 10 to common
+    // at depth 50. Doc 2 appears ONLY in ranker A (rank 3): common at
+    // no depth, counted in n_bm25 at every depth. Driven through the
+    // SAME overlapReport the registered query runs.
+    import spark.implicits._
+    // Ranker A: docs 100..129 at ranks 1..30 except doc 1 at rank 30
+    // and doc 2 at rank 3; ranker B: doc 1 at rank 5 plus filler.
+    val ra = (Seq((2L, 3), (1L, 30)) ++
+      (1 to 28).map(i => (100L + i, if (i >= 3) i + 1 else i))).toDF("doc_id", "ra")
+    val rb = (Seq((1L, 5)) ++ (1 to 11).map(i => (200L + i, if (i >= 5) i + 1 else i)))
+      .toDF("doc_id", "rb")
+    val got = Retrieval.overlapReport(ra, rb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n10, n50) = (got(10), got(50))
+    // Depth 10: doc 1 is only in B's prefix — zero common docs.
+    assert(n10._3 === 0L, s"doc 1 must NOT be common at depth 10: $n10")
+    assert(n10._1 === 10L && n10._2 === 10L, s"both prefixes full at 10: $n10")
+    // Depth 50: doc 1 is inside both lists — exactly one common doc.
+    assert(n50._3 === 1L, s"doc 1 must be common at depth 50: $n50")
+    // Doc 2 (A-only, rank 3) and B-only docs never inflate common.
+    assert(n50._1 === 30L && n50._2 === 12L, s"full list sizes at 50: $n50")
+  }
 }
