@@ -23,9 +23,18 @@ import org.apache.spark.sql.SparkSession
   * `off` disables AQE for exactly the actions `body` itself runs and
   * restores the prior value on every exit path. Lazy frames RETURNED
   * by `body` execute under the caller's (restored) conf — only the
-  * solver's internal jobs are affected. Query building is
-  * single-threaded (the [[Pins]] contract), so the session-conf
-  * mutation cannot leak into a concurrent query.
+  * solver's internal jobs are affected.
+  *
+  * CONCURRENCY CAVEAT: the session conf is SESSION-global, not
+  * thread-local — an action fired on the SAME SparkSession from
+  * another thread while a bracket is open would plan with AQE off
+  * (and e.g. lose a runtime broadcast conversion). The engine's
+  * execution contract is one query at a time per session (the
+  * [[Pins]] ambient-scope contract makes the same assumption, and
+  * Bench/Verify/QBench all run sequentially), so the bracket is safe
+  * here; a deployment that multiplexes concurrent queries must give
+  * each its own `SparkSession.newSession()` clone — per-session
+  * confs isolate the bracket while sharing the context and cache.
   */
 object Aqe {
   def off[A](session: SparkSession)(body: => A): A = {

@@ -41,6 +41,12 @@ object Storage {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Also empty the late-pin FIFO: the unpersists above free its
+    // BLOCKS, but the queued DataFrame references (full analyzed
+    // plans) would otherwise stay reachable until LatePinCap further
+    // late pins evict them — and latePinCount would keep reporting
+    // dead pins as live.
+    Pins.drainLatePins()
   }
 
   /** Count of storage entries still registered with the context —
@@ -183,6 +189,17 @@ object Pins {
     * asserts stays ≤ [[LatePinCap]].
     */
   private[graft] def latePinCount: Int = latePins.synchronized(latePins.size)
+
+  /** Unpersist and forget every queued late pin — called by
+    * [[Storage.releaseAll]] so the harness's between-query drain
+    * frees the plan REFERENCES too, not just their blocks (a queue
+    * of dead pins would otherwise linger until LatePinCap further
+    * late pins evict them, and [[latePinCount]] would overreport).
+    */
+  private[graft] def drainLatePins(): Unit = latePins.synchronized {
+    latePins.foreach(_.unpersist(blocking = false))
+    latePins.clear()
+  }
 
   /** Build a query under a fresh scope and release every pin it
     * created at the result's first materialization — the one-liner

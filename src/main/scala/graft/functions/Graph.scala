@@ -564,9 +564,10 @@ object Graph extends QueryModule {
     // AQE off for the peel loop's own actions (the generation
     // truncations run INSIDE this builder): the loop is fixed-round
     // semi-join+aggregate over a pinned edge table with nothing to
-    // replan, and AQE's per-exchange jobs tripled the sequential
-    // chain — measured 41 jobs vs 14 at identical isolated runtime
-    // (see [[graft.Aqe.off]]). The closing core report materializes
+    // replan, and AQE's per-exchange jobs doubled the sequential
+    // chain — measured 41 jobs vs 19 per end-to-end invocation at
+    // identical isolated runtime (the figure JobBudgetSpec pins; see
+    // [[graft.Aqe.off]]). The closing core report materializes
     // OUTSIDE this scope, under the caller's restored conf. The same
     // bracket was measured and REJECTED for q_label_prop (+2 s) and
     // q_dedup_groups (+8 s) — their joins profit from AQE's runtime

@@ -39,6 +39,24 @@ object TimeSeries extends QueryModule {
   /** Control-chart width in population standard deviations. */
   val EwmaSigmas = 3.0
 
+  /** Per-(event_type, day) counts as (event_type, x = epoch day,
+    * y = count) — the daily series BOTH q_theil_sen and q_xcorr
+    * derive their pairwise/lagged statistics from. One definition so
+    * the two consumers (whose DuckDB twins share the same CTE shape)
+    * cannot drift; each caller pins the result because it reads it
+    * 2–3 times per materialization and the lineage is the row-scale
+    * events scan.
+    */
+  private def dailyByType(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_date($"d").cast("long").as("x"),
+        $"n".as("y"))
+  }
+
   override def queries: Map[String, Query] = Map(
     // Population stability index between the month's first half and
     // second half (the reference batch vs the candidate batch of a
@@ -285,17 +303,11 @@ object TimeSeries extends QueryModule {
     // cannot change the selected VALUES; rounding only at the end.
     "q_theil_sen" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      // `daily` is read three times per materialization — both sides
-      // of the pair self-join plus the nDays aggregate — and its
-      // lineage is the row-scale events scan; the pin (released at
-      // the result's first materialization) makes that scan run once
-      // (the q_ewma_control discipline — exchange reuse is a planner
+      // Read three times per materialization — both sides of the
+      // pair self-join plus the nDays aggregate — so pinned (the
+      // q_ewma_control discipline — exchange reuse is a planner
       // optimization, not a contract).
-      val daily = pins(Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("d"))
-        .agg(count(lit(1)).as("n"))
-        .select($"event_type", unix_date($"d").cast("long").as("x"),
-          $"n".as("y")))
+      val daily = pins(dailyByType(s, dir))
       val slopes = daily.as("a")
         .join(daily.as("b"),
           $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
@@ -332,14 +344,9 @@ object TimeSeries extends QueryModule {
     // instead of erroring).
     "q_xcorr" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      // `daily` feeds both the lag-replicated probe side and the
-      // shifted-day join side — pinned so the events scan behind it
-      // runs once (the q_ewma_control discipline).
-      val daily = pins(Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("d"))
-        .agg(count(lit(1)).as("n"))
-        .select($"event_type", unix_date($"d").cast("long").as("x"),
-          $"n".as("y")))
+      // Feeds both the lag-replicated probe side and the shifted-day
+      // join side — pinned so the events scan behind it runs once.
+      val daily = pins(dailyByType(s, dir))
       val lags = (0 to XcorrMaxLag).toDF("lag")
       val probe = daily
         .select($"event_type".as("ta"), $"x", $"y".as("ya"))

@@ -21,32 +21,41 @@ package graft
   * Methodology: the FIRST invocation is a warm-up (table listings and
   * parquet schema probes schedule their own one-off jobs); the count
   * is taken on the SECOND, steady-state invocation. Job-start events
-  * are posted to the async listener bus, so the count polls until
-  * stable. Budgets are the sf0.001 steady-state counts + 2 headroom
-  * (the chain length is scale-independent: fixed rounds, fixed
-  * barriers; only per-job task counts grow with data).
+  * are posted to the ASYNC listener bus, so the listener registers
+  * BEFORE the warm-up and the steady-state count is the number of
+  * job ids above the warm-up's drained watermark — registering after
+  * the warm-up could still receive its queued events and inflate the
+  * count past the headroom. Budgets are the sf0.001 steady-state
+  * counts + 2 headroom (the chain length is scale-independent: fixed
+  * rounds, fixed barriers; only per-job task counts grow with data).
   */
 class JobBudgetSpec extends SparkSpec {
-  import java.util.concurrent.atomic.AtomicInteger
   import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+  import scala.jdk.CollectionConverters._
 
   private def steadyStateJobs(key: String): Int = {
-    run(key).write.format("noop").mode("overwrite").save() // warm-up
-    val jobs = new AtomicInteger(0)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        ids.add(j.jobId)
+    }
+    // Poll until the async bus goes quiet: id-set size stable for one
+    // 200ms tick (the action has returned, so every start event is
+    // already posted — this only waits out dispatch).
+    def drained(): Set[Int] = {
+      var last = -1
+      var ticks = 0
+      while (ids.size != last && ticks < 15) {
+        last = ids.size; Thread.sleep(200); ticks += 1
+      }
+      ids.asScala.toSet
     }
     spark.sparkContext.addSparkListener(l)
     try {
+      run(key).write.format("noop").mode("overwrite").save() // warm-up
+      val watermark = drained().maxOption.getOrElse(-1)
       run(key).write.format("noop").mode("overwrite").save()
-      // Drain the async bus: poll until the count is stable for 200ms.
-      var last = -1
-      var ticks = 0
-      while (jobs.get() != last && ticks < 15) {
-        last = jobs.get(); Thread.sleep(200); ticks += 1
-      }
-      jobs.get()
+      drained().count(_ > watermark)
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

@@ -183,6 +183,11 @@ class StorageLifecycleSpec extends SparkSpec {
     assert(late.storageLevel ===
       org.apache.spark.storage.StorageLevel.NONE,
       "the harness owns a late pin's release")
+    // …and the drain forgets the REFERENCE too, not just its blocks:
+    // a queue of dead pins would otherwise linger until LatePinCap
+    // further late pins evict them, and latePinCount would overreport.
+    assert(Pins.latePinCount === 0,
+      "releaseAll must empty the late-pin FIFO, not only unpersist it")
   }
 
   test("late pins are CAPPED session-wide: past LatePinCap the oldest evicts") {
