@@ -476,11 +476,17 @@ object Graph extends QueryModule {
     // union; the histogram and its descending-CCDF window run over
     // the DEGREE-DOMAIN-bounded table (≤ max degree rows, never
     // |nodes|). Exact integers until the two share divisions.
-    "q_degree_dist" -> ((s, dir) => graft.Pins.scoped { _ =>
+    "q_degree_dist" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      val e = copurchasePairs(s, dir)
+      // The thresholded edge list is PINNED, not just the baskets
+      // beneath it: the degree count reads it once per union side, and
+      // without the pin the basket self-join + pair aggregate planned
+      // as two full SMJ+HashAggregate subtrees (the recorded PLANS.md
+      // shape) — exchange reuse is a planner optimization, not a
+      // contract. The pin is ≤ |pair vocabulary| rows of two longs.
+      val e = pins(copurchasePairs(s, dir)
         .filter($"support" >= MinSupport)
-        .select($"s1", $"s2")
+        .select($"s1", $"s2"))
       val deg = e.select($"s1".as("n")).union(e.select($"s2".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("degree"))
       val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
@@ -575,6 +581,11 @@ object Graph extends QueryModule {
     graft.Aqe.off(s) {
     val pins = new Pins
     try {
+      // NOT pinned (unlike q_degree_dist's edge list): the static
+      // ReuseExchange rule — which runs with AQE off too — already
+      // dedups the two union sides' pair-aggregate subtrees here;
+      // a pin was measured at identical quad runtime (3.8–5.0 s vs
+      // 3.5–4.8 s) and rejected as a pure cache-write cost.
       val thresholded = copurchasePairs(s, dir)
         .filter($"support" >= MinSupport)
         .select($"s1", $"s2")
@@ -699,6 +710,10 @@ object Graph extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= LpaKnn)
         .select($"vec_id", $"nb")
+      // knn itself is NOT pinned (unlike q_degree_dist's edge list):
+      // exchange reuse dedups the two union sides' kNN-join subtrees
+      // here — a pin was measured at identical quad runtime
+      // (3.1–3.7 s both ways) and rejected as a pure cache-write cost.
       val edges = pins(
         knn.select($"vec_id".as("src"), $"nb".as("dst"))
           .union(knn.select($"nb".as("src"), $"vec_id".as("dst")))
