@@ -489,7 +489,7 @@ object Graph extends QueryModule {
         .select($"s1", $"s2"))
       val deg = e.select($"s1".as("n")).union(e.select($"s2".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("degree"))
-      val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      val hist = pins(deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes")))
       val tot = hist.agg(sum($"n_nodes").as("nn"))
       val wTail = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(0)).orderBy($"degree".desc)

@@ -258,6 +258,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), p)
   }
 
+  test("q_degree_dist: pair build and histogram materialize once — only the total join sits outside caches") {
+    // The degree count reads the thresholded edge list once per union
+    // side and the ccdf total re-reads the histogram — without their
+    // pins the basket self-join + pair aggregate executed once per
+    // consumer (the measured round-14 creep). InMemoryRelation is a
+    // logical LEAF, so a children-only collect sees exactly the work
+    // planned OUTSIDE the caches: both histogram consumers must read
+    // the histogram cache (the edge-list cache sits INSIDE its cached
+    // plan), and the only join left in the open is the broadcast-total
+    // cross join — a pair-build join reappearing here is the creep.
+    val lp = run("q_degree_dist").queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val caches = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(joins.length === 1,
+      s"expected only the broadcast-total join outside the caches:\n$lp")
+    assert(caches.length >= 2,
+      s"both histogram consumers must read the histogram cache:\n$lp")
+    graft.Storage.releaseAll(spark)
+  }
+
   test("q_window_islands: distinct, window, and island aggregate share ONE exchange") {
     // The custkey repartition satisfies all three downstream
     // distributions (their clustering keys each contain the
