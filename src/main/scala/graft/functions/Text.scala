@@ -555,10 +555,85 @@ object Text extends QueryModule {
           round($"n_underfull" / nullif($"n_seqs".cast("double"), lit(0.0)), 4)
             .as("underfull_share"))
     }),
+
+    // [EXT r14] Tokenizer fertility by language — subwords-per-token
+    // and bytes-per-token per guessed-language bucket, the multilingual
+    // tokenizer-efficiency audit (a language with high fertility pays
+    // more sequence budget per word — the standard signal that a
+    // tokenizer's vocabulary underserves a script, cf. the fertility
+    // tables in multilingual-tokenizer evaluations). Subwords use the
+    // q_text_tokens BPE-ish proxy and the q_lang_id bucket — the same
+    // SQL-expressible stand-ins those operators document — so the
+    // whole audit is oracle-checked; a trained tokenizer/classifier
+    // slots into the same frame. Shape: one linear scan (three
+    // codegen'd per-row counters, no shuffle until the ≤|langs|-key
+    // aggregate), exact integer sums, doubles only in the final two
+    // ratios. At 100 TB this is a map-combined scan like
+    // q_text_tokens; the aggregate state is three rows.
+    "q_token_fertility" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(langGuess($"text").as("lang_guess"),
+          tokenCount($"text").as("nt"),
+          subwordCount($"text").as("nsw"),
+          octet_length($"text").cast("long").as("nb"))
+        .groupBy($"lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nt").cast("long").as("n_tokens"),
+          sum($"nsw").cast("long").as("n_subwords"),
+          sum($"nb").cast("long").as("n_bytes"))
+        .select($"lang_guess", $"n_docs", $"n_tokens", $"n_subwords",
+          $"n_bytes",
+          round($"n_subwords".cast("double") /
+            greatest($"n_tokens", lit(1L)).cast("double"), 4).as("fertility"),
+          round($"n_bytes".cast("double") /
+            greatest($"n_tokens", lit(1L)).cast("double"), 4)
+            .as("bytes_per_token"))
+        .orderBy($"lang_guess")
+    }),
+
+    // [EXT r14] Truncation-loss profile — for each candidate
+    // max-sequence-length budget, the share of corpus tokens lost and
+    // documents cut if every document truncates there: THE curve read
+    // before fixing a training sequence length (too short wastes the
+    // corpus tail, too long wastes padding — q_pack_efficiency's
+    // utilization is the other half of that trade). Shape: one
+    // tokenize scan projected to a per-doc count, replicated across
+    // the [[TruncBudgets]] rows by a broadcast cross join (the count
+    // is computed BEFORE the join, so the regex runs once per doc,
+    // not once per budget), then a |budgets|-key aggregate; exact
+    // integer sums, doubles only in the final shares.
+    "q_trunc_loss" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.documents(s, dir).select(tokenCount($"text").as("n"))
+      val budgets = TruncBudgets.toDF("budget")
+      n.crossJoin(broadcast(budgets))
+        .groupBy($"budget")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").cast("long").as("n_tokens"),
+          sum(when($"n" > $"budget", 1L).otherwise(0L)).as("n_docs_truncated"),
+          sum(greatest($"n" - $"budget", lit(0))).cast("long")
+            .as("n_tokens_lost"))
+        .select($"budget", $"n_docs_truncated", $"n_tokens_lost",
+          round($"n_tokens_lost".cast("double") /
+            greatest($"n_tokens", lit(1L)).cast("double"), 4)
+            .as("token_loss_share"),
+          round($"n_docs_truncated".cast("double") /
+            greatest($"n_docs", lit(1L)).cast("double"), 4)
+            .as("doc_trunc_share"))
+        .orderBy($"budget")
+    }),
   )
 
   /** q_seq_pack / q_pack_efficiency token budget per packed sequence. */
   val PackBudget = 512
+
+  /** q_trunc_loss candidate max-sequence-length budgets (interpolated
+    * into the twin SQL so the two engines cannot desync). The largest
+    * equals [[PackBudget]] on purpose: the loss curve's last point is
+    * the budget the packer actually uses.
+    */
+  val TruncBudgets: Seq[Int] = Seq(64, 128, 256, PackBudget)
 
   /** Merge rounds learned by q_bpe_merges. */
   val BpeRounds = 6
@@ -796,6 +871,18 @@ object Text extends QueryModule {
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The q_lang_id CASE expression — ONE spelling shared by every twin
+    * that buckets rows by guessed language (q_lang_id,
+    * q_lang_confusion, q_token_fertility), so the SQL mirror of
+    * [[langGuess]] cannot drift between its consumers. Defined as a
+    * plain (non-interpolated) literal because the regex contains
+    * `( |$)`.
+    */
+  private val langCaseSql: String =
+    """CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
+      |       WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
+      |       ELSE 'unknown' END""".stripMargin
+
   /** One BPE training round as SQL CTEs — the DuckDB mirror of
     * [[bpeArgmax]] + [[bpeRewrite]], unrolled [[BpeRounds]] times by
     * the q_bpe_merges oracle below (the q_pagerank roundCte pattern:
@@ -906,12 +993,48 @@ object Text extends QueryModule {
          |  CAST(length(text) AS INT) AS len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
-      """SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
-        |       WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
-        |       ELSE 'unknown' END AS lang_guess,
-        |  lang
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $langCaseSql AS lang_guess,
+         |  lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The q_lang_id CASE + the q_text_tokens token/subword spellings,
+    // aggregated per language bucket; strlen = byte length (DuckDB's
+    // length() counts characters, Spark's octet_length counts bytes).
+    "q_token_fertility" ->
+      s"""WITH d AS (
+         |  SELECT $langCaseSql AS lang_guess,
+         |    length(list_filter(string_split_regex(text, '$Ws+'),
+         |      t -> length(t) > 0)) AS nt,
+         |    length(list_filter(string_split_regex(
+         |      regexp_replace(text, '([0-9])', ' \\1', 'g'), '[$WsChars.,;:!?]+'),
+         |      t -> length(t) > 0)) AS nsw,
+         |    strlen(text) AS nb
+         |  FROM documents)
+         |SELECT lang_guess, COUNT(*) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(nsw) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+         |  ROUND(SUM(nsw) / GREATEST(CAST(SUM(nt) AS DOUBLE), 1.0), 4)
+         |    AS fertility,
+         |  ROUND(SUM(nb) / GREATEST(CAST(SUM(nt) AS DOUBLE), 1.0), 4)
+         |    AS bytes_per_token
+         |FROM d GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    // One tokenize CTE crossed with the budget list — the loss curve.
+    "q_trunc_loss" ->
+      s"""WITH n AS (
+         |  SELECT length(list_filter(string_split_regex(text, '$Ws+'),
+         |    t -> length(t) > 0)) AS n
+         |  FROM documents),
+         |b AS (SELECT unnest([${TruncBudgets.mkString(", ")}]) AS budget)
+         |SELECT budget,
+         |  CAST(COUNT(*) FILTER (WHERE n > budget) AS BIGINT)
+         |    AS n_docs_truncated,
+         |  CAST(SUM(GREATEST(n - budget, 0)) AS BIGINT) AS n_tokens_lost,
+         |  ROUND(SUM(GREATEST(n - budget, 0))
+         |    / GREATEST(CAST(SUM(n) AS DOUBLE), 1.0), 4) AS token_loss_share,
+         |  ROUND((COUNT(*) FILTER (WHERE n > budget))
+         |    / GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0), 4) AS doc_trunc_share
+         |FROM n, b GROUP BY budget ORDER BY budget""".stripMargin,
     "q_quality_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, text,
@@ -1080,14 +1203,12 @@ object Text extends QueryModule {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM salted ORDER BY doc_id""".stripMargin,
-    // The q_lang_id CASE expression verbatim, aggregated to the
-    // confusion matrix.
+    // The q_lang_id CASE expression (shared spelling), aggregated to
+    // the confusion matrix.
     "q_lang_confusion" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT lang,
-        |    CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'other'
-        |         WHEN regexp_matches(text, '(^| )(the|a|of|and|is)( |$)') THEN 'en'
-        |         ELSE 'unknown' END AS lang_guess
+        |    $langCaseSql AS lang_guess
         |  FROM documents)
         |SELECT lang, lang_guess, COUNT(*) AS n,
         |  ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)

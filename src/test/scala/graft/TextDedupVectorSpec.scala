@@ -366,4 +366,55 @@ class TextDedupVectorSpec extends SparkSpec {
     // Conservation: per-source doc counts must add to the corpus.
     assert(got.values.map(_._1).sum === fps.length.toLong)
   }
+
+  test("q_token_fertility replays per-doc guesses, token counts, and UTF-8 bytes") {
+    import spark.implicits._
+    val guess = run("q_lang_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = run("q_text_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getInt(2).toLong))).toMap
+    val bytes = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong)
+      .toMap
+    val byLang = guess.keys.toSeq.groupBy(guess)
+    val got = run("q_token_fertility").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, ids) =>
+      val nt = ids.map(i => toks(i)._1).sum
+      val nsw = ids.map(i => toks(i)._2).sum
+      val nb = ids.map(bytes).sum
+      val (gDocs, gT, gSw, gB, gFert, gBpt) = got(lang)
+      assert(gDocs === ids.length.toLong && gT === nt && gSw === nsw
+        && gB === nb, lang)
+      assert(gFert === BigDecimal(nsw.toDouble / math.max(nt, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$lang fertility")
+      assert(gBpt === BigDecimal(nb.toDouble / math.max(nt, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$lang bytes/token")
+    }
+  }
+
+  test("q_trunc_loss replays the loss curve from per-doc token counts") {
+    val n = run("q_text_tokens").collect().map(_.getInt(1).toLong)
+    val total = n.sum
+    val got = run("q_trunc_loss").collect()
+    assert(got.map(_.getInt(0)) === Text.TruncBudgets.toArray,
+      "one row per budget, ascending")
+    got.foreach { r =>
+      val b = r.getInt(0)
+      val cut = n.count(_ > b).toLong
+      val lost = n.map(t => math.max(t - b, 0L)).sum
+      assert(r.getLong(1) === cut, s"budget $b docs")
+      assert(r.getLong(2) === lost, s"budget $b tokens")
+      assert(r.getDouble(3) === BigDecimal(lost.toDouble / math.max(total, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"budget $b share")
+      assert(r.getDouble(4) === BigDecimal(cut.toDouble / math.max(n.length, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"budget $b docs share")
+    }
+    // Monotone: a larger budget never loses more.
+    val losses = got.map(_.getLong(2))
+    assert(losses.zip(losses.tail).forall { case (a, b) => a >= b },
+      "token loss must be non-increasing in budget")
+  }
 }
