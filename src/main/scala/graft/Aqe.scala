@@ -31,17 +31,50 @@ import org.apache.spark.sql.SparkSession
   * (and e.g. lose a runtime broadcast conversion). The engine's
   * execution contract is one query at a time per session (the
   * [[Pins]] ambient-scope contract makes the same assumption, and
-  * Bench/Verify/QBench all run sequentially), so the bracket is safe
-  * here; a deployment that multiplexes concurrent queries must give
-  * each its own `SparkSession.newSession()` clone — per-session
-  * confs isolate the bracket while sharing the context and cache.
+  * Bench/Verify/QBench all run sequentially); a deployment that
+  * multiplexes concurrent queries must give each its own
+  * `SparkSession.newSession()` clone — per-session confs isolate the
+  * bracket while sharing the context and cache. The bracket ENFORCES
+  * its half of that contract: opening a bracket on a session whose
+  * bracket another thread still holds throws instead of silently
+  * re-planning that thread's queries (same-thread nesting stays
+  * legal — the conf restore unwinds correctly). A bare cross-thread
+  * action on the same session is not interceptable without a
+  * context-global listener that cannot tell clone sessions apart,
+  * so THAT side of the contract remains documentation.
   */
 object Aqe {
+  private case class Owner(thread: Thread, depth: Int)
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Owner]()
+
   def off[A](session: SparkSession)(body: => A): A = {
+    val me = Thread.currentThread()
+    owners.compute(session, (_, cur) =>
+      if (cur == null) Owner(me, 1)
+      else if (cur.thread eq me) cur.copy(depth = cur.depth + 1)
+      else throw new IllegalStateException(
+        s"Aqe.off bracket already open on thread '${cur.thread.getName}': " +
+          "the engine plans one query per session at a time — run " +
+          "concurrent queries on SparkSession.newSession() clones"))
     val conf = session.conf
-    val prior = conf.get("spark.sql.adaptive.enabled", "true")
+    // Option-preserving restore: a session that never set the key
+    // explicitly must leave the bracket with the key still unset, so
+    // a later change to the session-default conf is not shadowed by
+    // a pinned stale literal (r14 advice). getAll, not getOption —
+    // getOption resolves the REGISTERED DEFAULT for this key, so it
+    // cannot distinguish "explicitly true" from "unset"; getAll is
+    // the explicit-settings map alone.
+    val prior = conf.getAll.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
     try body
-    finally conf.set("spark.sql.adaptive.enabled", prior)
+    finally {
+      prior match {
+        case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+        case None => conf.unset("spark.sql.adaptive.enabled")
+      }
+      owners.compute(session, (_, cur) =>
+        if (cur.depth <= 1) null else cur.copy(depth = cur.depth - 1))
+    }
   }
 }

@@ -176,13 +176,26 @@ object Pins {
     * unpersist drops caching, lineage still evaluates. Entries the
     * harness already released via [[Storage.releaseAll]] unpersist
     * again as a no-op when evicted.
+    *
+    * Dedupe on enqueue: re-pinning a frame ALREADY queued moves it to
+    * the back instead of enqueuing a duplicate — with two queue
+    * entries for one cache entry, evicting the older would unpersist
+    * the storage the newer entry claims to keep live, and
+    * [[latePinCount]] would over-report (r14 advice).
     */
   private[graft] def latePersist(df: DataFrame,
       level: StorageLevel): DataFrame = latePins.synchronized {
-    while (latePins.size >= LatePinCap)
-      latePins.dequeue().unpersist(blocking = false)
-    latePins += df
-    df.persist(level)
+    val idx = latePins.indexWhere(_ eq df)
+    if (idx >= 0) {
+      latePins.remove(idx)
+      latePins += df
+      df
+    } else {
+      while (latePins.size >= LatePinCap)
+        latePins.dequeue().unpersist(blocking = false)
+      latePins += df
+      df.persist(level)
+    }
   }
 
   /** Current late-pin count — the observable the lifecycle spec

@@ -209,10 +209,10 @@ object Curation extends QueryModule {
         .transform(graft.Pins.ambient)
       val ct = terms.groupBy($"term").agg(count(lit(1)).as("cc"))
       val stot = st.groupBy($"source").agg(sum($"cs").as("ns"))
-      val tot = broadcast(terms.agg(count(lit(1)).as("nc")))
+      val tot = terms.agg(count(lit(1)).as("nc"))
       st.join(ct, Seq("term"))
         .join(stot, Seq("source"))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .groupBy($"source")
         .agg(max($"ns").as("n_tokens"), count(lit(1)).as("n_terms"),
           round(sum(($"cs".cast("double") / $"ns")
@@ -238,8 +238,8 @@ object Curation extends QueryModule {
         .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
         .transform(graft.Pins.ambient)
       val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
-      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
-      val scored = terms.join(cnt, Seq("term")).crossJoin(tot)
+      val tot = terms.agg(count(lit(1)).as("n"))
+      val scored = terms.join(cnt, Seq("term")).crossJoin(broadcast(tot))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_toks"),
           avg(log($"c" / $"n".cast("double"))).as("s"))
@@ -280,11 +280,11 @@ object Curation extends QueryModule {
       val bcnt = inst.groupBy($"bigram").agg(count(lit(1)).as("cb"))
       val ucnt = toks.select(explode($"tk").as("ctx"))
         .groupBy($"ctx").agg(count(lit(1)).as("cu"))
-      val vocab = broadcast(ucnt.agg(count(lit(1)).as("v")))
+      val vocab = ucnt.agg(count(lit(1)).as("v"))
       val scored = inst
         .join(bcnt, Seq("bigram"))
         .join(ucnt, Seq("ctx"))
-        .crossJoin(vocab)
+        .crossJoin(broadcast(vocab))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_big"),
           avg(-log(($"cb" + 1).cast("double") / ($"cu" + $"v").cast("double"))).as("s"))
@@ -453,11 +453,11 @@ object Curation extends QueryModule {
         .transform(graft.Pins.ambient)
       val ct = st.groupBy($"term").agg(sum($"ys").cast("long").as("yc"))
       val stot = broadcast(st.groupBy($"source").agg(sum($"ys").cast("long").as("ns")))
-      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+      val tot = terms.agg(count(lit(1)).as("n"))
       val a0 = lit(LogOddsPrior)
       val scored = st.join(ct, Seq("term"))
         .join(stot, Seq("source"))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .withColumn("at", a0 * $"yc" / $"n")
         .withColumn("yr", ($"yc" - $"ys").cast("double"))
         .withColumn("nr", ($"n" - $"ns").cast("double"))

@@ -537,11 +537,13 @@ object Graph extends QueryModule {
     // and partition-invariant — hash-verifiable by an unrolled-CTE
     // oracle. Per round: one dst-side semi-join of the persisted edge
     // table against the |alive|-row node set (the src-side
-    // restriction is redundant — see the loop comment), one
-    // map-side-combined degree count, an EAGER checkpoint truncation
-    // (the q_dedup_groups plan-doubling discipline), superseded
-    // rounds released as the next lands; two semi-joins appear only
-    // in the final core report.
+    // restriction is redundant — see the loop comment) and one
+    // map-side-combined degree count. All [[KcoreRounds]] rounds
+    // compose into ONE checkpointed plan ([[KcoreRoundsPerCheckpoint]]
+    // — fixed rounds bound the plan by construction) and the
+    // |core|-row report is truncated eagerly inside the AQE-off
+    // bracket, so the whole query is a short job chain under any
+    // driver load (r15: 19 jobs / 22 s driver-cold → 7, quad 3.8 s).
     "q_kcore" -> ((s, dir) => kcore(s, dir)),
   )
 
@@ -552,34 +554,44 @@ object Graph extends QueryModule {
   /** Peel rounds composed into ONE plan between checkpoint
     * truncations. Truncation frequency is a KNOB, not a semantic: the
     * peel is a pure function of the previous survivor set, so k
-    * composed rounds compute exactly the round-k set — but each
-    * materialized generation costs a full sequential scheduler round
-    * trip, which a loaded driver window multiplies (the round-12
-    * bench adjudication: ~6 barriers read 12–15 s under load against
-    * a ~7 s idle floor). Two rounds per barrier halves that exposure
-    * while the composed plan stays two bounded semi-join+aggregate
-    * stages — still far from the unbounded plan growth the eager
-    * truncation exists to stop.
+    * composed rounds compute exactly the round-k set (pinned by the
+    * SelectionGraphSpec composition test) — but each materialized
+    * generation costs a full sequential scheduler round trip, which a
+    * loaded driver window multiplies (the r14 bench: 22.0 s driver-
+    * cold against a 4.18 s quad midpoint at 3 barriers). With the
+    * round count FIXED at [[KcoreRounds]], composing ALL rounds into
+    * one plan is bounded by construction — 6 chained semi-join+
+    * aggregate stages — so the fully-composed setting wins outright:
+    * measured at sf0.1 (JobCount, r15), 19 jobs / 13.2 s driver-cold
+    * at 2-per-barrier vs 7 jobs / 8.8 s fully composed, with the
+    * isolated quad IMPROVING 4.18 → 3.82 s (the r12 "3-per-barrier
+    * is worse" reading predated the eager report truncation and
+    * inverted once the report stopped re-planning under AQE). A
+    * smaller value only makes sense for a hypothetical unbounded
+    * peel, where per-k truncation stops plan growth — the knob stays
+    * a parameter for that case and for the composition spec.
     */
-  val KcoreRoundsPerCheckpoint = 2
+  val KcoreRoundsPerCheckpoint = KcoreRounds
 
   private[graft] def kcore(s: org.apache.spark.sql.SparkSession, dir: String,
       strategy: CheckpointStrategy = CheckpointStrategy.Local,
       roundsPerCheckpoint: Int = KcoreRoundsPerCheckpoint): DataFrame = {
     import s.implicits._
     // AQE off for the peel loop's own actions (the generation
-    // truncations run INSIDE this builder): the loop is fixed-round
-    // semi-join+aggregate over a pinned edge table with nothing to
-    // replan, and AQE's per-exchange jobs doubled the sequential
-    // chain — measured 41 jobs vs 19 per end-to-end invocation at
-    // identical isolated runtime (the figure JobBudgetSpec pins; see
-    // [[graft.Aqe.off]]). The closing core report materializes
-    // OUTSIDE this scope, under the caller's restored conf. The same
+    // truncations AND the eager report truncation run INSIDE this
+    // builder): the loop is fixed-round semi-join+aggregate over a
+    // pinned edge table with nothing to replan, and AQE's
+    // per-exchange jobs doubled the sequential chain — measured 41
+    // jobs vs 19 per end-to-end invocation at identical isolated
+    // runtime in r14, then 19 → 7 in r15 once the rounds composed
+    // into one barrier and the report moved inside the bracket (the
+    // figure JobBudgetSpec pins; see [[graft.Aqe.off]]). The same
     // bracket was measured and REJECTED for q_label_prop (+2 s) and
     // q_dedup_groups (+8 s) — their joins profit from AQE's runtime
     // broadcast conversion, so they keep it.
     graft.Aqe.off(s) {
     val pins = new Pins
+    val gen = new Generations(strategy)
     try {
       // NOT pinned (unlike q_degree_dist's edge list): the static
       // ReuseExchange rule — which runs with AQE off too — already
@@ -594,9 +606,9 @@ object Graph extends QueryModule {
         .union(thresholded.select($"s2".as("src"), $"s1".as("dst"))))
       // Generation lifecycle: stage truncates the new round, advance
       // releases the superseded one (the shared Generations
-      // discipline). No releaseAll here — the final report below
-      // reads the LAST round lazily, so its storage belongs to the
-      // result, not the loop.
+      // discipline). At the default single-barrier composition the
+      // loop runs once; the finally's gen.releaseAll is safe because
+      // the report is ITSELF truncated before the builder returns.
       //
       // ONE semi-join per round, dst side only: restricting the src
       // side too is redundant — a node dropped in round t was
@@ -623,7 +635,6 @@ object Graph extends QueryModule {
           .filter($"d" >= KcoreK)
           .select($"src".as("node"))
       }
-      val gen = new Generations(strategy)
       var alive: Option[DataFrame] = None
       var done = 0
       while (done < KcoreRounds) {
@@ -646,7 +657,7 @@ object Graph extends QueryModule {
       // |core|-row report and turns a silent non-core set into a loud
       // job failure naming the offending degree.
       val core = alive.get
-      edges
+      val report = edges
         .join(core.select($"node".as("src")), Seq("src"), "left_semi")
         .join(core.select($"node".as("dst")), Seq("dst"), "left_semi")
         .groupBy($"src").agg(count(lit(1)).as("core_deg"))
@@ -656,7 +667,13 @@ object Graph extends QueryModule {
             lit(s" < $KcoreK — raise KcoreRounds"))).isNull)
         .select($"src".as("node"), $"core_deg")
         .orderBy($"core_deg".desc, $"node")
-    } finally pins.releaseAll()
+      // Eager final truncation (the q_pagerank discipline): the
+      // |core|-row report materializes HERE — inside the AQE-off
+      // bracket, while the edges pin is still live — so the caller's
+      // action is a trivial LogicalRDD scan instead of a 2-semi-join
+      // tail re-planned under AQE with an unpinned edge table.
+      strategy.truncate(report)
+    } finally { gen.releaseAll(); pins.releaseAll() }
     }
   }
 

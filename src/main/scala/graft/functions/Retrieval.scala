@@ -269,8 +269,8 @@ object Retrieval extends QueryModule {
 
   private[graft] def bm25From(s: SparkSession, dld: DataFrame): DataFrame = {
     import s.implicits._
-    val stats = broadcast(dld.agg(
-      count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl")))
+    val stats = dld.agg(
+      count(lit(1)).cast("double").as("n_docs"), sum($"dl").as("sum_dl"))
     // tf is pinned too: it feeds BOTH the final join's probe side and
     // the df aggregate — unpersisted, Spark would re-run the corpus
     // explode + tf aggregation once per consumer (the PLANS.md dump
@@ -282,7 +282,7 @@ object Retrieval extends QueryModule {
       .transform(graft.Pins.ambient)
     val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), Seq("term"))
-      .crossJoin(stats)
+      .crossJoin(broadcast(stats))
       .withColumn("idf", log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
       .withColumn("score_t", $"idf" * ($"tf" * lit(2.2)) /
         ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs"))))
@@ -322,21 +322,20 @@ object Retrieval extends QueryModule {
     val tf = dld
       .select($"doc_id", explode($"tk").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
-    val nDocs = broadcast(dld
-      .agg(count(lit(1)).cast("double").as("n")))
+    val nDocs = dld.agg(count(lit(1)).cast("double").as("n"))
     val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-    val w = tf.join(df, Seq("term")).crossJoin(nDocs)
+    val w = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
         ($"tf" * (log(($"n" + 1) / ($"df" + 1)) + 1)).as("w"))
       .transform(graft.Pins.ambient)
     val norms = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
     val qv = broadcast(w.filter($"doc_id" === 0)
       .select($"term", $"w".as("qw")))
-    val qn = broadcast(norms.filter($"doc_id" === 0).select($"nrm".as("qnrm")))
+    val qn = norms.filter($"doc_id" === 0).select($"nrm".as("qnrm"))
     w.filter($"doc_id" =!= 0)
       .join(qv, Seq("term"))
       .groupBy($"doc_id").agg(sum($"w" * $"qw").as("dot"))
-      .join(norms, Seq("doc_id")).crossJoin(qn)
+      .join(norms, Seq("doc_id")).crossJoin(broadcast(qn))
       .select($"doc_id", round($"dot" / ($"nrm" * $"qnrm"), 4).as("sim"))
   }
 

@@ -133,12 +133,12 @@ object Selection extends QueryModule {
         .select($"doc_id", $"n_chars".as("w"),
           expr(s"doc_id div $PrefixBucket").as("bkt"))
       val boff = exclusiveOffsets(docs.groupBy($"bkt").agg(sum($"w").as("bw")), "bw")
-      val tot = broadcast(docs.agg(coalesce(sum($"w"), lit(0L)).as("total")))
+      val tot = docs.agg(coalesce(sum($"w"), lit(0L)).as("total"))
       val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       docs.join(broadcast(boff), Seq("bkt"))
         .withColumn("cum_before", $"off" + coalesce(sum($"w").over(wIn), lit(0L)))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .withColumn("step", greatest(expr(s"total div $SampleK"), lit(1L)))
         .withColumn("multiplicity",
           (expr("(cum_before + w) div step") - expr("cum_before div step")).cast("int"))
@@ -242,13 +242,13 @@ object Selection extends QueryModule {
       val tgtCnt = terms.filter($"lang" === "en")
         .groupBy($"b").agg(count(lit(1)).as("tc"))
       val rawCnt = terms.groupBy($"b").agg(count(lit(1)).as("rc"))
-      val tots = broadcast(terms.agg(
+      val tots = terms.agg(
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"),
-        count(lit(1)).as("rt")))
+        count(lit(1)).as("rt"))
       val scored = terms
         .join(rawCnt, Seq("b"))
         .join(tgtCnt, Seq("b"), "left")
-        .crossJoin(tots)
+        .crossJoin(broadcast(tots))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_toks"),
           avg(log((coalesce($"tc", lit(0L)) + 1) / ($"tt" + DsirBuckets).cast("double"))

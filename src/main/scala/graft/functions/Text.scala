@@ -173,14 +173,14 @@ object Text extends QueryModule {
       // broadcast-cross-joined into the scoring projection, and the
       // tokenize stage (`terms`) is persisted so the tf and df branches
       // read it once instead of exploding the corpus twice.
-      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val terms = graft.Pins.ambient(
         docs.select($"doc_id", explode(tokens(lower($"text"))).as("term")))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
       tf.join(df, Seq("term"))
-        .crossJoin(nDocs)
+        .crossJoin(broadcast(nDocs))
         .select($"doc_id", $"term",
           round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 4).as("tfidf"))
         .orderBy($"tfidf".desc, $"term".asc, $"doc_id".asc)
@@ -271,16 +271,16 @@ object Text extends QueryModule {
         .select(tokens($"text").as("tk")))
       val uni = tk.select(explode($"tk").as("t"))
         .groupBy($"t").agg(count(lit(1)).as("c"))
-      val uniTot = broadcast(uni.agg(sum($"c").cast("double").as("n")))
+      val uniTot = uni.agg(sum($"c").cast("double").as("n"))
       val bi = tk.select(explode(bigrams($"tk")).as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("cab"))
-      val biTot = broadcast(bi.agg(sum($"cab").cast("double").as("nb")))
+      val biTot = bi.agg(sum($"cab").cast("double").as("nb"))
       bi.filter($"cab" >= PmiMinCount)
         .withColumn("t1", split($"bigram", " ").getItem(0))
         .withColumn("t2", split($"bigram", " ").getItem(1))
         .join(uni.select($"t".as("t1"), $"c".as("ca")), Seq("t1"))
         .join(uni.select($"t".as("t2"), $"c".as("cb")), Seq("t2"))
-        .crossJoin(uniTot).crossJoin(biTot)
+        .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
         .select($"bigram", $"cab",
           round(log(($"cab".cast("double") * $"n" * $"n") /
             ($"nb" * $"ca".cast("double") * $"cb".cast("double"))), 4).as("pmi"))

@@ -207,9 +207,8 @@ object Vectors extends QueryModule {
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val query = broadcast(
-      emb.filter(col("vec_id") === queryId).select(col("v").as("qv")))
-    emb.crossJoin(query)
+    val query = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    emb.crossJoin(broadcast(query))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)

@@ -194,8 +194,8 @@ object Aggregates extends QueryModule {
           .filter($"ts" >= $"c_ts")
           .groupBy($"user_id").agg(min($"ts").as("p_ts"))
         viewed.agg(count(lit(1)).as("n_viewed"))
-          .crossJoin(clicked.agg(count(lit(1)).as("n_clicked")))
-          .crossJoin(purchased.agg(count(lit(1)).as("n_purchased")))
+          .crossJoin(broadcast(clicked.agg(count(lit(1)).as("n_clicked"))))
+          .crossJoin(broadcast(purchased.agg(count(lit(1)).as("n_purchased"))))
       }
     }),
 
@@ -325,10 +325,10 @@ object Aggregates extends QueryModule {
     "q_share_of_total" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
-      val total = broadcast(li.agg(sum($"l_extendedprice").as("grand_total")))
+      val total = li.agg(sum($"l_extendedprice").as("grand_total"))
       li.groupBy($"l_returnflag")
         .agg(sum($"l_extendedprice").as("flag_total"))
-        .crossJoin(total)
+        .crossJoin(broadcast(total))
         .select($"l_returnflag",
           round($"flag_total", 4).as("flag_total"),
           round($"flag_total" / $"grand_total", 6).as("share"))

@@ -41,6 +41,46 @@ class AqeSpec extends SparkSpec {
     assert(clone.conf.get(Key) === "true")
   }
 
+  test("a bracket opened while another thread holds one throws; a clone session does not") {
+    spark.conf.set(Key, "true")
+    val inner = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val cloneOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Aqe.off(spark) {
+      val t = new Thread(() => {
+        try Aqe.off(spark) { fail("cross-thread bracket must not open") }
+        catch { case e: IllegalStateException => inner.set(e) }
+        // The documented mitigation stays legal: a newSession clone
+        // opens its own bracket concurrently without conflict.
+        val clone = spark.newSession()
+        Aqe.off(clone) { cloneOk.set(clone.conf.get(Key) === "false") }
+      })
+      t.start(); t.join()
+    }
+    assert(inner.get() != null,
+      "a second thread opening a bracket on the SAME session must fail loudly")
+    assert(cloneOk.get(), "a clone session's bracket must open concurrently")
+    assert(spark.conf.get(Key) === "true", "outer bracket must still restore")
+    // Same-thread nesting stays legal and unwinds the conf correctly.
+    Aqe.off(spark) {
+      Aqe.off(spark) { assert(spark.conf.get(Key) === "false") }
+      assert(spark.conf.get(Key) === "false",
+        "inner exit must restore the OUTER bracket's value, not the caller's")
+    }
+    assert(spark.conf.get(Key) === "true")
+  }
+
+  test("a session that never set the key explicitly leaves the bracket with it unset") {
+    // conf.getAll is the EXPLICIT-settings map (getOption resolves the
+    // registered default, so it cannot observe unset-ness).
+    spark.conf.unset(Key)
+    assert(!spark.conf.getAll.contains(Key))
+    Aqe.off(spark) { assert(spark.conf.get(Key) === "false") }
+    assert(!spark.conf.getAll.contains(Key),
+      "restore must unset, not pin the default as an explicit literal " +
+        "(it would shadow a later session-default change)")
+    spark.conf.set(Key, "true") // leave the shared session as the suite expects
+  }
+
   test("a lazy frame built inside the bracket plans adaptively once outside") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     spark.conf.set(Key, "true")

@@ -268,16 +268,20 @@ class PlanSpec extends SparkSpec {
     // the histogram cache (the edge-list cache sits INSIDE its cached
     // plan), and the only join left in the open is the broadcast-total
     // cross join — a pair-build join reappearing here is the creep.
-    val lp = run("q_degree_dist").queryExecution.optimizedPlan
-    val joins = lp.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-    val caches = lp.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
-    assert(joins.length === 1,
-      s"expected only the broadcast-total join outside the caches:\n$lp")
-    assert(caches.length >= 2,
-      s"both histogram consumers must read the histogram cache:\n$lp")
-    graft.Storage.releaseAll(spark)
+    // try/finally: an assertion failure must still release the scoped
+    // pins, or they leak into later cache-shape assertions in this
+    // shared session (r14 advice).
+    try {
+      val lp = run("q_degree_dist").queryExecution.optimizedPlan
+      val joins = lp.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      val caches = lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+      assert(joins.length === 1,
+        s"expected only the broadcast-total join outside the caches:\n$lp")
+      assert(caches.length >= 2,
+        s"both histogram consumers must read the histogram cache:\n$lp")
+    } finally graft.Storage.releaseAll(spark)
   }
 
   test("q_window_islands: distinct, window, and island aggregate share ONE exchange") {

@@ -216,6 +216,31 @@ class StorageLifecycleSpec extends SparkSpec {
     Storage.releaseAll(spark)
   }
 
+  test("re-late-pinning the SAME frame dedupes: one queue entry, newest stays cached") {
+    // Without enqueue dedupe, two queue entries share one cache entry:
+    // evicting the older unpersists the storage the newer claims to
+    // keep live, and latePinCount over-reports (r14 advice).
+    import spark.implicits._
+    Storage.releaseAll(spark)
+    val pins = new Pins
+    pins.releaseAll() // scope fired — pins below are late
+    val dup = pins(spark.range(7).toDF("id"))
+    pins(dup) // same reference, late-pinned twice
+    assert(Pins.latePinCount === 1,
+      s"duplicate late pin must not enqueue twice: ${Pins.latePinCount}")
+    // A re-pin REFRESHES recency: fill the FIFO to one below eviction
+    // of `dup`, re-pin it, add one more — dup must survive (the
+    // refreshed position), and the count never exceeds the cap.
+    (1 until Pins.LatePinCap).foreach(i => pins(spark.range(20 + i).toDF("id")))
+    pins(dup) // move to back
+    pins(spark.range(99).toDF("id")) // evicts the true oldest, not dup
+    assert(dup.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "a re-pinned frame's recency must refresh — it was newest, not oldest")
+    assert(Pins.latePinCount <= Pins.LatePinCap)
+    Storage.releaseAll(spark)
+  }
+
   test("q_pagerank releases its edge/degree/base pins itself (long-lived-session discipline)") {
     // The query's own lifecycle, no harness help: after the result is
     // materialized, the four MEMORY_AND_DISK pins and the pairs pin
