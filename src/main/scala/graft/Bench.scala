@@ -33,7 +33,22 @@ object Bench {
       Storage.releaseAll(spark)
       elapsed
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Diagnostic order override: SPARK_GRAFT_FIRST=k1,k2 hoists the
+    // named queries to the FRONT of the sweep (relative order of the
+    // rest unchanged). Used to attribute in-sweep cold amplification —
+    // a query whose sweep-first cold matches its isolated cold but
+    // whose normal-position cold is inflated is paying sweep-context
+    // state, not its own plan. Unset (the recorded config) the order
+    // is exactly SparkEntry.queries' iteration order, as before.
+    val hoisted = sys.env.get("SPARK_GRAFT_FIRST")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val ordered = {
+      val all = SparkEntry.queries.toSeq
+      val front = hoisted.flatMap(k => all.find(_._1 == k))
+      front ++ all.filterNot { case (k, _) => hoisted.contains(k) }
+    }
+    val results = ordered.map { case (name, fn) =>
       // GC barrier between queries: heavy predecessors (KMeans,
       // minhash shuffles) otherwise bill multi-second collections to
       // whatever small query runs next — observed up to 6× outliers.
@@ -60,8 +75,8 @@ object Bench {
     // unparseable JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val cold = results.map { case (k, (c, _)) => k -> c }
-    val warm = results.map { case (k, (_, w)) => k -> w }
+    val cold = results.map { case (k, (c, _)) => k -> c }.toMap
+    val warm = results.map { case (k, (_, w)) => k -> w }.toMap
     def mapJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = cold.values.sum

@@ -177,18 +177,24 @@ object Pins {
     * harness already released via [[Storage.releaseAll]] unpersist
     * again as a no-op when evicted.
     *
-    * Dedupe on enqueue: re-pinning a frame ALREADY queued moves it to
-    * the back instead of enqueuing a duplicate — with two queue
-    * entries for one cache entry, evicting the older would unpersist
-    * the storage the newer entry claims to keep live, and
-    * [[latePinCount]] would over-report (r14 advice).
+    * Dedupe on enqueue, keyed on the CANONICALIZED analyzed plan — the
+    * same key Spark's CacheManager uses for the cache entry itself.
+    * Two distinct DataFrame objects over one canonicalized plan share
+    * ONE cache entry (the second `persist` is a CacheManager no-op),
+    * so a reference-equality dedupe would still enqueue both, and
+    * evicting the older would unpersist the storage the newer entry
+    * claims to keep live while [[latePinCount]] over-reports (r14/r15
+    * advice). A same-plan re-pin instead refreshes the EXISTING
+    * entry's queue position and enqueues nothing.
     */
   private[graft] def latePersist(df: DataFrame,
       level: StorageLevel): DataFrame = latePins.synchronized {
-    val idx = latePins.indexWhere(_ eq df)
+    val key = df.queryExecution.analyzed.canonicalized
+    val idx =
+      latePins.indexWhere(_.queryExecution.analyzed.canonicalized == key)
     if (idx >= 0) {
-      latePins.remove(idx)
-      latePins += df
+      val existing = latePins.remove(idx)
+      latePins += existing
       df
     } else {
       while (latePins.size >= LatePinCap)

@@ -241,6 +241,39 @@ class StorageLifecycleSpec extends SparkSpec {
     Storage.releaseAll(spark)
   }
 
+  test("late-pin dedupe keys on the canonicalized plan, not object identity") {
+    // Two DISTINCT DataFrame objects over one canonicalized plan share
+    // ONE CacheManager entry (the second persist is a no-op), so a
+    // reference-equality dedupe would still enqueue both and evicting
+    // the older would unpersist the storage the newer entry claims to
+    // keep live — the r15 verdict's residual. The queue must treat
+    // same-plan frames as one entry.
+    import spark.implicits._
+    Storage.releaseAll(spark)
+    val pins = new Pins
+    pins.releaseAll() // scope fired — pins below are late
+    val a = pins(spark.range(7).toDF("id"))
+    val b = spark.range(7).toDF("id") // equal plan, different object
+    assert(!(a eq b) &&
+      a.queryExecution.analyzed.canonicalized ==
+        b.queryExecution.analyzed.canonicalized)
+    pins(b)
+    assert(Pins.latePinCount === 1,
+      s"same-plan late pins must share one queue entry: ${Pins.latePinCount}")
+    // Recency must refresh through the plan key too: fill the FIFO to
+    // one below evicting the shared entry, re-pin b (the DIFFERENT
+    // object), add one more — the eviction must take the true oldest
+    // FILLER, and the a/b cache entry survives.
+    (1 until Pins.LatePinCap).foreach(i => pins(spark.range(30 + i).toDF("id")))
+    pins(b) // same-plan refresh moves the shared entry to the back
+    pins(spark.range(199).toDF("id")) // cap exceeded: evicts true oldest
+    assert(b.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "the same-plan frame's storage must survive eviction of older entries")
+    assert(Pins.latePinCount <= Pins.LatePinCap)
+    Storage.releaseAll(spark)
+  }
+
   test("q_pagerank releases its edge/degree/base pins itself (long-lived-session discipline)") {
     // The query's own lifecycle, no harness help: after the result is
     // materialized, the four MEMORY_AND_DISK pins and the pairs pin
