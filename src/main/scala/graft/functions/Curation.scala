@@ -154,6 +154,23 @@ object Curation extends QueryModule {
     "q_token_budget" -> ((s, dir) =>
       tokenBudgetScaled(Tables.documents(s, dir))),
 
+    // [EXT r16] dedup-aware token budget — q_token_budget charged
+    // against the DEDUPED corpus: a budget computed over raw documents
+    // double-counts every exact-duplicate group (q_dup_rate reports
+    // how badly, per source), so sources padded with boilerplate
+    // copies eat budget their unique content never fills. The keeper
+    // per fingerprint group is exactly q_dedup_survivor's rule
+    // (longest text, doc_id tiebreak — ONE survivorship convention
+    // across the engine), and the budget then runs over survivors
+    // only, same output contract as q_token_budget. Shape: the keeper
+    // cut shuffles (fingerprint, length, id) triples — never
+    // documents — and WindowGroupLimit bounds the per-group sort;
+    // survivors return as a doc_id semi-join (at 100 TB both sides
+    // co-partition on the id key), then the chunked PrefixScan
+    // exactly as the base query.
+    "q_token_budget_dedup" -> ((s, dir) =>
+      tokenBudgetDeduped(Tables.documents(s, dir))),
+
     // [EXT r13] Source mixture report — the audit companion of
     // q_domain_cap/q_token_budget/q_mix_weighted: per-source document
     // and TOKEN counts (tokens are the unit training consumes), each
@@ -515,6 +532,26 @@ object Curation extends QueryModule {
       .orderBy($"source", $"doc_id"))
   }
 
+  /** Dedup-aware budget (q_token_budget_dedup): the q_dedup_survivor
+    * keeper cut (one row per fingerprint group — longest text, doc_id
+    * tiebreak) composed with [[tokenBudgetScaled]]. The cut shuffles
+    * (fp, len, id) triples only and WindowGroupLimit bounds the
+    * per-group sort; survivors return by a doc_id semi-join.
+    */
+  private[graft] def tokenBudgetDeduped(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"fp")
+      .orderBy($"len".desc, $"doc_id".asc)
+    val keepers = docs
+      .select($"doc_id", length($"text").as("len"),
+        Text.fingerprint($"text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id")
+    tokenBudgetScaled(docs.join(keepers, Seq("doc_id"), "left_semi"))
+  }
+
   /** The single-window formulation — every source on one task;
     * retained as the independent reference implementation
     * CurationSpec checks [[tokenBudgetScaled]] against.
@@ -591,6 +628,31 @@ object Curation extends QueryModule {
          |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
          |      x -> length(x) > 0)) AS INT) AS n_toks
          |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_toks, cum_before FROM c
+         |WHERE cum_before < $TokenBudget ORDER BY source, doc_id""".stripMargin,
+    // The q_token_budget window over q_dedup_survivor's keeper set:
+    // one row per fingerprint group (length DESC, doc_id tiebreak —
+    // DuckDB length() counts characters like Spark's length), then
+    // the identical running-sum budget cut.
+    "q_token_budget_dedup" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY ${Text.fingerprintSql("text")}
+         |      ORDER BY length(text) DESC, doc_id) AS rn
+         |  FROM documents),
+         |s AS (SELECT doc_id FROM k WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
+         |      x -> length(x) > 0)) AS INT) AS n_toks
+         |  FROM documents JOIN s USING (doc_id)),
          |c AS (
          |  SELECT doc_id, source, n_toks,
          |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source

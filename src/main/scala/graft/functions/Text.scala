@@ -623,6 +623,53 @@ object Text extends QueryModule {
             .as("doc_trunc_share"))
         .orderBy($"budget")
     }),
+
+    // [EXT r16] vocabulary coverage / byte-fallback audit — the OOV
+    // companion of q_token_fertility: fix the vocabulary at the top
+    // [[VocabSize]] corpus terms (cnt DESC, term ASC — the
+    // q_approx_top_terms total order, deterministic at the boundary)
+    // and report, per guessed language, how much of the token stream
+    // that vocabulary covers and what a byte-fallback tokenizer would
+    // spend on the rest: an in-vocab occurrence encodes as ONE
+    // symbol, an OOV occurrence as its UTF-8 byte count (the
+    // SentencePiece byte-fallback contract), so byte_fallback_share
+    // is the share of the encoded stream burned on fallback — high
+    // for a language means the vocabulary underserves that script
+    // (fertility says the same thing from the subword side). Shape:
+    // ONE pinned tokenize pass feeds both the vocabulary aggregate
+    // (vocabulary-bounded, map-side combined) and the coverage join;
+    // the top-V cut is a TakeOrdered over the term aggregate, and the
+    // ≤[[VocabSize]]-row vocabulary arrives at the stream by
+    // BROADCAST — the corpus-sized side never reshuffles. Integer
+    // counts stay exact; doubles only in the two final shares.
+    "q_vocab_coverage" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      // lang_guess is projected to an attribute BELOW the explode —
+      // in one select the Project lands ABOVE the Generate and the
+      // two full-text rlikes run once per TERM row instead of once
+      // per doc (measured 2.8 → 1.1 s warm at sf0.1; the SCALING.md
+      // rule-1 trap in its Generate form).
+      val terms = graft.Pins.ambient(Tables.documents(s, dir)
+        .select(langGuess($"text").as("lang_guess"),
+          tokens(lower($"text")).as("tk"))
+        .select($"lang_guess", explode($"tk").as("term")))
+      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term".asc).limit(VocabSize)
+        .select($"term", lit(1).as("iv"))
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy($"lang_guess")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"iv".isNull, lit(1))).as("n_oov"),
+          coalesce(sum(when($"iv".isNull, octet_length($"term"))), lit(0))
+            .cast("long").as("n_oov_bytes"))
+        .select($"lang_guess", $"n_tokens", $"n_oov", $"n_oov_bytes",
+          round($"n_oov".cast("double") /
+            greatest($"n_tokens", lit(1L)).cast("double"), 4).as("oov_rate"),
+          round($"n_oov_bytes".cast("double") /
+            greatest($"n_tokens" - $"n_oov" + $"n_oov_bytes", lit(1L))
+              .cast("double"), 4).as("byte_fallback_share"))
+        .orderBy($"lang_guess")
+    }),
   )
 
   /** q_seq_pack / q_pack_efficiency token budget per packed sequence. */
@@ -634,6 +681,17 @@ object Text extends QueryModule {
     * the budget the packer actually uses.
     */
   val TruncBudgets: Seq[Int] = Seq(64, 128, 256, PackBudget)
+
+  /** q_vocab_coverage vocabulary size — the top-V corpus terms kept
+    * in-vocabulary. The fixture corpus draws from a ~31-term
+    * generator vocabulary (probed at all three SFs), so V must
+    * undercut it for the audit to have a real OOV tail; 16 leaves
+    * about half the term stream out-of-vocabulary, including a
+    * deterministic count-tie at the boundary that exercises the
+    * (cnt DESC, term ASC) total order. Interpolated into the twin
+    * SQL so the engines share the cut.
+    */
+  val VocabSize = 16
 
   /** Merge rounds learned by q_bpe_merges. */
   val BpeRounds = 6
@@ -1019,6 +1077,35 @@ object Text extends QueryModule {
          |  ROUND(SUM(nb) / GREATEST(CAST(SUM(nt) AS DOUBLE), 1.0), 4)
          |    AS bytes_per_token
          |FROM d GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    // One lowercased tokenize CTE feeds both the top-V vocabulary cut
+    // (the q_approx_top_terms total order) and the coverage aggregate;
+    // strlen = UTF-8 bytes, matching Spark's octet_length.
+    "q_vocab_coverage" ->
+      s"""WITH terms AS (
+         |  SELECT $langCaseSql AS lang_guess,
+         |    unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+         |      t -> length(t) > 0)) AS term
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, COUNT(*) AS cnt FROM terms
+         |    GROUP BY term ORDER BY cnt DESC, term LIMIT $VocabSize)),
+         |j AS (
+         |  SELECT lang_guess, term,
+         |    term IN (SELECT term FROM vocab) AS iv
+         |  FROM terms)
+         |SELECT lang_guess,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) FILTER (WHERE NOT iv) AS BIGINT) AS n_oov,
+         |  CAST(COALESCE(SUM(strlen(term)) FILTER (WHERE NOT iv), 0)
+         |    AS BIGINT) AS n_oov_bytes,
+         |  ROUND((COUNT(*) FILTER (WHERE NOT iv))
+         |    / GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0), 4) AS oov_rate,
+         |  ROUND(COALESCE(SUM(strlen(term)) FILTER (WHERE NOT iv), 0)
+         |    / GREATEST(CAST(COUNT(*) - COUNT(*) FILTER (WHERE NOT iv)
+         |        + COALESCE(SUM(strlen(term)) FILTER (WHERE NOT iv), 0)
+         |      AS DOUBLE), 1.0), 4) AS byte_fallback_share
+         |FROM j GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     // One tokenize CTE crossed with the budget list — the loss curve.
     "q_trunc_loss" ->
       s"""WITH n AS (

@@ -175,6 +175,51 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("q_token_budget_dedup: survivor choice, duplicate displacement, and no-dup identity") {
+    import spark.implicits._
+    // The fixture SF has no exact duplicates, so the registered query
+    // must equal plain q_token_budget there — the composition is a
+    // no-op exactly when the corpus is already unique.
+    assert(run("q_token_budget_dedup").collect().toSeq ===
+      run("q_token_budget").collect().toSeq)
+    // Dedup semantics on a constructed corpus: one source whose
+    // budget-hogging head doc is a whitespace-variant duplicate group
+    // (the fingerprint normalizes runs, so all three collapse; the
+    // keeper is the LONGEST text — the padded variant), plus unique
+    // tail docs a raw budget would displace. Token counts are exact:
+    // k repetitions of one word.
+    def doc(k: Int): String = ("w " * k).trim
+    val rows = Seq(
+      // duplicate group: same normalized text (the fingerprint
+      // collapses INTERNAL whitespace runs; it does not trim, so the
+      // variants vary run width, not edges), different raw lengths
+      (1L, "s", 600L, doc(300)),
+      (2L, "s", 601L, doc(300).replace(" ", "  ")), // longest raw → keeper
+      (3L, "s", 600L, doc(300).replace(" ", " \t")),
+      // unique tail, each 250 tokens
+      (4L, "s", 300L, ("a " * 250).trim),
+      (5L, "s", 299L, ("b " * 250).trim),
+      (6L, "s", 298L, ("c " * 250).trim))
+      .toDF("doc_id", "source", "n_chars", "text")
+    val kept = Curation.tokenBudgetDeduped(rows)
+      .collect().map(_.getLong(0)).toSet
+    // Raw budget (500): docs 2 then 1 fill it (300+300 ≥ 500) and
+    // doc 4 never enters. Deduped: ONE 300-token survivor (doc 2 —
+    // longest raw text wins; doc 3 ties it on length, loses on id),
+    // then doc 4 starts at 300 < 500 (crossing doc kept) and doc 5
+    // starts at 550 ≥ 500.
+    assert(kept === Set(2L, 4L),
+      s"deduped budget must keep the longest-variant survivor then refill: $kept")
+    val raw = Curation.tokenBudgetScaled(rows).collect().map(_.getLong(0)).toSet
+    assert(raw === Set(1L, 2L),
+      s"raw budget must burn on the duplicate group: $raw")
+    // And the chunked composition equals the single-window reference
+    // over the same survivor set.
+    val survivors = rows.filter($"doc_id".isin(2L, 4L, 5L, 6L))
+    assert(Curation.tokenBudgetDeduped(rows).collect().toSeq ===
+      Curation.tokenBudgetWindowed(survivors).collect().toSeq)
+  }
+
   test("q_unigram_lm scores rare-token docs below common-token docs") {
     import spark.implicits._
     // Build a corpus where "common" appears everywhere and "rareX"

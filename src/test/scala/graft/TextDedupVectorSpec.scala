@@ -417,4 +417,44 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(losses.zip(losses.tail).forall { case (a, b) => a >= b },
       "token loss must be non-increasing in budget")
   }
+
+  test("q_vocab_coverage replays the top-V cut, OOV counts, and byte-fallback shares") {
+    import spark.implicits._
+    // Independent replay in plain Scala: lowercased whitespace tokens
+    // per doc, the (cnt DESC, term ASC) top-V vocabulary, then
+    // per-language OOV occurrence and UTF-8 byte totals.
+    val guess = run("q_lang_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docToks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(Text.Ws + "+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val cnt = docToks.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size }
+    val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(Text.VocabSize).map(_._1).toSet
+    val byLang = docToks.keys.toSeq.groupBy(guess)
+    val got = run("q_vocab_coverage").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, ids) =>
+      val toks = ids.flatMap(docToks)
+      val oov = toks.filterNot(vocab)
+      val nOovBytes = oov.map(_.getBytes("UTF-8").length.toLong).sum
+      val nSymbols = (toks.size - oov.size).toLong + nOovBytes
+      val (gT, gOov, gOovB, gRate, gFall) = got(lang)
+      assert(gT === toks.size.toLong && gOov === oov.size.toLong
+        && gOovB === nOovBytes, lang)
+      assert(gRate === BigDecimal(oov.size.toDouble / math.max(toks.size, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$lang oov_rate")
+      assert(gFall === BigDecimal(nOovBytes.toDouble / math.max(nSymbols, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$lang byte_fallback_share")
+    }
+    // The audit must have a real OOV tail at this sf, or the top-V cut
+    // proved nothing (VocabSize must undercut the corpus vocabulary).
+    assert(cnt.size > Text.VocabSize, "fixture vocabulary smaller than VocabSize")
+    assert(got.values.map(_._2).sum > 0, "no OOV occurrences at this sf")
+  }
 }
