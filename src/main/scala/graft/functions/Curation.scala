@@ -171,6 +171,43 @@ object Curation extends QueryModule {
     "q_token_budget_dedup" -> ((s, dir) =>
       tokenBudgetDeduped(Tables.documents(s, dir))),
 
+    // [EXT r16] temperature-sampling audit — the rebalancing read on
+    // top of q_source_mix's concentration report: proportional
+    // sampling starves small sources, so multilingual/multi-source
+    // pipelines sample source s with weight ∝ share^α (α<1 flattens
+    // the mixture; XLM-R/mT5 popularized α≈0.3–0.7). α is fixed at
+    // 1/2 — square-root sampling — because sqrt is IEEE-exact on
+    // both engines while a general pow would hang cross-engine hash
+    // parity on libm last-ulp agreement. Everything stays exactly
+    // deterministic: the window totals are INTEGER sums over the
+    // |sources|-bounded aggregate (never a float sum, whose partial
+    // order differs across engines/partitionings), and doubles
+    // appear only in the three final one-step divisions — w_rel =
+    // sqrt(n_s/n_max) is the source's temperature weight relative to
+    // the largest source, boost = sqrt(n_max/n_s) the up-sampling
+    // factor vs proportional ("sample source s boost× more often
+    // than its share").
+    "q_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val bySrc = Tables.documents(s, dir)
+        .select($"source", Text.tokenCount($"text").cast("long").as("tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      val w = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bySrc
+        .withColumn("tt", sum($"n_tokens").over(w))
+        .withColumn("mx", max($"n_tokens").over(w))
+        .select($"source", $"n_docs", $"n_tokens",
+          round($"n_tokens".cast("double") / $"tt".cast("double"), 6)
+            .as("share"),
+          round(sqrt($"n_tokens".cast("double") / $"mx".cast("double")), 6)
+            .as("w_rel"),
+          round(sqrt($"mx".cast("double") / $"n_tokens".cast("double")), 6)
+            .as("boost"))
+        .orderBy($"n_tokens".desc, $"source".asc)
+    }),
+
     // [EXT r13] Source mixture report — the audit companion of
     // q_domain_cap/q_token_budget/q_mix_weighted: per-source document
     // and TOKEN counts (tokens are the unit training consumes), each
@@ -685,6 +722,27 @@ object Curation extends QueryModule {
          |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
          |  ROUND(CAST(cum AS DOUBLE) / tt, 6) AS cum_share
          |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // Integer window totals over the bounded per-source aggregate;
+    // sqrt is IEEE-exact on both engines, doubles only in the final
+    // divisions (the Spark side's determinism argument verbatim).
+    "q_mix_temperature" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS tok
+         |  FROM documents),
+         |bysrc AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE)
+         |    / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS share,
+         |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)
+         |    / CAST(MAX(n_tokens) OVER () AS DOUBLE)), 6) AS w_rel,
+         |  ROUND(sqrt(CAST(MAX(n_tokens) OVER () AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE)), 6) AS boost
+         |FROM bysrc ORDER BY n_tokens DESC, source""".stripMargin,
     "q_source_kl" ->
       s"""WITH terms AS (
          |  SELECT source, unnest(list_filter(

@@ -175,6 +175,34 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("q_mix_temperature replays shares and sqrt weights; flattening inequalities hold") {
+    import spark.implicits._
+    val bySrc = Tables.documents(spark, sf)
+      .select($"source", functions.Text.tokenCount($"text").cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (s, rs) => s -> ((rs.size.toLong, rs.map(_._2).sum)) }
+    val tt = bySrc.values.map(_._2).sum
+    val mx = bySrc.values.map(_._2).max
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("q_mix_temperature").collect()
+    assert(got.map(_.getString(0)).toSet === bySrc.keySet)
+    // Ordered by n_tokens desc, source asc.
+    assert(got.map(r => (-r.getLong(2), r.getString(0))).toSeq ===
+      got.map(r => (-r.getLong(2), r.getString(0))).toSeq.sorted)
+    got.foreach { r =>
+      val (nd, nt) = bySrc(r.getString(0))
+      assert(r.getLong(1) === nd && r.getLong(2) === nt, r.getString(0))
+      assert(r.getDouble(3) === r6(nt.toDouble / tt), s"${r.getString(0)} share")
+      assert(r.getDouble(4) === r6(math.sqrt(nt.toDouble / mx)), s"${r.getString(0)} w_rel")
+      assert(r.getDouble(5) === r6(math.sqrt(mx.toDouble / nt)), s"${r.getString(0)} boost")
+      // Temperature flattening: every source is boosted AT LEAST to
+      // proportional (boost ≥ 1, = 1 only for the largest), and the
+      // relative weight dominates the relative share.
+      assert(r.getDouble(5) >= 1.0 - 1e-9)
+      assert(r.getDouble(4) + 1e-9 >= nt.toDouble / mx)
+    }
+  }
+
   test("q_token_budget_dedup: survivor choice, duplicate displacement, and no-dup identity") {
     import spark.implicits._
     // The fixture SF has no exact duplicates, so the registered query
