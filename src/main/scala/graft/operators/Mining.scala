@@ -281,24 +281,32 @@ object Mining extends QueryModule {
     }),
 
     // Count-min sketch with an exact ground truth: CmsRows md5-seeded
-    // hash rows × CmsWidth counters built in one (row, bucket)
-    // groupBy (sketch state is rows × width counters — CONSTANT
-    // however large the stream, and buckets merge by addition across
-    // shards/batches); the exact top-K heavy hitters then read their
-    // estimate back (min over rows) and report the collision
-    // overcount. est ≥ exact always — the one-sided CMS guarantee —
-    // pinned by spec; the whole chain is md5-deterministic, so the
-    // oracle replays it exactly.
-    "q_count_min" -> ((s, dir) => {
+    // hash rows × CmsWidth counters (sketch state is rows × width
+    // counters — CONSTANT however large the stream, and buckets merge
+    // by addition across shards/batches); the exact top-K heavy
+    // hitters then read their estimate back (min over rows) and
+    // report the collision overcount. est ≥ exact always — the
+    // one-sided CMS guarantee — pinned by spec; the whole chain is
+    // md5-deterministic, so the oracle replays it exactly.
+    //
+    // The sketch is built over the per-key EXACT-count aggregate
+    // (which the ground-truth side needs anyway, pinned once), not
+    // the raw stream: summing counts into buckets is identical to
+    // counting bucket hits, but the d-way explode and its d md5
+    // evaluations then run over the key-bounded table instead of
+    // every stream row — ~30× fewer md5s at sf0.1 (measured 2.5 →
+    // 0.9 s warm), and at 100 TB the d× row inflation rides on
+    // |keys|, not the corpus.
+    "q_count_min" -> ((s, dir) => graft.Pins.scoped { pins =>
       import s.implicits._
-      val keys = Tables.lineitem(s, dir).select($"l_partkey")
-      val seeded = keys.select($"l_partkey",
-        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
-      val cms = seeded
-        .select($"r", cmsBucket($"r", $"l_partkey").as("bucket"))
-        .groupBy($"r", $"bucket").agg(count(lit(1)).as("cnt"))
-      val top = keys.groupBy($"l_partkey").agg(count(lit(1)).as("n_exact"))
-        .orderBy($"n_exact".desc, $"l_partkey".asc).limit(CmsTopK)
+      val kcnt = pins(Tables.lineitem(s, dir)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_exact")))
+      val cms = kcnt
+        .select($"l_partkey", $"n_exact",
+          explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+        .select($"r", cmsBucket($"r", $"l_partkey").as("bucket"), $"n_exact")
+        .groupBy($"r", $"bucket").agg(sum($"n_exact").as("cnt"))
+      val top = kcnt.orderBy($"n_exact".desc, $"l_partkey".asc).limit(CmsTopK)
       top
         .select($"l_partkey", $"n_exact",
           explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
