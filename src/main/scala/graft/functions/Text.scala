@@ -304,13 +304,25 @@ object Text extends QueryModule {
     // engines.
     "q_bpe_pairs" -> ((s, dir) => {
       import s.implicits._
+      // Pair counts are additive over a word's occurrences, so the
+      // pair explode runs over the word-frequency AGGREGATE
+      // (vocabulary-bounded — the q_bpe_merges corpus-touched-once
+      // trick, and SCALING.md's keyed-aggregate sketch rule) with
+      // counts weighted by freq: identical totals, but the substr
+      // transform + explode run |vocab| times, not once per word
+      // occurrence. The measured win at sf0.1 is modest (quad 0.77 →
+      // 0.69 s — the linear tokenize scan dominates at this corpus),
+      // but at 100 TB the pair stage's row inflation rides on |vocab|
+      // instead of the token stream.
       Tables.documents(s, dir)
         .select(explode(tokens(lower($"text"))).as("w"))
-        .select(explode(when(length($"w") < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length($"w") - 1),
-            i => $"w".substr(i, lit(2))))).as("pair"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select($"freq",
+          explode(when(length($"w") < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length($"w") - 1),
+              i => $"w".substr(i, lit(2))))).as("pair"))
         .groupBy($"pair")
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"pair".asc)
         .limit(30)
     }),
