@@ -96,6 +96,12 @@ object Mining extends QueryModule {
     // confidence is per-antecedent.
     "q_assoc_rules" -> ((s, dir) => {
       import s.implicits._
+      // NOT pinned, although the basket-item distinct is consumed
+      // four times: a pin was measured and REJECTED at sf0.1 (quad
+      // 3.2/2.8/2.7 unpinned vs 2.9/4.4/3.6 pinned — the ~560k-row
+      // cache write costs more than the recomputes it saves, and
+      // ReuseExchange already dedups the self-join's two sides).
+      // The r14 pin-where-it-executes rule, negative branch.
       val items = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_partkey").distinct()
       val nOrders = items.agg(countDistinct($"l_orderkey").as("n_orders"))
