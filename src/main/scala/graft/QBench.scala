@@ -1,9 +1,19 @@
 package graft
 
 /** Single-query bench for iteration: times one registered query N
-  * times in a warm session (same [[GraftSession]] config as [[Bench]],
-  * including the SPARK_GRAFT_CPUS default), so a hot spot can be
-  * profiled without paying the full sweep.
+  * times in a warm session, so a hot spot can be profiled without
+  * paying the full sweep.
+  *
+  * CPUs default to 32 — the RECORDED benchmark config (BASELINE.md
+  * rule 3) — NOT GraftSession's iteration default of 4. The r16
+  * discovery that forced this: quads taken at local[4] gated sweeps
+  * run at local[32], and for driver-latency-bound queries the two
+  * configs differ ~1.7× (q_kcore 4.6 s at 4 cpus vs 7.5 at 32 —
+  * every "in-sweep warm amplification" flag of rounds 13–16 was this
+  * mismatch, not sweep-context state; SweepProbe refuted the state
+  * hypothesis directly). A midpoint recorded from a QBench quad now
+  * matches the config the warm gate measures under by default;
+  * override with SPARK_GRAFT_CPUS only for config experiments.
   *
   * Usage: runMain graft.QBench <query_key> [sfDir] [repeats]
   */
@@ -13,7 +23,9 @@ object QBench {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val repeats = if (args.length > 2) args(2).toInt else 3
-    val spark = GraftSession.local()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    println(s"[qbench] config: local[$cpus], shuffle.partitions=$cpus")
+    val spark = GraftSession.local(cpus)
     GraftSession.warm(spark)
     val fn = SparkEntry.queries.getOrElse(key,
       sys.error(s"unknown query '$key'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
