@@ -20,7 +20,11 @@ object SweepProbe {
     val prefixArg = if (args.length > 1) args(1) else "60"
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val reps = if (args.length > 3) args(3).toInt else 1
-    val spark = GraftSession.local()
+    // Same default as QBench: the RECORDED 32-cpu config, so probe
+    // readings compare to sweep readings without a config caveat.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    println(s"[probe] config: local[$cpus], shuffle.partitions=$cpus")
+    val spark = GraftSession.local(cpus)
     GraftSession.warm(spark)
     sources.Layouts.prime(spark, sfDir)
     def run(name: String): Double = {
