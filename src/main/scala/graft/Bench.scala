@@ -11,7 +11,13 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local()
+    // The sweep runs at the RECORDED config (GraftSession.RecordedCpus
+    // unless SPARK_GRAFT_CPUS overrides) and the warm gate below only
+    // accepts a baseline recorded at the SAME config — a bare Bench
+    // run can no longer sweep at one local[n] while gating against
+    // midpoints recorded at another (the r13–r16 phantom-flag class).
+    val cpus = GraftSession.cpusFromEnv
+    val spark = GraftSession.local(cpus)
     GraftSession.warm(spark)
     // The layout queries (q_partition_prune / q_bucket_join /
     // q_compact) memoize a write-once layout; build it untimed so the
@@ -40,8 +46,11 @@ object Bench {
     // whose normal-position cold is inflated is paying sweep-context
     // state, not its own plan. Unset (the recorded config) the order
     // is exactly SparkEntry.queries' iteration order, as before.
+    // distinct: a key listed twice would otherwise run twice, inflate
+    // queries_n and the sweep total, and keep only the later timing
+    // in the .toMap.
     val hoisted = sys.env.get("SPARK_GRAFT_FIRST")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq.distinct)
       .getOrElse(Seq.empty)
     val ordered = {
       val all = SparkEntry.queries.toSeq
@@ -95,7 +104,7 @@ object Bench {
     // the status names the reason in the output line — a refused
     // baseline must never silently degrade to "0 regressions"
     // (WarmBaselineSpec pins the acceptance rules).
-    val (baseline, baselineStatus) = WarmBaseline.load(baselinePath, sfDir)
+    val (baseline, baselineStatus) = WarmBaseline.load(baselinePath, sfDir, cpus)
     // Confirm pass for flagged queries only: a spike that survived
     // min-of-2 inside the sweep (some queries JIT-settle over more
     // repeats, and a loaded window can spike twice) gets one more

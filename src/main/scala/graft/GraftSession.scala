@@ -8,7 +8,20 @@ import org.apache.spark.sql.SparkSession
   * copies silently changes what a main measures or can even read.
   */
 object GraftSession {
-  def cpusFromEnv: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** The RECORDED benchmark config (BASELINE.md rule 3): every
+    * committed midpoint / cold pair was taken at local[32] with 32
+    * shuffle partitions. One constant, consumed by Bench, QBench and
+    * SweepProbe alike — r13–r16's phantom warm flags all traced to
+    * quads recorded at local[4] gating sweeps run at local[32], and
+    * the residual risk after r16's per-tool pinning was a bare Bench
+    * run falling back to a different default than the tools that
+    * recorded its baseline. The baseline file carries a "cpus" tag
+    * that [[WarmBaseline.load]] validates against the running config,
+    * so a cross-config comparison is refused, not silently graded.
+    */
+  val RecordedCpus = "32"
+
+  def cpusFromEnv: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", RecordedCpus)
 
   def local(cpus: String = cpusFromEnv): SparkSession = {
     val s = SparkSession.builder()

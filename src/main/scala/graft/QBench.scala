@@ -4,8 +4,9 @@ package graft
   * times in a warm session, so a hot spot can be profiled without
   * paying the full sweep.
   *
-  * CPUs default to 32 — the RECORDED benchmark config (BASELINE.md
-  * rule 3) — NOT GraftSession's iteration default of 4. The r16
+  * CPUs default to [[GraftSession.RecordedCpus]] — the RECORDED
+  * benchmark config (BASELINE.md rule 3), shared with Bench and
+  * SweepProbe so the three mains cannot drift apart. The r16
   * discovery that forced this: quads taken at local[4] gated sweeps
   * run at local[32], and for driver-latency-bound queries the two
   * configs differ ~1.7× (q_kcore 4.6 s at 4 cpus vs 7.5 at 32 —
@@ -23,7 +24,7 @@ object QBench {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val repeats = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = GraftSession.cpusFromEnv
     println(s"[qbench] config: local[$cpus], shuffle.partitions=$cpus")
     val spark = GraftSession.local(cpus)
     GraftSession.warm(spark)

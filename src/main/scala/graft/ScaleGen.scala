@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture generator for scaling probes BEYOND the driver's largest
+  * testdata (sf0.1): replicates a source SF directory k× with
+  * deterministic per-copy perturbation, so SCALING.md's 10×-data
+  * ratios can be extended another decade (the r16 verdict's item 4 —
+  * confirm the worst-ratio operators stay sublinear-per-row at
+  * sf0.3–0.5) without touching the read-only driver data.
+  *
+  * Perturbation design (all deterministic, seed-free):
+  *   - `documents`: copy 0 is verbatim; copy c>0 keeps (lang, source,
+  *     token multiset, length) per doc but SHUFFLES the token order by
+  *     per-position xxhash64 — the driver corpus is synthetic word
+  *     salad (unigram draws), so a shuffled copy is distributionally
+  *     identical fresh text, while verbatim copies would triple every
+  *     exact/near-dup group (duplication RATE must stay constant as
+  *     volume grows, or the dedup probes measure a data pathology, not
+  *     scaling).
+  *   - `embeddings`: vector elements rotated by 17·c positions —
+  *     preserves norms and the coordinate distribution without
+  *     creating exact-duplicate vectors.
+  *   - `lineitem`/`orders`: key-shifted copies (FK structure intact
+  *     per copy; copies never join across).
+  *   - dimension/event tables: byte-copied unchanged (dims don't grow
+  *     with corpus volume; events.parquet carries TIMESTAMP(NANOS)
+  *     that a Spark rewrite would alter).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [destDir] [factor]
+  */
+object ScaleGen {
+  /** doc_id / vec_id / orderkey copy strides — far above any id in the
+    * driver data at any shipped SF, so copies never collide.
+    */
+  val DocStride = 10000000L
+  val OrderStride = 100000000L
+
+  private def shuffledText(copy: Int): org.apache.spark.sql.Column = {
+    val tk = functions.Text.tokens(col("text"))
+    array_join(
+      transform(
+        array_sort(transform(tk, (t, i) =>
+          struct(xxhash64(col("doc_id"), lit(copy), i, t).as("h"), t.as("t")))),
+        e => e.getField("t")),
+      " ")
+  }
+
+  private[graft] def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      else docs.select(
+        (col("doc_id") + lit(c * DocStride)).as("doc_id"),
+        shuffledText(c).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }.reduce(_.unionByName(_))
+
+  private[graft] def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(c * DocStride)).as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => element_at(col("embedding"), (i + lit(c * 17)) % 64 + 1))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val destDir = if (args.length > 1) args(1) else "/tmp/graft_sf0.3"
+    val factor = if (args.length > 2) args(2).toInt else 3
+    require(!destDir.startsWith("/root/testdata"),
+      "driver testdata is read-only; write the scaled fixture elsewhere")
+    val spark = GraftSession.local()
+    new java.io.File(destDir).mkdirs()
+
+    scaleDocuments(Tables.documents(spark, srcDir), factor)
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+    scaleEmbeddings(Tables.embeddings(spark, srcDir), factor)
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+
+    val orders = Tables.orders(spark, srcDir)
+    (0 until factor).map { c =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * OrderStride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
+    val li = Tables.lineitem(spark, srcDir)
+    (0 until factor).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * OrderStride))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "events")) {
+      val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$destDir/$t.parquet")
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    for (t <- Seq("documents", "embeddings", "orders", "lineitem"))
+      println(s"[scalegen] $t: " +
+        spark.read.parquet(s"$destDir/$t.parquet").count() + " rows")
+    spark.stop()
+  }
+}

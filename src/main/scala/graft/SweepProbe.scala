@@ -20,9 +20,10 @@ object SweepProbe {
     val prefixArg = if (args.length > 1) args(1) else "60"
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val reps = if (args.length > 3) args(3).toInt else 1
-    // Same default as QBench: the RECORDED 32-cpu config, so probe
-    // readings compare to sweep readings without a config caveat.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same default as QBench/Bench: the RECORDED config
+    // (GraftSession.RecordedCpus), so probe readings compare to sweep
+    // readings without a config caveat.
+    val cpus = GraftSession.cpusFromEnv
     println(s"[probe] config: local[$cpus], shuffle.partitions=$cpus")
     val spark = GraftSession.local(cpus)
     GraftSession.warm(spark)
@@ -40,16 +41,48 @@ object SweepProbe {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // JVM session-state snapshot — printed fresh and after the prefix
+    // so the drag MECHANISM is named, not guessed: loaded-class count
+    // and metaspace/codecache growth implicate codegen class
+    // accumulation (each generated WholeStageCodegen class stays
+    // loaded for the session); GC-time growth implicates heap-resident
+    // state (listener retention, broadcast remnants); neither growing
+    // while the reading still inflates implicates JIT profile
+    // pollution (megamorphic call sites — invisible to these counters
+    // but also config-bound, not fixable by bounding state).
+    def jvmState(tag: String): Unit = {
+      import java.lang.management.ManagementFactory
+      val cls = ManagementFactory.getClassLoadingMXBean
+      val gcMs = ManagementFactory.getGarbageCollectorMXBeans
+        .toArray.map(_.asInstanceOf[java.lang.management.GarbageCollectorMXBean])
+        .map(_.getCollectionTime).sum
+      val pools = ManagementFactory.getMemoryPoolMXBeans.toArray
+        .map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
+      def poolMb(name: String): Long = pools.filter(_.getName.contains(name))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+      println(s"[probe:jvm] $tag classes=${cls.getLoadedClassCount} " +
+        s"metaspaceMB=${poolMb("Metaspace")} codeCacheMB=${poolMb("CodeHeap") + poolMb("Code Cache")} " +
+        s"heapUsedMB=${ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024 * 1024)} " +
+        s"gcTotalSec=${gcMs / 1000}")
+    }
+    jvmState("fresh")
     println(s"[probe] $target fresh: " +
       (1 to 4).map(_ => fmt(run(target))).mkString(" "))
+    // matches("\\d+") not forall(isDigit): the latter is vacuously
+    // true for "" and would crash on "".toInt instead of erroring.
     val prefix: Seq[String] =
-      if (prefixArg.forall(_.isDigit))
+      if (prefixArg.matches("\\d+"))
         SparkEntry.queries.keys.filterNot(_ == target)
           .toSeq.sorted.take(prefixArg.toInt)
-      else prefixArg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      else if (prefixArg.contains(',') || prefixArg.startsWith("q_"))
+        prefixArg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      else sys.error(
+        s"bad prefix '$prefixArg': expected a count (e.g. 60) or a comma list of q_* keys")
     prefix.foreach(k => (1 to reps).foreach(_ => run(k)))
+    jvmState(s"after ${prefix.size}x$reps")
     println(s"[probe] $target after ${prefix.size} queries x$reps: " +
       (1 to 4).map(_ => fmt(run(target))).mkString(" "))
+    jvmState("end")
     spark.stop()
   }
 }

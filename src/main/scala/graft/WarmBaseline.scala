@@ -27,22 +27,35 @@ object WarmBaseline {
     * (a local sf0.01 iteration must not compare against sf0.1
     * numbers, nor vice versa). */
   case object SfMismatch extends Status("sf_mismatch")
+  /** File present but carries no `"cpus"` tag, so the parallelism it
+    * was recorded at is unknown — the r13–r16 phantom-flag class was
+    * exactly a cross-config comparison (quads at local[4] vs sweeps
+    * at local[32]); refuse rather than re-open it. */
+  case object CpusMissing extends Status("cpus_missing")
+  /** File present but recorded at a different local[n] than this run
+    * (driver-latency-bound queries differ ~1.7× between 4 and 32
+    * cpus — a cross-config gate flags config, not regressions). */
+  case object CpusMismatch extends Status("cpus_mismatch")
 
   /** Parse the baseline file; the map is non-empty only for
     * [[Loaded]]. Regex-parsed on purpose — the file is a flat
-    * `{"sf": dir, "q_*": seconds}` object and Spark ships no JSON
-    * library worth a dependency for this.
+    * `{"sf": dir, "cpus": n, "q_*": seconds}` object and Spark ships
+    * no JSON library worth a dependency for this.
     */
-  def load(path: String, sfDir: String): (Map[String, Double], Status) = {
+  def load(path: String, sfDir: String,
+      cpus: String = GraftSession.RecordedCpus): (Map[String, Double], Status) = {
     val f = new java.io.File(path)
     if (!f.isFile) (Map.empty, NoFile)
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val baseSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      baseSf match {
-        case None => (Map.empty, SfMissing)
-        case Some(s) if s != sfDir => (Map.empty, SfMismatch)
-        case Some(_) =>
+      val baseCpus = """"cpus"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      (baseSf, baseCpus) match {
+        case (None, _) => (Map.empty, SfMissing)
+        case (Some(s), _) if s != sfDir => (Map.empty, SfMismatch)
+        case (_, None) => (Map.empty, CpusMissing)
+        case (_, Some(c)) if c != cpus => (Map.empty, CpusMismatch)
+        case _ =>
           (""""(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap,
             Loaded)

@@ -195,15 +195,24 @@ object Curation extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
       val w = Window.partitionBy(lit(0))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // greatest(·, 1): a degenerate corpus whose documents all
+      // tokenize to zero would otherwise divide by zero — Spark
+      // yields Infinity there while DuckDB's `/` yields NULL, so the
+      // cross-engine hash parity would hang on a corpus pathology
+      // rather than the query. The oracle twin carries the same
+      // GREATEST; on any real corpus (n_tokens ≥ 1) the guard is an
+      // exact identity. Same discipline as q_vocab_coverage /
+      // q_token_fertility.
       bySrc
-        .withColumn("tt", sum($"n_tokens").over(w))
-        .withColumn("mx", max($"n_tokens").over(w))
+        .withColumn("tt", greatest(sum($"n_tokens").over(w), lit(1L)))
+        .withColumn("mx", greatest(max($"n_tokens").over(w), lit(1L)))
+        .withColumn("nt", greatest($"n_tokens", lit(1L)))
         .select($"source", $"n_docs", $"n_tokens",
           round($"n_tokens".cast("double") / $"tt".cast("double"), 6)
             .as("share"),
           round(sqrt($"n_tokens".cast("double") / $"mx".cast("double")), 6)
             .as("w_rel"),
-          round(sqrt($"mx".cast("double") / $"n_tokens".cast("double")), 6)
+          round(sqrt($"mx".cast("double") / $"nt".cast("double")), 6)
             .as("boost"))
         .orderBy($"n_tokens".desc, $"source".asc)
     }),
@@ -737,11 +746,11 @@ object Curation extends QueryModule {
          |  FROM t GROUP BY source)
          |SELECT source, n_docs, n_tokens,
          |  ROUND(CAST(n_tokens AS DOUBLE)
-         |    / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS share,
+         |    / CAST(GREATEST(SUM(n_tokens) OVER (), 1) AS DOUBLE), 6) AS share,
          |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)
-         |    / CAST(MAX(n_tokens) OVER () AS DOUBLE)), 6) AS w_rel,
-         |  ROUND(sqrt(CAST(MAX(n_tokens) OVER () AS DOUBLE)
-         |    / CAST(n_tokens AS DOUBLE)), 6) AS boost
+         |    / CAST(GREATEST(MAX(n_tokens) OVER (), 1) AS DOUBLE)), 6) AS w_rel,
+         |  ROUND(sqrt(CAST(GREATEST(MAX(n_tokens) OVER (), 1) AS DOUBLE)
+         |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE)), 6) AS boost
          |FROM bysrc ORDER BY n_tokens DESC, source""".stripMargin,
     "q_source_kl" ->
       s"""WITH terms AS (

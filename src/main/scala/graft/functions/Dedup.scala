@@ -490,6 +490,86 @@ object Dedup extends QueryModule {
             .as("redundancy"))
         .orderBy($"redundancy".desc, $"source".asc)
     }),
+
+    // [EXT r17] Duplicate-group SIZE distribution — the standard
+    // before/after report for a corpus-scale dedup job (the
+    // q_degree_dist shape over q_dedup_groups' output): how many
+    // near-dup groups exist at each size, how many documents they
+    // cover, and how many a keep-one-per-group pass removes. The
+    // labeling is the identical large-star/small-star pipeline as
+    // q_dedup_groups (same candidate graph, same fixpoint); the
+    // histogram is then TWO bounded aggregates — |touched docs| rows
+    // into |groups| rows into |distinct sizes| rows — so nothing
+    // after the component labels is data-proportional. Exact
+    // integers throughout; no division at all.
+    "q_dedup_cluster_sizes" -> ((s, dir) => graft.Pins.scoped { _ =>
+      val docs = Tables.documents(s, dir)
+      val pairs = candidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 16)
+      val labels = connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+        // Every labeled node has ≥1 edge so sz ≥ 2 always; the filter
+        // guards future callers passing self-loops (dedupGroups' rule).
+        .filter(col("sz") > 1)
+        .groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .select(col("group_size"), col("n_groups"),
+          (col("group_size") * col("n_groups")).cast("long").as("n_docs"),
+          ((col("group_size") - 1) * col("n_groups")).cast("long").as("n_removable"))
+        .orderBy(col("group_size"))
+    }),
+
+    // [EXT r17] Host/path-normalized URL dedup — the CCNet/RefinedWeb
+    // FIRST dedup pass: before any content fingerprinting, collapse
+    // re-crawls of the same page that differ only in scheme, case,
+    // www-prefix, trailing slash, fragment, or tracking parameters.
+    // The documents table carries no URL column, so the raw URL is
+    // SYNTHESIZED deterministically from (doc_id, source, lang, first
+    // two tokens) with every noise class planted by doc_id residue —
+    // both engines build the identical string, so the NORMALIZATION
+    // (the operator under test) is what the oracle checks.
+    // Normalization: casefold → strip fragment → strip scheme → strip
+    // leading www. → strip trailing slash → drop utm_*/ref tracking
+    // params (param-level filter: a real param like page=N survives).
+    // Scale posture: pure per-row regex/array projection (the filter
+    // lambda runs over ≤2-element param arrays), then ONE map-side-
+    // combined groupBy on the normalized URL and a TakeOrdered — at
+    // 100 TB the group key becomes xxhash64(url) so the shuffle moves
+    // 8-byte fingerprints, the same q_dedup_exact argument.
+    "q_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", Text.tokens($"text").as("tk"))
+      def seg(i: Int) =
+        when(size($"tk") >= i, element_at($"tk", i)).otherwise(lit("index"))
+      val raw = concat(
+        when($"doc_id" % 3 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when($"doc_id" % 2 === 0, lit("www.")).otherwise(lit("")),
+        when($"doc_id" % 9 === 0, upper($"source")).otherwise($"source"),
+        lit(".example.com/"), seg(1), lit("/"), seg(2),
+        when($"doc_id" % 5 === 0, lit("/")).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+            concat(lit("?utm_source=feed&page="), ($"doc_id" % 3).cast("string")))
+          .when($"doc_id" % 4 === 1, concat(lit("?ref="), $"lang"))
+          .when($"doc_id" % 4 === 2,
+            concat(lit("?page="), ($"doc_id" % 3).cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 6 === 0, lit("#sec")).otherwise(lit("")))
+      val bare = regexp_replace(regexp_replace(regexp_replace(
+        lower(raw), "#.*$", ""), "^https?://", ""), "^www\\.", "")
+      val path = regexp_replace(regexp_replace(bare, "\\?.*$", ""), "/$", "")
+      val qstr = regexp_extract(bare, "\\?(.*)$", 1)
+      val kept = array_join(
+        filter(split(qstr, "&"), p => !p.rlike("^(utm_[a-z0-9]+|ref)=")), "&")
+      val norm = concat(path,
+        when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+      docs.select($"doc_id", norm.as("url"))
+        .groupBy($"url")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
+        .orderBy($"n_docs".desc, $"url".asc)
+        .limit(200)
+    }),
   )
 
   /** Band-bucket rows: one (id, bucket) row per band, bucket = hash of
@@ -1154,5 +1234,65 @@ object Dedup extends QueryModule {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
         |  ORDER BY length(text) DESC, doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // Same candidate graph + reachability fixpoint as q_dedup_groups,
+    // then the size histogram over the component sizes.
+    "q_dedup_cluster_sizes" ->
+      s"""${minhashCtes(32, 16)},
+         |pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM bnd x JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |ed AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+         |nodes AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, label) AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM ed e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+         |grp AS (SELECT label, COUNT(*) AS sz FROM comp
+         |        GROUP BY label HAVING COUNT(*) > 1)
+         |SELECT sz AS group_size, COUNT(*) AS n_groups,
+         |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+         |FROM grp GROUP BY sz ORDER BY group_size""".stripMargin,
+    // The synthesized raw URL is spelled identically on both sides;
+    // the twin replays the same normalization chain (casefold,
+    // fragment, scheme, www., trailing slash, tracking-param filter).
+    "q_url_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    list_filter(string_split_regex(text, '${Text.Ws}+'),
+         |      t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 9 = 0 THEN upper(source) ELSE source END) ||
+         |    '.example.com/' ||
+         |    (CASE WHEN len(tk) >= 1 THEN tk[1] ELSE 'index' END) || '/' ||
+         |    (CASE WHEN len(tk) >= 2 THEN tk[2] ELSE 'index' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |            THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+         |          WHEN doc_id % 4 = 1 THEN '?ref=' || lang
+         |          WHEN doc_id % 4 = 2 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+         |  FROM d),
+         |bare AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         |    lower(url), '#.*$$', ''), '^https?://', ''), '^www\\.', '') AS u
+         |  FROM raw),
+         |parts AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(u, '\\?.*$$', ''), '/$$', '') AS path,
+         |    array_to_string(list_filter(
+         |      string_split(regexp_extract(u, '\\?(.*)$$', 1), '&'),
+         |      p -> NOT regexp_matches(p, '^(utm_[a-z0-9]+|ref)=')), '&') AS kept
+         |  FROM bare)
+         |SELECT path || (CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END)
+         |    AS url,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM parts GROUP BY 1 ORDER BY n_docs DESC, url LIMIT 200""".stripMargin,
   )
 }

@@ -457,4 +457,84 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(cnt.size > Text.VocabSize, "fixture vocabulary smaller than VocabSize")
     assert(got.values.map(_._2).sum > 0, "no OOV occurrences at this sf")
   }
+
+  test("q_dedup_cluster_sizes matches a union-find histogram over the candidate graph") {
+    // Independent algorithm: union-find over the SAME candidate pairs
+    // the query labels with large-star/small-star — the histogram must
+    // agree exactly (DedupScaleSpec proves the labeler itself; this
+    // proves the histogram query end-to-end).
+    val pairs = Dedup.candidatePairs(Tables.documents(spark, sf),
+        "doc_id", "text", numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val sizes = parent.keys.toSeq.groupBy(find).values.map(_.size).filter(_ > 1)
+    val expected = sizes.groupBy(identity).map { case (sz, g) =>
+      sz.toLong -> g.size.toLong }
+    val got = run("q_dedup_cluster_sizes").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (sz, n) =>
+      val (gN, gDocs, gRem) = got(sz)
+      assert(gN === n, s"size $sz")
+      assert(gDocs === sz * n && gRem === (sz - 1) * n, s"size $sz derived cols")
+    }
+    // The fixture must actually contain multi-member groups or the
+    // histogram proved nothing.
+    assert(expected.values.sum > 0, "no dup groups at this sf")
+  }
+
+  test("q_url_dedup replays synthesis + normalization and the full top-200 report") {
+    import spark.implicits._
+    def norm(id: Long, lang: String, source: String, text: String): String = {
+      val tk = text.split(Text.Ws + "+").filter(_.nonEmpty)
+      def seg(i: Int) = if (tk.length >= i) tk(i - 1) else "index"
+      val raw = (if (id % 3 == 0) "HTTP://" else "https://") +
+        (if (id % 2 == 0) "www." else "") +
+        (if (id % 9 == 0) source.toUpperCase(java.util.Locale.ROOT) else source) +
+        ".example.com/" + seg(1) + "/" + seg(2) +
+        (if (id % 5 == 0) "/" else "") +
+        (if (id % 4 == 0) "?utm_source=feed&page=" + (id % 3)
+         else if (id % 4 == 1) "?ref=" + lang
+         else if (id % 4 == 2) "?page=" + (id % 3)
+         else "") +
+        (if (id % 6 == 0) "#sec" else "")
+      val bare = raw.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("#.*$", "").replaceAll("^https?://", "")
+        .replaceAll("^www\\.", "")
+      val path = bare.replaceAll("\\?.*$", "").replaceAll("/$", "")
+      val qs = { val i = bare.indexOf('?'); if (i >= 0) bare.substring(i + 1) else "" }
+      val kept = qs.split("&")
+        .filter(p => !p.matches("(utm_[a-z0-9]+|ref)=.*")).mkString("&")
+      path + (if (kept.nonEmpty) "?" + kept else "")
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val expected = docs.map { case (id, lang, src, text) =>
+      (norm(id, lang, src, text), id) }
+      .groupBy(_._1).map { case (u, g) =>
+        (u, g.length.toLong, g.map(_._2).min) }
+      .toSeq.sortBy { case (u, n, _) => (-n, u) }.take(200)
+    val got = run("q_url_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // Normalization properties: no scheme / www. / fragment / tracking
+    // params / trailing slash survive, and real params do.
+    got.map(_._1).foreach { u =>
+      assert(!u.contains("://") && !u.startsWith("www.") && !u.contains("#"), u)
+      assert(!u.contains("utm_") && !u.contains("ref="), u)
+      assert(!u.stripSuffix("?").endsWith("/"), u)
+    }
+    assert(got.map(_._1).exists(_.contains("?page=")),
+      "kept-param path never exercised")
+    // The pass must collapse something at this sf or the dedup proved
+    // nothing: at least one group with n_docs >= 2.
+    assert(got.exists(_._2 >= 2), "no URL collisions at this sf")
+  }
 }

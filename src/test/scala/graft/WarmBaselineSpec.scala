@@ -21,11 +21,27 @@ class WarmBaselineSpec extends AnyFunSuite {
     f.toString
   }
 
-  test("matching sf tag loads the query map") {
-    val p = tmp(s"""{\n "sf": "$Sf",\n "q_agg_summary": 0.25,\n "q_pagerank": 7.5\n}""")
-    val (m, st) = WarmBaseline.load(p, Sf)
+  test("matching sf and cpus tags load the query map") {
+    val p = tmp(s"""{\n "sf": "$Sf",\n "cpus": "32",\n "q_agg_summary": 0.25,\n "q_pagerank": 7.5\n}""")
+    val (m, st) = WarmBaseline.load(p, Sf, "32")
     assert(st == WarmBaseline.Loaded)
     assert(m == Map("q_agg_summary" -> 0.25, "q_pagerank" -> 7.5))
+  }
+
+  test("missing cpus tag refuses with CpusMissing — the r13-r16 cross-config class") {
+    val p = tmp(s"""{ "sf": "$Sf", "q_agg_summary": 0.25 }""")
+    val (m, st) = WarmBaseline.load(p, Sf, "32")
+    assert(st == WarmBaseline.CpusMissing)
+    assert(m.isEmpty)
+  }
+
+  test("cpus tag for a different config refuses with CpusMismatch") {
+    // The exact r13-r16 failure shape: midpoints recorded at local[4]
+    // must never gate a sweep run at local[32].
+    val p = tmp(s"""{ "sf": "$Sf", "cpus": "4", "q_agg_summary": 0.25 }""")
+    val (m, st) = WarmBaseline.load(p, Sf, "32")
+    assert(st == WarmBaseline.CpusMismatch)
+    assert(m.isEmpty)
   }
 
   test("missing sf tag refuses the file with SfMissing — the two-round vacuous-gate bug") {
@@ -48,10 +64,12 @@ class WarmBaselineSpec extends AnyFunSuite {
     assert(m.isEmpty)
   }
 
-  test("the committed baseline file is accepted at the bench scale with no stale keys") {
-    val (m, st) = WarmBaseline.load("tools/warm_baseline.json", Sf)
+  test("the committed baseline file is accepted at the bench scale and recorded config with no stale keys") {
+    val (m, st) = WarmBaseline.load("tools/warm_baseline.json", Sf,
+      GraftSession.RecordedCpus)
     assert(st == WarmBaseline.Loaded,
-      "tools/warm_baseline.json must carry \"sf\": \"" + Sf + "\" or the bench gate is vacuous")
+      "tools/warm_baseline.json must carry \"sf\": \"" + Sf + "\" and \"cpus\": \"" +
+        GraftSession.RecordedCpus + "\" or the bench gate is vacuous")
     assert(m.nonEmpty)
     // Every baseline key must name a live query; a renamed/deleted
     // query must drop out of the baseline at the next recording.
