@@ -61,6 +61,19 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, s"Partial pass missing: $p")
   }
 
+  test("q_url_dedup: one map-combined aggregate, top-K without global sort, no join") {
+    // The normalization is a pure per-row projection, so the whole
+    // query must be scan → project → partial+final HashAggregate on
+    // the normalized URL (ONE hash exchange) → TakeOrderedAndProject.
+    // A join or a second exchange means the synthesis/normalization
+    // leaked out of the projection.
+    val p = plan("q_url_dedup")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_join_semi broadcasts the filtered build side") {
     val p = plan("q_join_semi")
     assert(p.contains("LeftSemi"), p)
