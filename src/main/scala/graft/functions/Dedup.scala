@@ -556,15 +556,27 @@ object Dedup extends QueryModule {
             concat(lit("?page="), ($"doc_id" % 3).cast("string")))
           .otherwise(lit("")),
         when($"doc_id" % 6 === 0, lit("#sec")).otherwise(lit("")))
-      val bare = regexp_replace(regexp_replace(regexp_replace(
-        lower(raw), "#.*$", ""), "^https?://", ""), "^www\\.", "")
-      val path = regexp_replace(regexp_replace(bare, "\\?.*$", ""), "/$", "")
-      val qstr = regexp_extract(bare, "\\?(.*)$", 1)
-      val kept = array_join(
-        filter(split(qstr, "&"), p => !p.rlike("^(utm_[a-z0-9]+|ref)=")), "&")
-      val norm = concat(path,
-        when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
-      docs.select($"doc_id", norm.as("url"))
+      // Staged through ATTRIBUTE projections (expression rules 1–2):
+      // `bare` feeds the path chain AND both kept-param references —
+      // built as one inline Column it re-inlines the whole synthesis+
+      // regex chain at every use site (the first cut's plan carried
+      // the concat tree three times in one Project); as a projected
+      // attribute it evaluates once per row, and CollapseProject
+      // leaves the stage alone because the alias is non-cheap and
+      // multiply referenced.
+      val withBare = docs.select($"doc_id",
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(raw), "#.*$", ""), "^https?://", ""), "^www\\.", "").as("bare"))
+      val kept0 = array_join(
+        filter(split(regexp_extract($"bare", "\\?(.*)$", 1), "&"),
+          p => !p.rlike("^(utm_[a-z0-9]+|ref)=")), "&")
+      val staged = withBare.select($"doc_id",
+        regexp_replace(regexp_replace($"bare", "\\?.*$", ""), "/$", "").as("path"),
+        kept0.as("kept"))
+      staged.select($"doc_id",
+          concat($"path",
+            when(length($"kept") > 0, concat(lit("?"), $"kept"))
+              .otherwise(lit(""))).as("url"))
         .groupBy($"url")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
         .orderBy($"n_docs".desc, $"url".asc)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the beyond-sf0.1 fixture generator (`graft.ScaleGen`)
+  * — the sf0.3 scaling decade in SCALING.md is only evidence if the
+  * scaled corpus is distributionally the same data, so the properties
+  * that argument rests on are pinned here:
+  *   - row counts scale exactly ×factor;
+  *   - copy 0 is verbatim;
+  *   - every shuffled copy preserves each doc's TOKEN MULTISET,
+  *     (lang, source) and recomputed n_chars — same per-row work for
+  *     every tokenizer/aggregate, fresh n-gram/fingerprint identity;
+  *   - shuffled copies are deterministic (pure function of the data);
+  *   - exact-duplicate RATE is not inflated (a verbatim-copy generator
+  *     would triple every dup group and turn the dedup probes into a
+  *     pathology benchmark);
+  *   - rotated embeddings preserve each vector's value multiset (and
+  *     therefore its norm).
+  */
+class ScaleGenSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val scaled = ScaleGen.scaleDocuments(docs, 3)
+
+  test("documents scale x3 with copy 0 verbatim") {
+    assert(scaled.count() === docs.count() * 3)
+    val origIds = docs.count()
+    val copy0 = scaled.filter(col("doc_id") < ScaleGen.DocStride)
+    assert(copy0.count() === origIds)
+    // verbatim: anti-join on every column is empty both ways
+    assert(copy0.exceptAll(docs).isEmpty && docs.exceptAll(copy0).isEmpty)
+  }
+
+  test("shuffled copies preserve token multiset, lang/source, and recomputed n_chars") {
+    import spark.implicits._
+    val orig = docs.select($"doc_id", $"lang", $"source",
+        array_sort(functions.Text.tokens($"text")).as("tks"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getSeq[String](3)))).toMap
+    val copies = scaled.filter($"doc_id" >= ScaleGen.DocStride)
+      .select($"doc_id", $"lang", $"source",
+        array_sort(functions.Text.tokens($"text")).as("tks"),
+        $"n_chars", length($"text").cast("long").as("len"),
+        $"text")
+      .collect()
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      val base = r.getLong(0) % ScaleGen.DocStride
+      val (lang, source, tks) = orig(base)
+      assert(r.getString(1) === lang && r.getString(2) === source, s"doc $base")
+      assert(r.getSeq[String](3) === tks, s"doc $base token multiset")
+      assert(r.getLong(4) === r.getLong(5), s"doc $base n_chars")
+    }
+    // The shuffle must actually shuffle: most copies differ from the
+    // original text (a doc with ≤1 token is legitimately unchanged).
+    val origText = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val changed = copies.count(r =>
+      r.getString(6) != origText(r.getLong(0) % ScaleGen.DocStride))
+    assert(changed > copies.length / 2, s"only $changed/${copies.length} changed")
+  }
+
+  test("shuffled copies are deterministic and don't inflate the exact-dup rate") {
+    import spark.implicits._
+    val again = ScaleGen.scaleDocuments(docs, 3)
+    assert(scaled.exceptAll(again).isEmpty && again.exceptAll(scaled).isEmpty)
+    // dup groups: distinct fingerprints per total rows must not drop
+    // (3x verbatim copies would give distinct/total = 1/3).
+    val total = scaled.count()
+    val distinctFp = scaled
+      .select(functions.Text.fingerprint($"text")).distinct().count()
+    assert(distinctFp.toDouble / total > 0.99,
+      s"dup rate inflated: $distinctFp distinct of $total")
+  }
+
+  test("rotated embeddings preserve each vector's value multiset") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val se = ScaleGen.scaleEmbeddings(emb, 3)
+    assert(se.count() === emb.count() * 3)
+    val orig = emb.select($"vec_id", array_sort($"embedding").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rot = se.filter($"vec_id" >= ScaleGen.DocStride)
+      .select($"vec_id", array_sort($"embedding").as("s")).collect()
+    assert(rot.nonEmpty)
+    rot.foreach { r =>
+      assert(r.getSeq[Float](1) === orig(r.getLong(0) % ScaleGen.DocStride),
+        s"vec ${r.getLong(0)}")
+    }
+  }
+}
