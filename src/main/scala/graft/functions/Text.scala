@@ -20,6 +20,17 @@ object Text extends QueryModule {
   val PmiMinCount = 5
   val PmiTopK = 20
 
+  /** q_gopher_rules thresholds (the Gopher filter's structure with
+    * corpus-adapted bounds — the published 50..100k-word window would
+    * fail every fixture doc, proving nothing). Mean-length bounds are
+    * INTEGER multipliers (the rule is evaluated as 2n ≤ Σlen ≤ 12n).
+    */
+  val GopherMinTokens = 20L
+  val GopherMaxTokens = 1000L
+  val GopherMinMeanLen = 2L
+  val GopherMaxMeanLen = 12L
+  val GopherMinStops = 2L
+
   /** Shard count for the deterministic shuffle (q_shuffle_shard) —
     * shared with its SQL twin by interpolation so the two cannot
     * drift. Must divide 2^32 for the md5-prefix mod to be exactly
@@ -152,6 +163,44 @@ object Text extends QueryModule {
     "q_quality_score" -> ((s, dir) => {
       import s.implicits._
       qualityScored(Tables.documents(s, dir)).orderBy($"doc_id")
+    }),
+
+    // [EXT r17] Composite rule-based quality gate — the Gopher-style
+    // document filter (Rae et al. 2021 §A1.1: word-count bounds, mean
+    // word length window, alphabetic-word fraction, stopword
+    // requirement; thresholds adapted to this corpus so every rule has
+    // a live failure mode). Unlike q_quality_score's continuous score,
+    // this is the keep/drop REPORT a curation pipeline acts on: one
+    // flag per rule plus the conjunction, so a rule-level failure
+    // histogram is one aggregation away. Every rule is evaluated in
+    // EXACT INTEGER arithmetic (mean-length window as 2n ≤ Σlen ≤ 12n,
+    // alpha fraction as 5·a ≥ 4·n) — no division, so cross-engine
+    // parity can never hang on a rounding boundary. Per-row projection
+    // off one pruned scan, zero exchanges before the final sort; the
+    // token array is projected to an attribute once (rule 1) and the
+    // flags read it.
+    "q_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tk"))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_tokens"),
+          length(array_join($"tk", "")).cast("long").as("sum_len"),
+          size(filter($"tk", t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(filter($"tk", t => t.isin(Stopwords.map(lit): _*)))
+            .cast("long").as("n_stop"))
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" >= GopherMinTokens && $"n_tokens" <= GopherMaxTokens)
+            .cast("int").as("r_len"),
+          ($"sum_len" >= $"n_tokens" * GopherMinMeanLen
+            && $"sum_len" <= $"n_tokens" * GopherMaxMeanLen)
+            .cast("int").as("r_mean_len"),
+          ($"n_alpha" * 5 >= $"n_tokens" * 4).cast("int").as("r_alpha"),
+          ($"n_stop" >= GopherMinStops).cast("int").as("r_stop"))
+        .withColumn("pass",
+          ($"r_len" === 1 && $"r_mean_len" === 1 && $"r_alpha" === 1
+            && $"r_stop" === 1).cast("int"))
+        .orderBy($"doc_id")
     }),
 
     "q_fingerprint" -> ((s, dir) => {
@@ -1147,6 +1196,35 @@ object Text extends QueryModule {
          |        / GREATEST(CAST(length(tk) AS DOUBLE), 1.0) * 5.0, 1.0),
          |  4) AS quality
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // Same exact-integer rule arithmetic as the Spark side — the
+    // thresholds interpolate from the shared constants so the two
+    // spellings cannot drift.
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '$Ws+'), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+         |      AS n_alpha,
+         |    CAST(len(list_filter(tk, x -> x IN $stopList)) AS BIGINT) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens
+         |    AS INT) AS r_len,
+         |  CAST(sum_len >= n_tokens * $GopherMinMeanLen
+         |    AND sum_len <= n_tokens * $GopherMaxMeanLen AS INT) AS r_mean_len,
+         |  CAST(n_alpha * 5 >= n_tokens * 4 AS INT) AS r_alpha,
+         |  CAST(n_stop >= $GopherMinStops AS INT) AS r_stop,
+         |  CAST(n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens
+         |    AND sum_len >= n_tokens * $GopherMinMeanLen
+         |    AND sum_len <= n_tokens * $GopherMaxMeanLen
+         |    AND n_alpha * 5 >= n_tokens * 4
+         |    AND n_stop >= $GopherMinStops AS INT) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id,
         |  ${fingerprintSql("text")} AS fp

@@ -514,6 +514,50 @@ object Vectors extends QueryModule {
             .as("recall"))
         .orderBy($"q_id")
     }),
+
+    // [EXT r17] Matryoshka truncation audit (Kusupati et al. 2022) —
+    // the decision report for serving MRL-style embeddings at a
+    // truncated dimension: for each probe, the exact full-dim top-k
+    // versus the top-k under cosine over the FIRST d dims only
+    // (d ∈ [[MatryoshkaDims]]), with recall@k per (probe, d). At
+    // 100 TB this is the measurement that justifies a 4× memory/IO
+    // cut in the ANN tier before any index change (slice the stored
+    // vectors, keep the pipeline). Same deterministic machinery as
+    // q_ann_recall: probes broadcast, sims rounded 4 dp with vec_id
+    // tiebreaks (identical fold order both engines), both rank
+    // windows rewrite to Partial+Final WindowGroupLimit, and the
+    // exact top-k is pinned because both truncation levels semi-join
+    // it.
+    "q_matryoshka_recall" -> ((s, dir) => graft.Pins.scoped { pins =>
+      import s.implicits._
+      val base = pins(Tables.embeddings(s, dir)
+        .select($"vec_id", asDouble($"embedding").as("v")))
+      val probes = broadcast(base.filter($"vec_id" < RecallQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv")))
+      val cand = base.join(probes, $"vec_id" =!= $"q_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id".asc)
+      def topK(sim: Column) = cand
+        .select($"q_id", $"vec_id", round(sim, 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= RecallK)
+        .select($"q_id", $"vec_id")
+      val exact = pins(topK(cosine($"v", $"qv")))
+      val perDim = MatryoshkaDims.map { d =>
+        topK(cosine(slice($"v", 1, d), slice($"qv", 1, d)))
+          .join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+          .select($"q_id", lit(d).as("dim"), $"hits")
+      }.reduce(_.unionByName(_))
+      val spine = probes.select($"q_id")
+        .crossJoin(broadcast(MatryoshkaDims.toDF("dim")))
+      spine.join(perDim, Seq("q_id", "dim"), "left")
+        .select($"q_id", $"dim",
+          coalesce($"hits", lit(0L)).as("hits"),
+          round(coalesce($"hits", lit(0L)) / lit(RecallK.toDouble), 4)
+            .as("recall"))
+        .orderBy($"q_id", $"dim")
+    }),
   )
 
   /** q_ann_recall probe-set size (vec_id < RecallQueries — the
@@ -521,6 +565,10 @@ object Vectors extends QueryModule {
     */
   private val RecallQueries = 5
   private val RecallK = 10
+
+  /** q_matryoshka_recall truncation levels (prefix dims of the 64-dim
+    * embeddings). */
+  private val MatryoshkaDims = Seq(16, 32)
 
   /** The IVF centroids as a DuckDB VALUES list — generated from the
     * SAME `ivfCells` array the Spark queries use, so the two engines
@@ -760,5 +808,43 @@ object Vectors extends QueryModule {
          |  ROUND(COALESCE(nh.hits, 0) / $RecallK.0, 4) AS recall
          |FROM q LEFT JOIN na USING (q_id) LEFT JOIN nh USING (q_id)
          |ORDER BY q_id""".stripMargin,
+    // Same double-cast + in-order fold as the q_cosine_topk twin;
+    // truncation via array_slice over the shared dims VALUES list.
+    "q_matryoshka_recall" ->
+      s"""WITH ve AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM ve
+         |      WHERE vec_id < $RecallQueries),
+         |dims(dim) AS (VALUES ${MatryoshkaDims.map(d => s"($d)").mkString(", ")}),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id, ROUND(
+         |    list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+         |       * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS sim
+         |  FROM ve e, q WHERE e.vec_id <> q.q_id),
+         |exact AS (SELECT q_id, vec_id FROM sc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) <= $RecallK),
+         |sct AS (
+         |  SELECT d.dim, q.q_id, e.vec_id, ROUND(
+         |    list_sum(list_transform(
+         |      list_zip(array_slice(e.v, 1, d.dim), array_slice(q.qv, 1, d.dim)),
+         |      p -> p[1] * p[2]))
+         |    / (SQRT(list_sum(list_transform(array_slice(e.v, 1, d.dim),
+         |         x -> x * x)))
+         |       * SQRT(list_sum(list_transform(array_slice(q.qv, 1, d.dim),
+         |           x -> x * x)))), 4) AS sim
+         |  FROM ve e, q, dims d WHERE e.vec_id <> q.q_id),
+         |tr AS (SELECT dim, q_id, vec_id FROM sct
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dim, q_id
+         |    ORDER BY sim DESC, vec_id) <= $RecallK),
+         |nh AS (SELECT dim, q_id, COUNT(*) AS hits
+         |       FROM tr JOIN exact USING (q_id, vec_id) GROUP BY dim, q_id)
+         |SELECT q.q_id, d.dim, COALESCE(nh.hits, 0) AS hits,
+         |  ROUND(COALESCE(nh.hits, 0) / $RecallK.0, 4) AS recall
+         |FROM q CROSS JOIN dims d
+         |LEFT JOIN nh ON nh.q_id = q.q_id AND nh.dim = d.dim
+         |ORDER BY q.q_id, d.dim""".stripMargin,
   )
 }

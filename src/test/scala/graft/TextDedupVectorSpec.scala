@@ -537,4 +537,63 @@ class TextDedupVectorSpec extends SparkSpec {
     // nothing: at least one group with n_docs >= 2.
     assert(got.exists(_._2 >= 2), "no URL collisions at this sf")
   }
+
+  test("q_gopher_rules replays every rule in exact integers; both verdicts occur") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("q_gopher_rules").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6)))).toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val tk = text.split(Text.Ws + "+").filter(_.nonEmpty)
+      val n = tk.length.toLong
+      val sumLen = tk.map(_.length.toLong).sum
+      val nAlpha = tk.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = tk.count(Text.Stopwords.contains).toLong
+      val rLen = n >= Text.GopherMinTokens && n <= Text.GopherMaxTokens
+      val rMean = sumLen >= n * Text.GopherMinMeanLen &&
+        sumLen <= n * Text.GopherMaxMeanLen
+      val rAlpha = nAlpha * 5 >= n * 4
+      val rStop = nStop >= Text.GopherMinStops
+      def b(x: Boolean) = if (x) 1 else 0
+      assert(got(id) === ((n, b(rLen), b(rMean), b(rAlpha), b(rStop),
+        b(rLen && rMean && rAlpha && rStop))), s"doc $id")
+    }
+    val passes = got.values.map(_._6).toSeq
+    assert(passes.contains(1) && passes.contains(0),
+      "degenerate fixture: the gate never fires (or always fires)")
+  }
+
+  test("q_matryoshka_recall replays full-dim vs truncated top-k from first principles") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def topK(q: Long, d: Int): Set[Long] =
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(v, vecs(q), d)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val got = run("q_matryoshka_recall").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === (0L until 5L).flatMap(q => Seq((q, 16), (q, 32))).toSet)
+    for (q <- 0L until 5L; d <- Seq(16, 32)) {
+      val expect = (topK(q, 64) & topK(q, d)).size.toLong
+      val (hits, recall) = got((q, d))
+      assert(hits === expect, s"probe $q dim $d")
+      assert(recall === expect / 10.0, s"probe $q dim $d recall")
+    }
+    // Truncation must actually cost recall somewhere at this sf, or
+    // the audit measured nothing.
+    assert(got.values.exists(_._1 < 10), "truncation never lost a neighbor")
+  }
 }
