@@ -32,6 +32,17 @@ object Curation extends QueryModule {
   /** Per-source token budget (q_token_budget). */
   val TokenBudget = 500
 
+  /** q_epoch_schedule: training-budget multiple of the corpus (4× —
+    * well into the repetition regime, so the temperature-boosted tail
+    * languages schedule PAST the cap while the head stays under it:
+    * every branch of the schedule is live at every SF) and the repeat
+    * cap (≈4 epochs is where repeated data's value decays sharply —
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models").
+    */
+  val EpochBudgetMult = 4L
+  val MaxEpochs = 4L
+
   /** Span length for the substring-dedup pair (q_dup_span_coverage /
     * q_span_scrub) — 8-token grams, the substring-dedup unit.
     */
@@ -215,6 +226,56 @@ object Curation extends QueryModule {
           round(sqrt($"mx".cast("double") / $"nt".cast("double")), 6)
             .as("boost"))
         .orderBy($"n_tokens".desc, $"source".asc)
+    }),
+
+    // [EXT r17] Epoch/repetition schedule — the data-constrained
+    // planning step after q_mix_temperature chooses weights: given a
+    // token budget of [[EpochBudgetMult]]× the corpus and sqrt
+    // temperature weights, how many EPOCHS of each source fill its
+    // share, capped at [[MaxEpochs]] (past ~4 repeats the marginal
+    // value of repeated tokens decays sharply — Muennighoff et al.
+    // 2023). EVERYTHING is integer arithmetic: weight =
+    // floor(sqrt(n_s)) (one correctly-rounded IEEE sqrt, identical
+    // across engines), target = budget·w_s div W (integer div),
+    // epochs = ceil-div as (t + n − 1) div n, repeat_tokens =
+    // min(epochs, cap)·n — no float ever reaches the output, so
+    // cross-engine parity cannot hang on a boundary. Shape: one
+    // map-combined per-source aggregate, then windows over the
+    // |sources|-bounded result (the bounded-meta-window discipline).
+    // At extreme scale the budget·weight product moves to
+    // decimal(38,0) (long holds to ~10^18; 100 TB corpora sit around
+    // 10^13 tokens × 10^6 weights — one cast away).
+    "q_epoch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      // keyed on LANG, not source: the corpus's languages are
+      // genuinely skewed (en ≈ 2.5× the tail), so the sqrt flattening
+      // has a live effect — small languages over-sample past the cap
+      // while the head stays near proportional; per-language alpha is
+      // also the published framing (XLM-R). The near-uniform source
+      // axis would schedule a constant 2 epochs everywhere and prove
+      // nothing.
+      val bySrc = Tables.documents(s, dir)
+        .select($"lang", Text.tokenCount($"text").cast("long").as("tok"))
+        .groupBy($"lang")
+        .agg(sum($"tok").as("toks"))
+        // zero-token guard, the q_mix_temperature discipline
+        .select($"lang", greatest($"toks", lit(1L)).as("n_tokens"))
+      val w = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bySrc
+        .withColumn("weight",
+          floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+        .withColumn("wt", sum($"weight").over(w))
+        .withColumn("budget", sum($"n_tokens").over(w) * EpochBudgetMult)
+        .withColumn("target_tokens",
+          expr("(budget * weight) div wt"))
+        .withColumn("epochs",
+          expr("(target_tokens + n_tokens - 1) div n_tokens"))
+        .select($"lang", $"n_tokens", $"weight", $"target_tokens",
+          $"epochs",
+          least($"epochs", lit(MaxEpochs)).as("epochs_capped"),
+          (least($"epochs", lit(MaxEpochs)) * $"n_tokens").as("repeat_tokens"))
+        .orderBy($"n_tokens".desc, $"lang".asc)
     }),
 
     // [EXT r13] Source mixture report — the audit companion of
@@ -731,6 +792,34 @@ object Curation extends QueryModule {
          |  ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
          |  ROUND(CAST(cum AS DOUBLE) / tt, 6) AS cum_share
          |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // All-integer twin: same floor(sqrt) weight, integer div target,
+    // ceil-div epochs. DuckDB SUM(BIGINT) returns HUGEINT — cast back
+    // so the arithmetic and output types stay BIGINT like Spark's.
+    "q_epoch_schedule" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(length(list_filter(string_split_regex(text, '${Text.Ws}+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS tok
+         |  FROM documents),
+         |bysrc AS (
+         |  SELECT lang, GREATEST(CAST(SUM(tok) AS BIGINT), 1) AS n_tokens
+         |  FROM t GROUP BY lang),
+         |wts AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+         |  FROM bysrc),
+         |sched AS (
+         |  SELECT lang, n_tokens, weight,
+         |    (CAST(SUM(n_tokens) OVER () AS BIGINT) * $EpochBudgetMult * weight)
+         |      // CAST(SUM(weight) OVER () AS BIGINT) AS target_tokens
+         |  FROM wts)
+         |SELECT lang, n_tokens, weight, target_tokens,
+         |  (target_tokens + n_tokens - 1) // n_tokens AS epochs,
+         |  LEAST((target_tokens + n_tokens - 1) // n_tokens, $MaxEpochs)
+         |    AS epochs_capped,
+         |  LEAST((target_tokens + n_tokens - 1) // n_tokens, $MaxEpochs)
+         |    * n_tokens AS repeat_tokens
+         |FROM sched ORDER BY n_tokens DESC, lang""".stripMargin,
     // Integer window totals over the bounded per-source aggregate;
     // sqrt is IEEE-exact on both engines, doubles only in the final
     // divisions (the Spark side's determinism argument verbatim).

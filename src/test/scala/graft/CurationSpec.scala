@@ -405,4 +405,35 @@ class CurationSpec extends SparkSpec {
     assert(got.forall { case (_, _, term, _, _) => yc(term) > 1 },
       "a corpus-hapax term won the z ranking — the Dirichlet prior is inert")
   }
+
+  test("q_epoch_schedule replays the integer schedule; cap and no-cap branches both occur") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(Text.Ws + "+").count(_.nonEmpty).toLong))
+    val byLang = toks.groupBy(_._1).view
+      .mapValues(rows => math.max(rows.map(_._2).sum, 1L)).toMap
+    val weight = byLang.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val wt = weight.values.sum
+    val budget = byLang.values.sum * Curation.EpochBudgetMult
+    val got = run("q_epoch_schedule").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, n) =>
+      val w = weight(lang)
+      val target = budget * w / wt
+      val epochs = (target + n - 1) / n
+      val capped = math.min(epochs, Curation.MaxEpochs)
+      assert(got(lang) === ((n, w, target, epochs, capped, capped * n)), lang)
+    }
+    // Both schedule regimes must occur, or the cap (and the
+    // temperature boost it bounds) was never exercised.
+    val (cappedLangs, freeLangs) =
+      got.values.partition { case (_, _, _, e, c, _) => c < e }
+    assert(cappedLangs.nonEmpty, "cap never binds at this sf")
+    assert(freeLangs.nonEmpty, "every language capped — budget too large")
+  }
 }
