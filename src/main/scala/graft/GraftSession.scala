@@ -18,6 +18,14 @@ object GraftSession {
     * recorded its baseline. The baseline file carries a "cpus" tag
     * that [[WarmBaseline.load]] validates against the running config,
     * so a cross-config comparison is refused, not silently graded.
+    *
+    * This default also reaches Verify and the JobCount DIAGNOSTIC
+    * main (both call [[local]] with no override) — harmless for
+    * Verify (correctness is config-independent) but a caveat for
+    * JobCount: AQE job counts can shift with the partition count, and
+    * the committed job BUDGETS (JobBudgetSpec) are derived and
+    * asserted at the test suite's own pinned local[4] (SparkSpec), so
+    * reproduce a budget with SPARK_GRAFT_CPUS=4, not the default.
     */
   val RecordedCpus = "32"
 

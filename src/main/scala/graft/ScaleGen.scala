@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   * Perturbation design (all deterministic, seed-free):
   *   - `documents`: copy 0 is verbatim; copy c>0 keeps (lang, source,
   *     token multiset, length) per doc but SHUFFLES the token order by
-  *     per-position xxhash64 — the driver corpus is synthetic word
-  *     salad (unigram draws), so a shuffled copy is distributionally
-  *     identical fresh text, while verbatim copies would triple every
-  *     exact/near-dup group (duplication RATE must stay constant as
-  *     volume grows, or the dedup probes measure a data pathology, not
-  *     scaling).
+  *     a per-copy (position, token)-seeded xxhash64 — the driver
+  *     corpus is synthetic word salad (unigram draws), so a shuffled
+  *     copy is distributionally identical fresh text. The seed
+  *     deliberately EXCLUDES doc_id: two source docs with identical
+  *     text shuffle to the same string within a copy, so every
+  *     exact-dup group is reproduced once per copy (dup RATE constant
+  *     as volume grows — the r17 doc_id-seeded shuffle broke in-copy
+  *     dup pairs, so corpus-wide dup density fell ~1/factor and the
+  *     sf≥0.3 dedup probes ran against thinner dup structure than
+  *     sf0.1), while verbatim copies would instead MERGE groups
+  *     across copies (×factor group sizes — a data pathology).
+  *     Position-aligned near-dups get near-identical permutations for
+  *     the same reason (shared (i, t) entries sort identically);
+  *     insertion-shifted near-dups still break — an accepted residue,
+  *     since the driver corpus plants no such pairs.
   *   - `embeddings`: vector elements rotated by 17·c positions —
   *     preserves norms and the coordinate distribution without
   *     creating exact-duplicate vectors.
@@ -42,7 +51,7 @@ object ScaleGen {
     array_join(
       transform(
         array_sort(transform(tk, (t, i) =>
-          struct(xxhash64(col("doc_id"), lit(copy), i, t).as("h"), t.as("t")))),
+          struct(xxhash64(lit(copy), i, t).as("h"), t.as("t")))),
         e => e.getField("t")),
       " ")
   }
@@ -63,12 +72,19 @@ object ScaleGen {
   private[graft] def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { c =>
       if (c == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(c * DocStride)).as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          i => element_at(col("embedding"), (i + lit(c * 17)) % 64 + 1))
-          .as("embedding"),
-        col("label"))
+      else {
+        // Rotation modulus derived from the vector itself, not a
+        // hardcoded 64: element_at past the end returns NULL in
+        // non-ANSI mode, so a dimension mismatch would silently
+        // corrupt vectors instead of erroring.
+        val dim = size(col("embedding"))
+        emb.select(
+          (col("vec_id") + lit(c * DocStride)).as("vec_id"),
+          transform(sequence(lit(0), dim - 1),
+            i => element_at(col("embedding"), (i + lit(c * 17)) % dim + 1))
+            .as("embedding"),
+          col("label"))
+      }
     }.reduce(_.unionByName(_))
 
   def main(args: Array[String]): Unit = {

@@ -39,8 +39,11 @@ object WarmBaseline {
 
   /** Parse the baseline file; the map is non-empty only for
     * [[Loaded]]. Regex-parsed on purpose — the file is a flat
-    * `{"sf": dir, "cpus": n, "q_*": seconds}` object and Spark ships
-    * no JSON library worth a dependency for this.
+    * `{"sf": "dir", "cpus": "n", "q_*": seconds}` object (sf and
+    * cpus are QUOTED strings — the cpus regex below only accepts a
+    * quoted value; a recorder emitting a bare number is refused as
+    * CpusMissing) and Spark ships no JSON library worth a dependency
+    * for this.
     */
   def load(path: String, sfDir: String,
       cpus: String = GraftSession.RecordedCpus): (Map[String, Double], Status) = {

@@ -74,6 +74,36 @@ class ScaleGenSpec extends SparkSpec {
       s"dup rate inflated: $distinctFp distinct of $total")
   }
 
+  test("exact-dup groups are reproduced within each copy (rate constant, not diluted)") {
+    // The spec SF plants no dup groups, so the preservation property
+    // is pinned on a constructed corpus: two docs with IDENTICAL text
+    // must shuffle to the same string within a copy (the r17 shuffle
+    // seeded by doc_id broke this — dup density fell ~1/factor and the
+    // sf>=0.3 dedup probes ran against thinner dup structure), while
+    // copies of the same doc across c must still differ (no cross-copy
+    // group merge).
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val tiny = Seq(
+      (1L, txt, "en", "web", txt.length.toLong),
+      (2L, txt, "en", "web", txt.length.toLong),
+      (3L, "one two three four five six", "en", "web", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = ScaleGen.scaleDocuments(tiny, 3)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (c <- 0 until 3) {
+      val base = c * ScaleGen.DocStride
+      assert(out(base + 1L) === out(base + 2L),
+        s"copy $c: identical source texts must stay an exact-dup pair")
+    }
+    assert((out(ScaleGen.DocStride + 1L) !== out(1L)) ||
+           (out(2 * ScaleGen.DocStride + 1L) !== out(1L)),
+      "copies must be perturbed, not verbatim (cross-copy group merge)")
+    assert(out(ScaleGen.DocStride + 1L) !== out(2 * ScaleGen.DocStride + 1L),
+      "different copies must shuffle differently")
+  }
+
   test("rotated embeddings preserve each vector's value multiset") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
