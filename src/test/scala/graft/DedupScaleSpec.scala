@@ -63,6 +63,27 @@ class DedupScaleSpec extends SparkSpec {
     assert(viaCandidates === brute)
   }
 
+  test("jaccard hot-bucket cap: a sub-cap dup cluster reports all pairs; one above the cap reports none") {
+    import spark.implicits._
+    // Identical texts give identical signatures, so every band puts
+    // the whole cluster in ONE bucket: occupancy = cluster size. A
+    // 5-doc cluster (≤ JaccardBucketCap) must report all C(5,2) = 10
+    // pairs at j = 1.0; a 20-doc cluster (> cap) is the documented
+    // recall trade — every bucket is hot, so zero pairs (that regime
+    // belongs to q_dedup_exact). A long text keeps shingle sets rich
+    // so nothing else collides.
+    val small = (1 to 30).map(i => s"s$i").mkString(" ")
+    val okDocs = (1L to 5L).map(i => (i, small)).toDF("doc_id", "text")
+    val ok = Dedup.ngramJaccardPairsOf(okDocs).collect()
+    assert(ok.length === 10 && ok.forall(_.getDouble(2) === 1.0))
+    Storage.releaseAll(spark)
+    val big = (1 to 30).map(i => s"h$i").mkString(" ")
+    val hotDocs = (1L to (Dedup.JaccardBucketCap + 4L)).map(i => (i, big))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairsOf(hotDocs).collect().isEmpty)
+    Storage.releaseAll(spark)
+  }
+
   test("containment: a constructed subset is found at exactly 1.0 and unrelated docs are never candidated") {
     import spark.implicits._
     // doc 1 is a strict PREFIX of doc 2 (the subset/quotation case the
