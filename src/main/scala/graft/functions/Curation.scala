@@ -378,6 +378,62 @@ object Curation extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT r18] CCNet head/middle/tail buckets — the shipped output
+    // format of the CCNet pipeline (Wenzek et al. 2020): documents
+    // tercile-bucketed per LANGUAGE by LM quality score, best third =
+    // "head" (CCNet cuts by per-lang perplexity terciles; q_unigram_lm
+    // is this repo's corpus-LM stand-in for the KenLM score, and its
+    // rounded 4-dp score is the ordering contract so both engines rank
+    // identically). Scored docs only — a zero-token doc has no LM
+    // evidence to bucket (inner join, unlike q_unigram_lm's left).
+    // Terciles are exact NTILE(3) semantics over (lm_score DESC,
+    // doc_id): the Spark side computes the identical formula from the
+    // range-chunked distributed PrefixScan — a plain per-lang window
+    // would put each language's ENTIRE corpus slice on one task, the
+    // scale-killer shape q_window_ntile's distributionScaled exists
+    // for; the twin uses DuckDB's native NTILE (AggJoinWindowSpec pins
+    // formula ≡ ntile). Output is |langs|×3 rows of exact integers
+    // plus min/max of already-rounded scores — no float risk.
+    "q_ccnet_buckets" -> ((s, dir) => graft.Pins.scoped { p =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val terms = docs
+        .select($"doc_id", explode(Text.tokens(lower($"text"))).as("term"))
+        .transform(graft.Pins.ambient)
+      val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
+      val tot = terms.agg(count(lit(1)).as("n"))
+      val scored = terms.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          avg(log($"c" / $"n".cast("double"))).as("s0"))
+      // Pinned: PrefixScan's range partitioner executes its child
+      // TWICE (range-bound sampling job + real shuffle) — the staged
+      // pattern from tokenBudgetScaled; without the pin the whole
+      // tokenize+score pipeline runs twice over the data.
+      val withLang = graft.Pins.ambient(
+        docs.select($"doc_id", $"lang")
+          .join(scored, Seq("doc_id"))
+          .select($"doc_id", $"lang", $"n_toks", round($"s0", 4).as("lm_score")))
+      graft.operators.PrefixScan.scan(withLang, group = Seq("lang"),
+          sort = Seq($"lm_score".desc, $"doc_id".asc), weight = lit(1L), pins = p)
+        .withColumn("i", $"cum_before" + 1)
+        .withColumn("n", $"grp_total")
+        .withColumn("q", expr("n div 3"))
+        .withColumn("r", $"n" % 3)
+        .withColumn("b",
+          (when($"i" <= $"r" * ($"q" + 1), expr("(i - 1) div (q + 1)"))
+            .otherwise($"r" + expr("(i - r * (q + 1) - 1) div q"))
+            .cast("int") + 1))
+        .groupBy($"lang", $"b")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_toks"),
+          min($"lm_score").as("lo_score"), max($"lm_score").as("hi_score"))
+        .select($"lang",
+          when($"b" === 1, "head").when($"b" === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          $"n_docs", $"n_toks", $"lo_score", $"hi_score")
+        .orderBy($"lang", $"bucket")
+    }),
+
     // [EXT] bigram-LM fluency score — the sequence-model upgrade of
     // q_unigram_lm's bag-of-words score, and the shape of perplexity
     // filtering (CCNet trains a KenLM and keeps low-perplexity text;
@@ -910,6 +966,28 @@ object Curation extends QueryModule {
         |  ROUND(COALESCE(sc.s, 0.0), 4) AS lm_score
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '${Text.Ws}+'), t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS n FROM terms),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    ROUND(AVG(ln(cnt.c / CAST(tot.n AS DOUBLE))), 4) AS lm_score
+        |  FROM terms t JOIN cnt USING (term), tot GROUP BY t.doc_id),
+        |b AS (
+        |  SELECT d.lang, sc.n_toks, sc.lm_score,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY sc.lm_score DESC, sc.doc_id) AS b
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+        |  MIN(lm_score) AS lo_score, MAX(lm_score) AS hi_score
+        |FROM b GROUP BY lang, b
+        |ORDER BY lang, bucket""".stripMargin,
     "q_span_scrub" ->
       s"""WITH $spanGramCte,
          |dup AS (

@@ -420,6 +420,11 @@ object Dedup extends QueryModule {
     // in bucket sizes, never quadratic in corpus size.
     "q_ngram_jaccard" -> ((s, dir) => graft.Pins.scoped(_ => ngramJaccardPairs(s, dir))),
 
+    // [EXT r18] LSH geometry tuning report (see [[minhashTuning]] for
+    // the S-curve and scale arguments).
+    "q_minhash_tuning" -> ((s, dir) =>
+      graft.Pins.scoped(_ => minhashTuning(Tables.documents(s, dir)))),
+
     // [EXT r13] Asymmetric containment near-dup — the
     // subset/quotation detector (see [[containmentPairs]] for the
     // rare-shingle blocking argument and the documented recall
@@ -656,7 +661,24 @@ object Dedup extends QueryModule {
     ngramJaccardPairsOf(Tables.documents(spark, dir), threshold)
 
   private[graft] def ngramJaccardPairsOf(docs: DataFrame,
-                                         threshold: Double = 0.1): DataFrame = {
+                                         threshold: Double = 0.1): DataFrame =
+    exactJaccardCandidates(docs)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+
+  /** Candidate pairs of the SHIPPED geometry (32 hashes × 16 bands,
+    * hot buckets capped) with their exact shingle Jaccard, rounded
+    * 4 dp, unthresholded — the shared core of q_ngram_jaccard (which
+    * filters ≥ threshold and reports the top pairs) and
+    * q_minhash_tuning (which bins the full candidate histogram).
+    * Pairs with ZERO shared shingles are dropped: a zero-overlap
+    * candidate can only arise from a 28-bit base-hash collision making
+    * two different shingles minwise-equal — hash noise, not curve
+    * data — and the twins' intersection joins never produce such a
+    * row, so both engines see the identical pair set.
+    */
+  private[graft] def exactJaccardCandidates(docs: DataFrame): DataFrame = {
     val numHashes = 32
     // The shingle table feeds FOUR consumers (minhash explode, both
     // exact-Jaccard join sides) and the band table feeds two (the
@@ -676,12 +698,68 @@ object Dedup extends QueryModule {
     bucketPairs(banded, "doc_id")
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 1)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(100)
+  }
+
+  /** Every (bands, rows-per-band) factorization of the 32-hash budget —
+    * the geometry menu q_minhash_tuning scores. The shipped family
+    * (q_dedup_minhash candidates, the exact-Jaccard stage) is (16, 2).
+    */
+  private[graft] val TuningGeometries: Seq[(Int, Int)] =
+    Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+  /** Closed-form banded-LSH candidate probability 1−(1−s^r)^b at 4 dp
+    * (Indyk–Motwani S-curve; the b-band/r-row analysis in Leskovec,
+    * Rajaraman & Ullman, "Mining of Massive Datasets" §3.4). Evaluated
+    * at PLAN-BUILD time over compile-time constants, so both engines
+    * consume identical literals and no cross-engine libm `pow` enters
+    * the oracle contract.
+    */
+  private[graft] def candidateProb(bands: Int, rows: Int, s: Double): Double =
+    BigDecimal(1.0 - math.pow(1.0 - math.pow(s, rows), bands))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The (geometry × jaccard-bin) grid with the closed-form candidate
+    * probability at each bin midpoint — 6 geometries × 10 bins.
+    */
+  private[graft] val TuningGrid: Seq[(Int, Int, Int, Double, Double)] =
+    for { (b, r) <- TuningGeometries; bin <- 0 until 10 } yield {
+      val sMid = (bin + 0.5) / 10.0
+      (b, r, bin, sMid, candidateProb(b, r, sMid))
+    }
+
+  /** [EXT r18] Band/row S-curve tuning report — the measurement that
+    * justifies the LSH parameters the minhash family ships with: for
+    * each factorization (b, r) of the 32-hash budget and each exact-
+    * Jaccard decile bin, the closed-form P[candidate | s] at the bin
+    * midpoint and the expected number of the OBSERVED candidate pairs
+    * (shipped-geometry histogram) each alternative geometry would
+    * catch. Reads off directly why (16, 2) is right for near-dup
+    * recall: at j=0.85 it catches ≈1.0 of pairs where (4, 8) catches
+    * ≈0.88 and (1, 32) ≈0.005. Scale: the only data-proportional term
+    * is the candidate histogram (the existing capped banding + exact
+    * verify — linear in corpus); the grid is 60 literal rows and the
+    * join is a broadcast of the ≤10-row histogram. exp_caught rounds
+    * at 4 dp: n_obs·p is exactly a 4-decimal rational, so rounding
+    * only strips float dust — never sits on a half-ulp boundary the
+    * way a coarser rounding could.
+    */
+  private[graft] def minhashTuning(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = exactJaccardCandidates(docs)
+      .select(least(floor(col("jaccard") * 10), lit(9)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_obs"))
+    val grid = TuningGrid.toDF("bands", "rows_per_band", "bin", "s_mid", "p_candidate")
+    grid.join(broadcast(hist), Seq("bin"), "left")
+      .select(col("bands"), col("rows_per_band"), col("bin"), col("s_mid"),
+        col("p_candidate"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(coalesce(col("n_obs"), lit(0L)) * col("p_candidate"), 4).as("exp_caught"))
+      .orderBy(col("bands").desc, col("bin"))
   }
 
   /** Rare-shingle df window (2..cap) for containment blocking: a
@@ -1129,6 +1207,39 @@ object Dedup extends QueryModule {
          |                 JOIN szs nb ON nb.doc_id = itr.id_b)
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.1
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+    // Same candidate+verify chain as q_ngram_jaccard, unthresholded,
+    // binned into jaccard deciles and crossed with the literal
+    // (geometry × bin) S-curve grid — the p values are plan-time
+    // constants shared verbatim with the Spark side, so the only
+    // engine-computed terms are integer counts and one 4-dp rounding
+    // of an exactly-4-decimal product.
+    "q_minhash_tuning" ->
+      s"""${minhashCtes(32, 16)},
+         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
+         |        HAVING COUNT(*) <= $JaccardBucketCap),
+         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |       FROM bnd x JOIN occ USING (band, bstr)
+         |       JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
+         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
+         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
+         |        GROUP BY pr.id_a, pr.id_b),
+         |jac AS (SELECT ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
+         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
+         |                 JOIN szs nb ON nb.doc_id = itr.id_b),
+         |hist AS (SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS INT) AS bin,
+         |                COUNT(*) AS n_obs FROM jac GROUP BY 1),
+         |grid(bands, rows_per_band, bin, s_mid, p_candidate) AS (VALUES
+         |  ${TuningGrid.map { case (b, r, bin, s, p) =>
+               s"($b, $r, $bin, CAST($s AS DOUBLE), CAST($p AS DOUBLE))"
+             }.mkString(",\n  ")})
+         |SELECT bands, rows_per_band, bin, s_mid, p_candidate,
+         |  CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+         |  ROUND(COALESCE(n_obs, 0) * p_candidate, 4) AS exp_caught
+         |FROM grid LEFT JOIN hist USING (bin)
+         |ORDER BY bands DESC, bin""".stripMargin,
     "q_set_containment" ->
       s"""$shingleCtes,
          |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),

@@ -436,4 +436,46 @@ class CurationSpec extends SparkSpec {
     assert(cappedLangs.nonEmpty, "cap never binds at this sf")
     assert(freeLangs.nonEmpty, "every language capped — budget too large")
   }
+
+  test("q_ccnet_buckets matches the single-window ntile formulation and tercile boundaries are ordered") {
+    import spark.implicits._
+    // Independent formulation: the same unigram scoring, bucketed by
+    // the NATIVE ntile window (one task per lang — fine at spec scale;
+    // the registered query's PrefixScan formula must agree exactly).
+    val docs = Tables.documents(spark, sf)
+    val terms = docs.select($"doc_id",
+      explode(Text.tokens(lower($"text"))).as("term")).persist()
+    val cnt = terms.groupBy($"term").agg(count(lit(1)).as("c"))
+    val tot = terms.agg(count(lit(1)).as("n"))
+    val scored = terms.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log($"c" / $"n".cast("double"))), 4).as("lm_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"lm_score".desc, $"doc_id".asc)
+    val expect = docs.select($"doc_id", $"lang").join(scored, Seq("doc_id"))
+      .withColumn("b", ntile(3).over(w))
+      .groupBy($"lang", $"b")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_toks"),
+        min($"lm_score").as("lo_score"), max($"lm_score").as("hi_score"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    terms.unpersist()
+    val labels = Map("head" -> 1, "middle" -> 2, "tail" -> 3)
+    val got = run("q_ccnet_buckets").collect().map(r =>
+      (r.getString(0), labels(r.getString(1))) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expect)
+    // Tercile semantics: per lang, 3 buckets, sizes within 1 of each
+    // other, and score ranges ordered head >= middle >= tail (ties may
+    // touch at the boundary, never cross).
+    got.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val szs = (1 to 3).map(b => got((lang, b))._1)
+      assert(szs.max - szs.min <= 1, s"$lang sizes $szs not balanced")
+      assert(got((lang, 1))._3 >= got((lang, 2))._4,
+        s"$lang head floor below middle ceiling")
+      assert(got((lang, 2))._3 >= got((lang, 3))._4,
+        s"$lang middle floor below tail ceiling")
+    }
+  }
 }

@@ -596,4 +596,50 @@ class TextDedupVectorSpec extends SparkSpec {
     // the audit measured nothing.
     assert(got.values.exists(_._1 < 10), "truncation never lost a neighbor")
   }
+
+  test("q_minhash_tuning: S-curve grid is the closed form, histogram is geometry-invariant, exp_caught replays") {
+    val rows = run("q_minhash_tuning").collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length === 60, "6 geometries x 10 bins")
+    // Grid passthrough: p is exactly the plan-time closed form.
+    rows.foreach { case (b, rr, bin, sMid, p, _, _) =>
+      assert(b * rr === 32, "every geometry spends the 32-hash budget")
+      assert(sMid === (bin + 0.5) / 10.0)
+      assert(p === Dedup.candidateProb(b, rr, sMid), s"($b,$rr) bin $bin")
+    }
+    // The observed histogram is a property of the DATA (shipped
+    // geometry), not of the report row's geometry.
+    rows.groupBy(_._3).foreach { case (bin, g) =>
+      assert(g.map(_._6).distinct.length === 1, s"bin $bin n_obs varies")
+    }
+    // exp_caught replays as round(n_obs * p, 4).
+    rows.foreach { case (_, _, _, _, p, n, e) =>
+      assert(e === BigDecimal(n * p)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // Pointwise S-curve ordering: with the hash budget fixed, fewer
+    // rows per band can only widen the catch (1-(1-s^r)^b decreasing
+    // in r at rb const) — the property that makes the report a tuning
+    // CURVE and not six unrelated numbers.
+    rows.groupBy(_._3).values.foreach { g =>
+      val byRows = g.sortBy(_._2).map(_._5)
+      assert(byRows === byRows.sorted.reverse, "p not monotone in r")
+    }
+    // The shipped geometry's near-dup guarantee: P[candidate] >= 0.97
+    // from j >= 0.5 up (the q_ngram_jaccard scaladoc claim).
+    rows.filter(r => r._1 == 16 && r._3 >= 5)
+      .foreach { case (_, _, bin, _, p, _, _) =>
+        assert(p >= 0.97, s"shipped geometry weak at bin $bin") }
+    // Histogram totals replay against the shared candidate stage, and
+    // the thresholded tail (bins >= 1 <=> rounded jaccard >= 0.1) is
+    // exactly q_ngram_jaccard's pre-limit pair count.
+    val cand = Dedup.exactJaccardCandidates(Tables.documents(spark, sf))
+      .collect().map(_.getDouble(2))
+    val perBin = rows.filter(_._1 == 16).map(r => r._3 -> r._6).toMap
+    assert(perBin.values.sum === cand.length.toLong)
+    assert(perBin.filterKeys(_ >= 1).values.sum ===
+      cand.count(_ >= 0.1).toLong)
+    assert(cand.nonEmpty, "no candidate pairs at this sf — dead report")
+  }
 }
