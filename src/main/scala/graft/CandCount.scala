@@ -1,0 +1,25 @@
+package graft
+
+/** Diagnostic main for the LSH candidate economics (SCALING.md's
+  * q_ngram_jaccard watch item): per SF dir, the raw band-collision
+  * pair count (no occupancy cap, no verify) next to the
+  * capped+verified pair count the shipped exact-Jaccard stage
+  * actually pays for — the two numbers whose RATIO shows what
+  * [[functions.Dedup.JaccardBucketCap]] buys as the corpus grows.
+  *
+  * Usage: runMain graft.CandCount <sfDir> [sfDir...]
+  */
+object CandCount {
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local()
+    for (d <- args) {
+      val docs = Tables.documents(s, d)
+      val raw = functions.Dedup.candidatePairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16).count()
+      val capped = functions.Dedup.exactJaccardCandidates(docs).count()
+      println(s"[cand] $d raw=$raw capped_verified=$capped")
+      Storage.releaseAll(s)
+    }
+    s.stop()
+  }
+}
