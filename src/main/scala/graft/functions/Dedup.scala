@@ -425,6 +425,47 @@ object Dedup extends QueryModule {
     "q_minhash_tuning" -> ((s, dir) =>
       graft.Pins.scoped(_ => minhashTuning(Tables.documents(s, dir)))),
 
+    // [EXT r18] MinHash estimator calibration (see
+    // [[minhashCalibration]]).
+    "q_minhash_calibration" -> ((s, dir) =>
+      graft.Pins.scoped(_ => minhashCalibration(Tables.documents(s, dir)))),
+
+    // [EXT r18] Cross-source near-dup overlap matrix — the
+    // snapshot-to-snapshot dedup-planning report (the number that says
+    // "dedup source B against source A before training", e.g. between
+    // crawl dumps): the shared exact-Jaccard candidate stage's verified
+    // pairs, attributed to their (source, source) cell — how many
+    // near-dup pairs each source pair shares and how close they are
+    // (q_dup_rate is the within-source exact view; q_contamination the
+    // train/eval view). The only additions over the candidate stage
+    // are two broadcast-sized doc_id→source joins and a
+    // |sources|²-bounded aggregate; mean/max of already-4-dp jaccards
+    // round under the q_tfidf summation contract.
+    "q_cross_dup" -> ((s, dir) => graft.Pins.scoped { _ =>
+      import s.implicits._
+      val src = pinned(Tables.documents(s, dir).select($"doc_id", $"source"))
+      exactJaccardCandidates(Tables.documents(s, dir))
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+        // The mean is computed ENTIRELY in integer arithmetic: each
+        // 4-dp jaccard is within an ulp of k/10000, so round(j·10000)
+        // recovers k exactly; the 4-dp mean is then the half-up
+        // integer division (2·Σk + n) div (2n), materialized as a
+        // double only by one exact /10000.0. This bypasses both
+        // engines' ROUND — a float mean at sf0.1 landed exactly on a
+        // .00005 boundary, where Spark (BigDecimal HALF_UP on the
+        // shortest repr) and DuckDB (scale-multiply-nearbyint) round
+        // the SAME double differently.
+        .select(least($"sa", $"sb").as("src_a"),
+          greatest($"sa", $"sb").as("src_b"), $"jaccard",
+          round($"jaccard" * 10000).cast("long").as("j4"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          (expr("(2 * sum(j4) + count(1)) div (2 * count(1))") / 10000.0).as("mean_j"),
+          max($"jaccard").as("max_j"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // [EXT r13] Asymmetric containment near-dup — the
     // subset/quotation detector (see [[containmentPairs]] for the
     // rare-shingle blocking argument and the documented recall
@@ -760,6 +801,61 @@ object Dedup extends QueryModule {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         round(coalesce(col("n_obs"), lit(0L)) * col("p_candidate"), 4).as("exp_caught"))
       .orderBy(col("bands").desc, col("bin"))
+  }
+
+  /** [EXT r18] MinHash estimator calibration — the sketch-accuracy
+    * report next to [[minhashTuning]]'s recall curve: per exact-Jaccard
+    * decile of the candidate pairs, the bias and mean absolute error of
+    * the 32-member minwise estimate (members-agreeing / 32) against the
+    * exact shingle Jaccard. The theory says |bias|→0 and
+    * MAE ≈ sqrt(j(1−j)/32); the report is the measured check that the
+    * affine family behaves like an ideal minwise family on THIS corpus
+    * — the number that justifies trusting est_jaccard
+    * (q_dedup_minhash, q_minhash_incremental) as a filter. The only
+    * additions over the shared candidate stage are two signature joins
+    * (pinned — computed once) and a per-pair 32-lane agreement count;
+    * estimates are exact k/32 doubles, the aggregate is decile-bounded,
+    * and the 4-dp rounding of the two averages is the q_tfidf
+    * cross-engine summation contract.
+    */
+  private[graft] def minhashCalibration(docs: DataFrame): DataFrame = {
+    val numHashes = 32
+    val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
+    val sigs = pinned(minhashFromShingles(sh, "doc_id", numHashes))
+    val banded = pinned(bandBuckets(sigs, "doc_id", numHashes, bands = 16)
+      .withColumn("_occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("_occ") <= lit(JaccardBucketCap))
+      .drop("_occ"))
+    bucketPairs(banded, "doc_id")
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 1)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("exact"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("long").as("agree"))
+      // Order-independent 4-dp averages from EXACT integers with
+      // half-away-from-zero INTEGER rounding (the q_cross_dup rule —
+      // both engines' ROUND disagree on exact .00005-boundary
+      // doubles): est − exact = (agree·10000 − x4·32)/320000 per pair
+      // with agree ≤ 32 and x4 = round(exact·10000) exact, so the
+      // 4-dp mean scaled by 10000 is round(Σd / (32n)) — computed as
+      // sign·((2|Σd| + 32n) div (64n)) — and the only float op is one
+      // exact /10000.0.
+      .select(least(floor(col("exact") * 10), lit(9)).cast("int").as("bin"),
+        (col("agree") * 10000 - round(col("exact") * 10000).cast("long") * 32).as("d"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (expr("""(case when sum(d) < 0 then -1 else 1 end)
+                 * ((2 * abs(sum(d)) + 32 * count(1)) div (64 * count(1)))""")
+          / 10000.0).as("bias"),
+        (expr("(2 * sum(abs(d)) + 32 * count(1)) div (64 * count(1))")
+          / 10000.0).as("mae"))
+      .orderBy(col("bin"))
   }
 
   /** Rare-shingle df window (2..cap) for containment blocking: a
@@ -1240,6 +1336,71 @@ object Dedup extends QueryModule {
          |  ROUND(COALESCE(n_obs, 0) * p_candidate, 4) AS exp_caught
          |FROM grid LEFT JOIN hist USING (bin)
          |ORDER BY bands DESC, bin""".stripMargin,
+    // Estimator calibration twin: est from the msig pair join
+    // (q_dedup_minhash's ej shape — exact k/32 doubles), exact from
+    // the shl pair join (q_ngram_jaccard's chain), inner-joined on the
+    // pair so both engines see the identical ≥1-shared-shingle set.
+    "q_minhash_calibration" ->
+      s"""${minhashCtes(32, 16)},
+         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
+         |        HAVING COUNT(*) <= $JaccardBucketCap),
+         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |       FROM bnd x JOIN occ USING (band, bstr)
+         |       JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
+         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
+         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
+         |        GROUP BY pr.id_a, pr.id_b),
+         |pe AS (SELECT pr.id_a, pr.id_b,
+         |         CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |       FROM pr JOIN msig sa ON sa.doc_id = pr.id_a
+         |               JOIN msig sb ON sb.doc_id = pr.id_b AND sb.j = sa.j
+         |       GROUP BY pr.id_a, pr.id_b),
+         |jx AS (SELECT
+         |         ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS exact,
+         |         pe.agree
+         |       FROM itr JOIN szs na ON na.doc_id = itr.id_a
+         |                JOIN szs nb ON nb.doc_id = itr.id_b
+         |                JOIN pe ON pe.id_a = itr.id_a AND pe.id_b = itr.id_b),
+         |dd AS (SELECT CAST(LEAST(FLOOR(exact * 10), 9) AS INT) AS bin,
+         |         agree * 10000 - CAST(ROUND(exact * 10000) AS BIGINT) * 32 AS d
+         |       FROM jx)
+         |SELECT bin, COUNT(*) AS n_pairs,
+         |  (CASE WHEN SUM(d) < 0 THEN -1 ELSE 1 END)
+         |    * ((2 * ABS(SUM(d)) + 32 * COUNT(*)) // (64 * COUNT(*)))
+         |    / 10000.0 AS bias,
+         |  (2 * SUM(ABS(d)) + 32 * COUNT(*)) // (64 * COUNT(*))
+         |    / 10000.0 AS mae
+         |FROM dd GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_cross_dup" ->
+      s"""${minhashCtes(32, 16)},
+         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
+         |        HAVING COUNT(*) <= $JaccardBucketCap),
+         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |       FROM bnd x JOIN occ USING (band, bstr)
+         |       JOIN bnd y
+         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
+         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
+         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
+         |        GROUP BY pr.id_a, pr.id_b),
+         |jac AS (SELECT itr.id_a, itr.id_b,
+         |          ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
+         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
+         |                 JOIN szs nb ON nb.doc_id = itr.id_b),
+         |att AS (SELECT LEAST(da.source, db.source) AS src_a,
+         |          GREATEST(da.source, db.source) AS src_b, jac.jaccard,
+         |          CAST(ROUND(jac.jaccard * 10000) AS BIGINT) AS j4
+         |        FROM jac JOIN documents da ON da.doc_id = jac.id_a
+         |                 JOIN documents db ON db.doc_id = jac.id_b)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+         |  ((2 * SUM(j4) + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS mean_j,
+         |  MAX(jaccard) AS max_j
+         |FROM att GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_set_containment" ->
       s"""$shingleCtes,
          |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),

@@ -642,4 +642,65 @@ class TextDedupVectorSpec extends SparkSpec {
       cand.count(_ >= 0.1).toLong)
     assert(cand.nonEmpty, "no candidate pairs at this sf — dead report")
   }
+
+  test("q_minhash_calibration replays bias/mae from signatures + exact jaccard; histogram matches the tuning report") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.exactJaccardCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // First-principles replay of the integer-exact aggregate.
+    val byBin = pairs.groupBy { case (_, _, ex) => math.min((ex * 10).toInt, 9) }
+    val expect = byBin.map { case (bin, ps) =>
+      val ds = ps.map { case (a, b, ex) =>
+        val agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+        agree * 10000L - math.round(ex * 10000).toLong * 32L
+      }
+      val n = ds.length.toLong
+      val sd = ds.sum
+      val bias = (if (sd < 0) -1L else 1L) * ((2 * math.abs(sd) + 32 * n) / (64 * n))
+      val mae = (2 * ds.map(math.abs).sum + 32 * n) / (64 * n)
+      bin -> ((n, bias / 10000.0, mae / 10000.0))
+    }
+    val got = run("q_minhash_calibration").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    // The histogram must be the SAME candidate population the tuning
+    // report bins — one shared chain, two reports.
+    val tuning = run("q_minhash_tuning").collect()
+      .filter(_.getInt(0) == 16).map(r => r.getInt(2) -> r.getLong(5)).toMap
+    got.foreach { case (bin, (n, _, _)) => assert(tuning(bin) === n, s"bin $bin") }
+    // Estimator sanity at this sf: the near-dup regime (j >= 0.5) must
+    // exist and estimate within the 32-member band (3 sigma of
+    // sqrt(j(1-j)/32) < 0.27).
+    assert(got.keys.exists(_ >= 5), "no near-dup bin — calibration measured nothing")
+    got.foreach { case (bin, (_, _, mae)) => assert(mae <= 0.3, s"bin $bin mae $mae") }
+  }
+
+  test("q_cross_dup replays the per-source-pair matrix from the shared candidate stage") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val srcOf = docs.select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.exactJaccardCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      val n = ps.length.toLong
+      val j4s = ps.map { case (_, _, j) => math.round(j * 10000) }
+      k -> ((n, ((2 * j4s.sum + n) / (2 * n)) / 10000.0, ps.map(_._3).max))
+    }
+    val got = run("q_cross_dup").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "no near-dup cells at this sf — dead report")
+    // Both regimes must exist at this sf: within-source near-dups and
+    // cross-source ones (the report's reason to exist).
+    assert(got.keys.exists { case (a, b) => a == b }, "no within-source cell")
+    assert(got.keys.exists { case (a, b) => a != b }, "no cross-source cell")
+  }
 }
