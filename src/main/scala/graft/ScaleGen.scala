@@ -76,12 +76,20 @@ object ScaleGen {
         // Rotation modulus derived from the vector itself, not a
         // hardcoded 64: element_at past the end returns NULL in
         // non-ANSI mode, so a dimension mismatch would silently
-        // corrupt vectors instead of erroring.
+        // corrupt vectors instead of erroring. The rotation amount is
+        // c % (dim−1) + 1 — always in 1..dim−1, so NO copy is ever a
+        // verbatim duplicate of copy 0 (the old 17·c stride lost that
+        // guarantee when the modulus stopped being the 17-coprime
+        // literal 64: any dim dividing 17·c would emit exact-duplicate
+        // vectors, the very pathology the rotation exists to avoid).
+        // dim = 1 degenerates to the identity — unavoidable, every
+        // rotation of a 1-vector is the identity.
         val dim = size(col("embedding"))
+        val rot = lit(c) % greatest(dim - 1, lit(1)) + 1
         emb.select(
           (col("vec_id") + lit(c * DocStride)).as("vec_id"),
           transform(sequence(lit(0), dim - 1),
-            i => element_at(col("embedding"), (i + lit(c * 17)) % dim + 1))
+            i => element_at(col("embedding"), (i + rot) % dim + 1))
             .as("embedding"),
           col("label"))
       }

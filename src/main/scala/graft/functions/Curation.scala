@@ -384,7 +384,17 @@ object Curation extends QueryModule {
     // "head" (CCNet cuts by per-lang perplexity terciles; q_unigram_lm
     // is this repo's corpus-LM stand-in for the KenLM score, and its
     // rounded 4-dp score is the ordering contract so both engines rank
-    // identically). Scored docs only — a zero-token doc has no LM
+    // identically). Residual cross-engine risk, documented: the
+    // ordering key is a ROUNDED float average, and the r18 q_cross_dup
+    // incident showed the two engines can round the same double
+    // differently when it sits exactly on a .00005 boundary. No
+    // integer-exact form exists for a log-space mean (the jaccard
+    // fix's scaled-integer trick needs terminating decimals), but the
+    // boundary needs avg(ln c/n) to land within an ulp of k/20000 —
+    // a measure-zero event for transcendental sums, unlike the
+    // RATIONAL jaccard means that hit it in practice. If it ever
+    // fires, the oracle hash catches it as a one-round mismatch.
+    // Scored docs only — a zero-token doc has no LM
     // evidence to bucket (inner join, unlike q_unigram_lm's left).
     // Terciles are exact NTILE(3) semantics over (lm_score DESC,
     // doc_id): the Spark side computes the identical formula from the
@@ -416,14 +426,8 @@ object Curation extends QueryModule {
           .select($"doc_id", $"lang", $"n_toks", round($"s0", 4).as("lm_score")))
       graft.operators.PrefixScan.scan(withLang, group = Seq("lang"),
           sort = Seq($"lm_score".desc, $"doc_id".asc), weight = lit(1L), pins = p)
-        .withColumn("i", $"cum_before" + 1)
-        .withColumn("n", $"grp_total")
-        .withColumn("q", expr("n div 3"))
-        .withColumn("r", $"n" % 3)
-        .withColumn("b",
-          (when($"i" <= $"r" * ($"q" + 1), expr("(i - 1) div (q + 1)"))
-            .otherwise($"r" + expr("(i - r * (q + 1) - 1) div q"))
-            .cast("int") + 1))
+        .withColumn("b", graft.operators.PrefixScan.ntileOf(
+          $"cum_before" + 1, $"grp_total", 3))
         .groupBy($"lang", $"b")
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_toks"),
           min($"lm_score").as("lo_score"), max($"lm_score").as("hi_score"))

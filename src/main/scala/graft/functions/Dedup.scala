@@ -708,41 +708,63 @@ object Dedup extends QueryModule {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
 
-  /** Candidate pairs of the SHIPPED geometry (32 hashes × 16 bands,
-    * hot buckets capped) with their exact shingle Jaccard, rounded
-    * 4 dp, unthresholded — the shared core of q_ngram_jaccard (which
-    * filters ≥ threshold and reports the top pairs) and
-    * q_minhash_tuning (which bins the full candidate histogram).
-    * Pairs with ZERO shared shingles are dropped: a zero-overlap
-    * candidate can only arise from a 28-bit base-hash collision making
-    * two different shingles minwise-equal — hash noise, not curve
-    * data — and the twins' intersection joins never produce such a
-    * row, so both engines see the identical pair set.
+  /** The shipped candidate geometry (32 hashes × 16 bands) shared by
+    * the whole exact-Jaccard report family.
     */
-  private[graft] def exactJaccardCandidates(docs: DataFrame): DataFrame = {
-    val numHashes = 32
-    // The shingle table feeds FOUR consumers (minhash explode, both
-    // exact-Jaccard join sides) and the band table feeds two (the
-    // banding self-join) — pin each so the tokenize/hash stage runs
-    // once per query, not 4× (round 2's PLANS.md showed the full
-    // pipeline duplicated at steps 1-18, 26, 32).
-    // The occupancy count is a bucket-partitioned window BEFORE the
-    // pin: it shares the self-join's shuffle key, and the pinned table
-    // is already hot-bucket-free, so neither join side re-filters.
-    val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
-    val banded = pinned(bandBuckets(
-        minhashFromShingles(sh, "doc_id", numHashes), "doc_id", numHashes, bands = 16)
-      .withColumn("_occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
-      .filter(col("_occ") <= lit(JaccardBucketCap))
-      .drop("_occ"))
+  private val JaccardNumHashes = 32
+  private val JaccardBands = 16
+
+  /** Hot-bucket-capped band-collision pairs from an already-computed
+    * signature table — the SINGLE definition of the candidate stage
+    * every exact-Jaccard report builds on (q_ngram_jaccard,
+    * q_minhash_tuning, q_minhash_calibration, q_cross_dup — the
+    * "one shared chain, N reports" invariant the specs assert).
+    * The occupancy count is a bucket-partitioned window BEFORE the
+    * pin: it shares the self-join's shuffle key, and the pinned table
+    * is already hot-bucket-free, so neither join side re-filters.
+    */
+  private def cappedCandidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = pinned(
+      bandBuckets(sigs, "doc_id", JaccardNumHashes, JaccardBands)
+        .withColumn("_occ", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+        .filter(col("_occ") <= lit(JaccardBucketCap))
+        .drop("_occ"))
     bucketPairs(banded, "doc_id")
+  }
+
+  /** Exact shingle Jaccard (4 dp) over candidate pairs, from a PINNED
+    * shingle table. Pairs with ZERO shared shingles are dropped: a
+    * zero-overlap candidate can only arise from a 28-bit base-hash
+    * collision making two different shingles minwise-equal — hash
+    * noise, not curve data — and the twins' intersection joins never
+    * produce such a row, so both engines see the identical pair set.
+    * The overlap gate is `arrays_overlap` (short-circuits at the
+    * first common element) so the full intersection+union is computed
+    * once, on survivors only.
+    */
+  private def exactJaccardOn(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 1)
+      .filter(arrays_overlap(col("sh_a"), col("sh_b")))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("jaccard"))
+
+  /** Candidate pairs of the shipped geometry with their exact shingle
+    * Jaccard, unthresholded — the shared core of the report family
+    * (see [[cappedCandidatePairs]]). The shingle table feeds FOUR
+    * consumers (minhash explode, both exact-Jaccard join sides) and
+    * the band table feeds two (the banding self-join) — pin each so
+    * the tokenize/hash stage runs once per query, not 4× (round 2's
+    * PLANS.md showed the full pipeline duplicated at steps 1-18, 26,
+    * 32).
+    */
+  private[graft] def exactJaccardCandidates(docs: DataFrame): DataFrame = {
+    val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
+    exactJaccardOn(sh,
+      cappedCandidatePairs(minhashFromShingles(sh, "doc_id", JaccardNumHashes)))
   }
 
   /** Every (bands, rows-per-band) factorization of the 32-hash budget —
@@ -812,30 +834,20 @@ object Dedup extends QueryModule {
     * affine family behaves like an ideal minwise family on THIS corpus
     * — the number that justifies trusting est_jaccard
     * (q_dedup_minhash, q_minhash_incremental) as a filter. The only
-    * additions over the shared candidate stage are two signature joins
-    * (pinned — computed once) and a per-pair 32-lane agreement count;
-    * estimates are exact k/32 doubles, the aggregate is decile-bounded,
-    * and the 4-dp rounding of the two averages is the q_tfidf
-    * cross-engine summation contract.
+    * additions over the shared candidate stage ([[exactJaccardOn]] +
+    * [[cappedCandidatePairs]]) are two signature joins (pinned —
+    * computed once, shared with the banding) and a per-pair 32-lane
+    * agreement count; the aggregate is decile-bounded and its 4-dp
+    * means are half-up INTEGER divisions over exact scaled sums (the
+    * q_cross_dup rounding rule).
     */
   private[graft] def minhashCalibration(docs: DataFrame): DataFrame = {
-    val numHashes = 32
     val sh = pinned(shingleTable(docs, "doc_id", "text", 3))
-    val sigs = pinned(minhashFromShingles(sh, "doc_id", numHashes))
-    val banded = pinned(bandBuckets(sigs, "doc_id", numHashes, bands = 16)
-      .withColumn("_occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
-      .filter(col("_occ") <= lit(JaccardBucketCap))
-      .drop("_occ"))
-    bucketPairs(banded, "doc_id")
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) >= 1)
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4).as("exact"),
+    val sigs = pinned(minhashFromShingles(sh, "doc_id", JaccardNumHashes))
+    exactJaccardOn(sh, cappedCandidatePairs(sigs))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("jaccard").as("exact"),
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           e => e)).cast("long").as("agree"))
       // Order-independent 4-dp averages from EXACT integers with
@@ -1238,6 +1250,35 @@ object Dedup extends QueryModule {
        |  FROM msig GROUP BY doc_id, bi, band)""".stripMargin
   }
 
+  /** The capped-candidate + exact-verify CTE chain shared by the
+    * exact-Jaccard report family's twins — the SQL mirror of
+    * [[cappedCandidatePairs]] + [[exactJaccardOn]]: occ (hot-bucket
+    * occupancy cap, [[JaccardBucketCap]]), pr (distinct band-collision
+    * pairs), szs/itr (shingle sizes and overlap), and
+    * jac(id_a, id_b, jaccard). Single-sourced so a cap/geometry change
+    * cannot desynchronize one report's twin from the others'. Spark
+    * buckets by xxhash64(band, slice) where the twin groups on the
+    * exact (band, bstr) pair, so occupancies differ only under a
+    * 64-bit hash collision — the q_simhash_neardup caveat class.
+    */
+  private def cappedJaccardCtes: String =
+    s"""${minhashCtes(JaccardNumHashes, JaccardBands)},
+       |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
+       |        HAVING COUNT(*) <= $JaccardBucketCap),
+       |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |       FROM bnd x JOIN occ USING (band, bstr)
+       |       JOIN bnd y
+       |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
+       |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+       |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
+       |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
+       |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
+       |        GROUP BY pr.id_a, pr.id_b),
+       |jac AS (SELECT itr.id_a, itr.id_b,
+       |          ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
+       |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
+       |                 JOIN szs nb ON nb.doc_id = itr.id_b)""".stripMargin
+
   /** SimHash signature CTE chain — the DuckDB mirror of [[simhash48]]:
     * the pinned tokenizer, distinct tokens, [[tokenHash48]] as the
     * first-12-hex-chars md5 parse, per-bit sign sums, MSB-first pack
@@ -1285,23 +1326,9 @@ object Dedup extends QueryModule {
     // 64-bit hash collision — the same negligible-caveat class as
     // q_simhash_neardup's band buckets.
     "q_ngram_jaccard" ->
-      s"""${minhashCtes(32, 16)},
-         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
-         |        HAVING COUNT(*) <= $JaccardBucketCap),
-         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |       FROM bnd x JOIN occ USING (band, bstr)
-         |       JOIN bnd y
-         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
-         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
-         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
-         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
-         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
-         |        GROUP BY pr.id_a, pr.id_b),
-         |jac AS (SELECT itr.id_a AS doc_a, itr.id_b AS doc_b,
-         |          ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
-         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
-         |                 JOIN szs nb ON nb.doc_id = itr.id_b)
-         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.1
+      s"""$cappedJaccardCtes
+         |SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.1
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
     // Same candidate+verify chain as q_ngram_jaccard, unthresholded,
     // binned into jaccard deciles and crossed with the literal
@@ -1310,21 +1337,7 @@ object Dedup extends QueryModule {
     // engine-computed terms are integer counts and one 4-dp rounding
     // of an exactly-4-decimal product.
     "q_minhash_tuning" ->
-      s"""${minhashCtes(32, 16)},
-         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
-         |        HAVING COUNT(*) <= $JaccardBucketCap),
-         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |       FROM bnd x JOIN occ USING (band, bstr)
-         |       JOIN bnd y
-         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
-         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
-         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
-         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
-         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
-         |        GROUP BY pr.id_a, pr.id_b),
-         |jac AS (SELECT ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
-         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
-         |                 JOIN szs nb ON nb.doc_id = itr.id_b),
+      s"""$cappedJaccardCtes,
          |hist AS (SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS INT) AS bin,
          |                COUNT(*) AS n_obs FROM jac GROUP BY 1),
          |grid(bands, rows_per_band, bin, s_mid, p_candidate) AS (VALUES
@@ -1341,32 +1354,16 @@ object Dedup extends QueryModule {
     // the shl pair join (q_ngram_jaccard's chain), inner-joined on the
     // pair so both engines see the identical ≥1-shared-shingle set.
     "q_minhash_calibration" ->
-      s"""${minhashCtes(32, 16)},
-         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
-         |        HAVING COUNT(*) <= $JaccardBucketCap),
-         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |       FROM bnd x JOIN occ USING (band, bstr)
-         |       JOIN bnd y
-         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
-         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
-         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
-         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
-         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
-         |        GROUP BY pr.id_a, pr.id_b),
+      s"""$cappedJaccardCtes,
          |pe AS (SELECT pr.id_a, pr.id_b,
          |         CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS agree
          |       FROM pr JOIN msig sa ON sa.doc_id = pr.id_a
          |               JOIN msig sb ON sb.doc_id = pr.id_b AND sb.j = sa.j
          |       GROUP BY pr.id_a, pr.id_b),
-         |jx AS (SELECT
-         |         ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS exact,
-         |         pe.agree
-         |       FROM itr JOIN szs na ON na.doc_id = itr.id_a
-         |                JOIN szs nb ON nb.doc_id = itr.id_b
-         |                JOIN pe ON pe.id_a = itr.id_a AND pe.id_b = itr.id_b),
-         |dd AS (SELECT CAST(LEAST(FLOOR(exact * 10), 9) AS INT) AS bin,
-         |         agree * 10000 - CAST(ROUND(exact * 10000) AS BIGINT) * 32 AS d
-         |       FROM jx)
+         |dd AS (SELECT CAST(LEAST(FLOOR(jac.jaccard * 10), 9) AS INT) AS bin,
+         |         pe.agree * 10000
+         |           - CAST(ROUND(jac.jaccard * 10000) AS BIGINT) * 32 AS d
+         |       FROM jac JOIN pe ON pe.id_a = jac.id_a AND pe.id_b = jac.id_b)
          |SELECT bin, COUNT(*) AS n_pairs,
          |  (CASE WHEN SUM(d) < 0 THEN -1 ELSE 1 END)
          |    * ((2 * ABS(SUM(d)) + 32 * COUNT(*)) // (64 * COUNT(*)))
@@ -1375,22 +1372,7 @@ object Dedup extends QueryModule {
          |    / 10000.0 AS mae
          |FROM dd GROUP BY bin ORDER BY bin""".stripMargin,
     "q_cross_dup" ->
-      s"""${minhashCtes(32, 16)},
-         |occ AS (SELECT band, bstr FROM bnd GROUP BY band, bstr
-         |        HAVING COUNT(*) <= $JaccardBucketCap),
-         |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |       FROM bnd x JOIN occ USING (band, bstr)
-         |       JOIN bnd y
-         |         ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id),
-         |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
-         |itr AS (SELECT pr.id_a, pr.id_b, COUNT(*) AS i
-         |        FROM pr JOIN shl x ON x.doc_id = pr.id_a
-         |                JOIN shl y ON y.doc_id = pr.id_b AND y.s = x.s
-         |        GROUP BY pr.id_a, pr.id_b),
-         |jac AS (SELECT itr.id_a, itr.id_b,
-         |          ROUND(CAST(i AS DOUBLE) / GREATEST(na.n + nb.n - i, 1), 4) AS jaccard
-         |        FROM itr JOIN szs na ON na.doc_id = itr.id_a
-         |                 JOIN szs nb ON nb.doc_id = itr.id_b),
+      s"""$cappedJaccardCtes,
          |att AS (SELECT LEAST(da.source, db.source) AS src_a,
          |          GREATEST(da.source, db.source) AS src_b, jac.jaccard,
          |          CAST(ROUND(jac.jaccard * 10000) AS BIGINT) AS j4

@@ -100,4 +100,24 @@ object PrefixScan {
       .withColumn("grp_total", col("_n"))
       .drop("_pid", "_w", "_off", "_n")
   }
+
+  /** Exact NTILE(k) bucket (1..k) from a 1-based rank `i` within a
+    * group of `n` rows — the SQL-standard assignment (the first
+    * n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋). ONE home for
+    * the formula shared by `Windows.distributionScaled` (k = 4) and
+    * Curation's q_ccnet_buckets (k = 3); AggJoinWindowSpec and
+    * CurationSpec pin it against the native ntile window. The else
+    * branch divides by q = n div k, which is 0 only when n < k — and
+    * then i ≤ n = r·(q+1) makes the first branch taken for every
+    * row, so the division never evaluates (CASE is lazy in both
+    * engines). Ranks/counts stay well under 2⁵³, so the
+    * floor-of-double divisions are exact integer division.
+    */
+  def ntileOf(i: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")
+    val r = n % k
+    (when(i <= r * (q + 1), floor((i - 1) / (q + 1)))
+      .otherwise(r + floor((i - r * (q + 1) - 1) / q))
+      .cast("int") + 1)
+  }
 }

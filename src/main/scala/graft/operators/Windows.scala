@@ -268,12 +268,8 @@ object Windows extends QueryModule {
         pins = pins)
       .withColumn("i", $"cum_before" + 1)
       .withColumn("n", $"grp_total")
-      .withColumn("q", expr("n div 4"))
-      .withColumn("r", $"n" % 4)
       .select($"o_orderpriority", $"o_orderkey",
-        (when($"i" <= $"r" * ($"q" + 1), expr("(i - 1) div (q + 1)"))
-          .otherwise($"r" + expr("(i - r * (q + 1) - 1) div q"))
-          .cast("int") + 1).as("quartile"),
+        PrefixScan.ntileOf($"i", $"n", 4).as("quartile"),
         when($"n" > 1, round(($"i" - 1).cast("double") / ($"n" - 1), 4))
           .otherwise(lit(0.0)).as("pct_rank"),
         round($"i".cast("double") / $"n", 4).as("cume"))
