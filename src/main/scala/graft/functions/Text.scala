@@ -410,6 +410,48 @@ object Text extends QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // [EXT r18] BPE compression fairness by language — the
+    // multilingual tokenizer-equity audit (Petrov et al. 2023,
+    // "Language Model Tokenizers Introduce Unfairness Between
+    // Languages"): after training the corpus BPE (the q_bpe_merges
+    // chain), how many symbols per word and characters per symbol
+    // each LANGUAGE pays. A language whose words stay near-character
+    // fragments pays proportionally more sequence length — so more
+    // compute and less effective context — for the same text; this
+    // report is the number that justifies per-language vocabulary
+    // budgets. Same dictionary-coded shape as q_bpe_encode (merges
+    // train once, encode the DISTINCT-word vocabulary, join the tiny
+    // word→n_sym table back to the lang-carrying word stream), ending
+    // in ONE |langs|-bounded aggregate. Character counts reuse the
+    // proven code-point split (bpeVocab's v0 identity, hash-matched
+    // across engines since r11, surrogate-safe) rather than length()
+    // — DuckDB's length counts grapheme clusters, not code points.
+    // Exact integer sums; the two ratios are single divisions of
+    // exact longs rounded 4 dp.
+    "q_bpe_fairness" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = bpeMerges(docs)
+      val words = docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
+      val wsyms = words.select($"w").distinct()
+        .select($"w",
+          concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
+      val encoded = bpeApply(wsyms, merges, BpeRounds)
+        .select($"w", size(split($"w", "")).cast("long").as("n_chr"),
+          size(split(trim($"syms"), "  ")).cast("long").as("n_sym"))
+      words.join(encoded, Seq("w"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_chr").cast("long").as("n_chars"),
+          sum($"n_sym").cast("long").as("n_symbols"))
+        .select($"lang", $"n_words", $"n_chars", $"n_symbols",
+          round($"n_symbols".cast("double") /
+            greatest($"n_words", lit(1L)).cast("double"), 4).as("syms_per_word"),
+          round($"n_chars".cast("double") /
+            greatest($"n_symbols", lit(1L)).cast("double"), 4).as("chars_per_sym"))
+        .orderBy($"lang")
+    }),
+
     // [EXT] Context-window chunking — the step that turns a cleaned
     // corpus into training rows: fixed-size token windows (50 tokens)
     // with overlap (stride 40 → 10-token overlap) so no span is lost
@@ -1062,6 +1104,35 @@ object Text extends QueryModule {
          |        FROM e$BpeRounds)
          |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_sym) AS BIGINT) AS n_symbols
          |FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The q_bpe_encode chain with a lang-carrying word stream and a
+    // |langs|-bounded final aggregate; characters via the same
+    // code-point split as v0 (NOT length() — DuckDB's counts grapheme
+    // clusters).
+    "q_bpe_fairness" ->
+      s"""WITH dw AS (
+         |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+         |    t -> length(t) > 0)) AS w
+         |  FROM documents),
+         |v0 AS (
+         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
+         |    COUNT(*) AS freq
+         |  FROM dw GROUP BY w),
+         |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
+         |e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
+         |       FROM (SELECT DISTINCT w FROM dw)),
+         |${(1 to BpeRounds).map(bpeEncodeCte).mkString(",\n")},
+         |enc AS (SELECT w, CAST(len(string_split(w, '')) AS BIGINT) AS n_chr,
+         |          CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sym
+         |        FROM e$BpeRounds),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+         |    CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+         |  FROM dw JOIN enc USING (w) GROUP BY lang)
+         |SELECT lang, n_words, n_chars, n_symbols,
+         |  ROUND(n_symbols / CAST(GREATEST(n_words, 1) AS DOUBLE), 4) AS syms_per_word,
+         |  ROUND(n_chars / CAST(GREATEST(n_symbols, 1) AS DOUBLE), 4) AS chars_per_sym
+         |FROM agg ORDER BY lang""".stripMargin,
     // Verified end-to-end since round 11: the loop is deterministic
     // (checkpoint truncation changes plans, never values) and short
     // enough to unroll. v0 is bpeVocab (code-point split — DuckDB's

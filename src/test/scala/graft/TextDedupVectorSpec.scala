@@ -678,6 +678,51 @@ class TextDedupVectorSpec extends SparkSpec {
     got.foreach { case (bin, (_, _, mae)) => assert(mae <= 0.3, s"bin $bin mae $mae") }
   }
 
+  test("q_bpe_fairness aggregates the encode output per lang; char counts replay; the audit discriminates") {
+    import spark.implicits._
+    val langOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Per-lang word/symbol totals must be exactly the per-doc encode
+    // output (q_bpe_encode — same trained merges, same word stream)
+    // re-keyed by the doc's language.
+    val fromEncode = run("q_bpe_encode").collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> ((rs.map(_._2).sum, rs.map(_._3).sum))
+      }
+    // Char totals replay from first principles: code-point count per
+    // tokenized word (the v0 split identity).
+    val chars = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split(functions.Text.Ws + "+")
+          .filter(_.nonEmpty)
+          .map(w => r.getString(0) -> w.codePointCount(0, w.length).toLong)
+      }.groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).sum }
+    val got = run("q_bpe_fairness").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === fromEncode.keySet)
+    got.foreach { case (l, (nw, nc, ns, spw, cps)) =>
+      assert((nw, ns) === fromEncode(l), s"$l words/symbols")
+      assert(nc === chars(l), s"$l chars")
+      assert(spw === BigDecimal(ns.toDouble / math.max(nw, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$l spw")
+      assert(cps === BigDecimal(nc.toDouble / math.max(ns, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$l cps")
+      // BPE can only merge: a word's symbols are between 1 and its
+      // characters, so the per-lang means respect the same bounds.
+      assert(spw >= 1.0 && cps >= 1.0, s"$l ratio bounds")
+      assert(ns <= nc && nw <= ns, s"$l count bounds")
+    }
+    // The audit must actually discriminate languages at this sf, or
+    // the report measures nothing.
+    assert(got.values.map(_._4).toSeq.distinct.length >= 2,
+      "every language pays the same symbols-per-word")
+  }
+
   test("q_cross_dup replays the per-source-pair matrix from the shared candidate stage") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
