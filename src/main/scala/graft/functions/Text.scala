@@ -397,14 +397,8 @@ object Text extends QueryModule {
     "q_bpe_encode" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val merges = bpeMerges(docs)
-      val words = docs.select($"doc_id", explode(tokens(lower($"text"))).as("w"))
-      val wsyms = words.select($"w").distinct()
-        .select($"w",
-          concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
-      val encoded = bpeApply(wsyms, merges, BpeRounds)
-        .select($"w", size(split(trim($"syms"), "  ")).cast("long").as("n_sym"))
-      words.join(encoded, Seq("w"))
+      docs.select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+        .join(bpeEncodedWords(docs), Seq("w"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"n_sym").as("n_symbols"))
         .orderBy($"doc_id")
@@ -426,29 +420,26 @@ object Text extends QueryModule {
     // proven code-point split (bpeVocab's v0 identity, hash-matched
     // across engines since r11, surrogate-safe) rather than length()
     // — DuckDB's length counts grapheme clusters, not code points.
-    // Exact integer sums; the two ratios are single divisions of
-    // exact longs rounded 4 dp.
+    // Exact integer sums; the two 4-dp ratios are half-up INTEGER
+    // divisions (the q_cross_dup rounding rule — both engines' ROUND
+    // disagree on .00005-boundary quotients, and ratios of exact
+    // longs land there in practice). No divide guards: a lang group
+    // exists only with ≥1 word, and BPE only merges, so
+    // n_symbols ≥ n_words ≥ 1 by construction (the spec pins both).
     "q_bpe_fairness" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val merges = bpeMerges(docs)
-      val words = docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
-      val wsyms = words.select($"w").distinct()
-        .select($"w",
-          concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
-      val encoded = bpeApply(wsyms, merges, BpeRounds)
-        .select($"w", size(split($"w", "")).cast("long").as("n_chr"),
-          size(split(trim($"syms"), "  ")).cast("long").as("n_sym"))
-      words.join(encoded, Seq("w"))
+      docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
+        .join(bpeEncodedWords(docs), Seq("w"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_words"),
-          sum($"n_chr").cast("long").as("n_chars"),
-          sum($"n_sym").cast("long").as("n_symbols"))
+          sum($"n_chr").as("n_chars"),
+          sum($"n_sym").as("n_symbols"))
         .select($"lang", $"n_words", $"n_chars", $"n_symbols",
-          round($"n_symbols".cast("double") /
-            greatest($"n_words", lit(1L)).cast("double"), 4).as("syms_per_word"),
-          round($"n_chars".cast("double") /
-            greatest($"n_symbols", lit(1L)).cast("double"), 4).as("chars_per_sym"))
+          (expr("(2 * 10000 * n_symbols + n_words) div (2 * n_words)")
+            / 10000.0).as("syms_per_word"),
+          (expr("(2 * 10000 * n_chars + n_symbols) div (2 * n_symbols)")
+            / 10000.0).as("chars_per_sym"))
         .orderBy($"lang")
     }),
 
@@ -908,6 +899,24 @@ object Text extends QueryModule {
               concat(lit(" "), col("_l"), col("_r"), lit(" ")))).as("syms"))
     }
 
+  /** Corpus-trained BPE applied to the DISTINCT-word vocabulary:
+    * `(w, n_chr, n_sym)` — code-point and encoded-symbol counts per
+    * word. The ONE definition of the dictionary-coded encode table
+    * that q_bpe_encode and q_bpe_fairness join their word streams
+    * against (a sentinel-format or tokenizer change edits one place);
+    * the sentinel syms construction is bpeVocab's v0 identity.
+    */
+  private def bpeEncodedWords(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val wsyms = docs.select(explode(tokens(lower($"text"))).as("w")).distinct()
+      .select($"w",
+        concat(lit(" "), array_join(split($"w", ""), "  "), lit(" ")).as("syms"))
+    bpeApply(wsyms, bpeMerges(docs), BpeRounds)
+      .select($"w", size(split($"w", "")).cast("long").as("n_chr"),
+        size(split(trim($"syms"), "  ")).cast("long").as("n_sym"))
+  }
+
   /** Corpus → weighted symbol vocabulary `(syms, freq)`: the ONE
     * corpus-sized pass of BPE training.
     */
@@ -1083,55 +1092,53 @@ object Text extends QueryModule {
        |                       ' ' || (SELECT l FROM t$i) || (SELECT r FROM t$i) || ' ') END AS syms
        |  FROM e${i - 1})""".stripMargin
 
+  /** The train+encode chain as CTEs, parameterized on the word
+    * stream's carried key (doc_id / lang) — ONE spelling of
+    * dw/v0/rounds/e0/enc shared by the q_bpe_encode and
+    * q_bpe_fairness twins, the SQL mirror of [[bpeEncodedWords]].
+    * `enc` carries both the symbol count and the code-point count
+    * (NOT length() — DuckDB's counts grapheme clusters).
+    */
+  private def bpeEncodeChainCtes(keyCol: String): String =
+    s"""WITH dw AS (
+       |  SELECT $keyCol, unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
+       |    t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |v0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
+       |    COUNT(*) AS freq
+       |  FROM dw GROUP BY w),
+       |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
+       |e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
+       |       FROM (SELECT DISTINCT w FROM dw)),
+       |${(1 to BpeRounds).map(bpeEncodeCte).mkString(",\n")},
+       |enc AS (SELECT w, CAST(len(string_split(w, '')) AS BIGINT) AS n_chr,
+       |          CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sym
+       |        FROM e$BpeRounds)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     // Train (the q_bpe_merges chain, fed from the doc_id-carrying word
     // stream) then encode the distinct-word vocabulary and join counts
     // back per doc — the same dictionary-coded shape as the query.
     "q_bpe_encode" ->
-      s"""WITH dw AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
-         |    t -> length(t) > 0)) AS w
-         |  FROM documents),
-         |v0 AS (
-         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
-         |    COUNT(*) AS freq
-         |  FROM dw GROUP BY w),
-         |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
-         |e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
-         |       FROM (SELECT DISTINCT w FROM dw)),
-         |${(1 to BpeRounds).map(bpeEncodeCte).mkString(",\n")},
-         |enc AS (SELECT w, CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sym
-         |        FROM e$BpeRounds)
+      s"""${bpeEncodeChainCtes("doc_id")}
          |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_sym) AS BIGINT) AS n_symbols
          |FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // The q_bpe_encode chain with a lang-carrying word stream and a
-    // |langs|-bounded final aggregate; characters via the same
-    // code-point split as v0 (NOT length() — DuckDB's counts grapheme
-    // clusters).
+    // The same chain lang-keyed with a |langs|-bounded final
+    // aggregate; the 4-dp ratios are half-up integer divisions (the
+    // q_cross_dup rounding rule).
     "q_bpe_fairness" ->
-      s"""WITH dw AS (
-         |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '$Ws+'),
-         |    t -> length(t) > 0)) AS w
-         |  FROM documents),
-         |v0 AS (
-         |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms,
-         |    COUNT(*) AS freq
-         |  FROM dw GROUP BY w),
-         |${(1 to BpeRounds).map(bpeRoundCte).mkString(",\n")},
-         |e0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
-         |       FROM (SELECT DISTINCT w FROM dw)),
-         |${(1 to BpeRounds).map(bpeEncodeCte).mkString(",\n")},
-         |enc AS (SELECT w, CAST(len(string_split(w, '')) AS BIGINT) AS n_chr,
-         |          CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sym
-         |        FROM e$BpeRounds),
+      s"""${bpeEncodeChainCtes("lang")},
          |agg AS (
          |  SELECT lang, COUNT(*) AS n_words,
          |    CAST(SUM(n_chr) AS BIGINT) AS n_chars,
          |    CAST(SUM(n_sym) AS BIGINT) AS n_symbols
          |  FROM dw JOIN enc USING (w) GROUP BY lang)
          |SELECT lang, n_words, n_chars, n_symbols,
-         |  ROUND(n_symbols / CAST(GREATEST(n_words, 1) AS DOUBLE), 4) AS syms_per_word,
-         |  ROUND(n_chars / CAST(GREATEST(n_symbols, 1) AS DOUBLE), 4) AS chars_per_sym
+         |  ((2 * 10000 * n_symbols + n_words) // (2 * n_words)) / 10000.0
+         |    AS syms_per_word,
+         |  ((2 * 10000 * n_chars + n_symbols) // (2 * n_symbols)) / 10000.0
+         |    AS chars_per_sym
          |FROM agg ORDER BY lang""".stripMargin,
     // Verified end-to-end since round 11: the loop is deterministic
     // (checkpoint truncation changes plans, never values) and short

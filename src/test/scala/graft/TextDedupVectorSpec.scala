@@ -708,10 +708,10 @@ class TextDedupVectorSpec extends SparkSpec {
     got.foreach { case (l, (nw, nc, ns, spw, cps)) =>
       assert((nw, ns) === fromEncode(l), s"$l words/symbols")
       assert(nc === chars(l), s"$l chars")
-      assert(spw === BigDecimal(ns.toDouble / math.max(nw, 1))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$l spw")
-      assert(cps === BigDecimal(nc.toDouble / math.max(ns, 1))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$l cps")
+      // Half-up INTEGER division over the exact rational — the
+      // q_cross_dup rounding rule, replayed bit-for-bit.
+      assert(spw === ((2L * 10000L * ns + nw) / (2L * nw)) / 10000.0, s"$l spw")
+      assert(cps === ((2L * 10000L * nc + ns) / (2L * ns)) / 10000.0, s"$l cps")
       // BPE can only merge: a word's symbols are between 1 and its
       // characters, so the per-lang means respect the same bounds.
       assert(spw >= 1.0 && cps >= 1.0, s"$l ratio bounds")
