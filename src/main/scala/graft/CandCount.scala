@@ -8,6 +8,12 @@ package graft
   * [[functions.Dedup.JaccardBucketCap]] buys as the corpus grows.
   *
   * Usage: runMain graft.CandCount <sfDir> [sfDir...]
+  *
+  * The raw count is DELIBERATELY uncapped — that is the pathology
+  * being measured — so it is quadratic in hot-bucket occupancy and
+  * can blow up on a large SF dir with a degenerate bucket. Run it on
+  * sized-down dirs (the ScaleGen fixtures through sf2.0 are the
+  * proven range); the capped count is safe at any SF.
   */
 object CandCount {
   def main(args: Array[String]): Unit = {

@@ -82,6 +82,11 @@ object ScaleGen {
         // guarantee when the modulus stopped being the 17-coprime
         // literal 64: any dim dividing 17·c would emit exact-duplicate
         // vectors, the very pathology the rotation exists to avoid).
+        // Scope of the guarantee: copy-vs-COPY-0 only. Two copies
+        // c1 ≡ c2 (mod dim−1) share a rotation and duplicate EACH
+        // OTHER — reachable only at factor > dim−1 (> 63 at the
+        // shipped dim = 64, i.e. sf > 6.3), so mix a c-dependent
+        // stride into the permutation before generating above that.
         // dim = 1 degenerates to the identity — unavoidable, every
         // rotation of a 1-vector is the identity.
         val dim = size(col("embedding"))

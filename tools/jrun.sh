@@ -5,7 +5,18 @@
 # can sequence many mains without paying sbt's per-invocation startup;
 # `sbt -batch "runMain ..."` remains the canonical entry (BASELINE.md).
 set -euo pipefail
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CLASSES=/root/repo/target/scala-2.13/classes
+# Guard against silently benchmarking stale code: the script runs
+# whatever sbt last compiled, so fail if the classes dir is missing or
+# older than the newest main source.
+[ -d "$CLASSES" ] || { echo "jrun: $CLASSES missing — run sbt compile" >&2; exit 1; }
+SRC_T=$(find /root/repo/src/main -type f -printf '%T@\n' | sort -rn | head -1)
+CLS_T=$(find "$CLASSES" -name '*.class' -printf '%T@\n' | sort -rn | head -1)
+if [ -z "$CLS_T" ] || awk -v s="$SRC_T" -v c="$CLS_T" 'BEGIN{exit !(s>c)}'; then
+  echo "jrun: compiled classes are older than src/main — run sbt compile" >&2
+  exit 1
+fi
+CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':' | sed 's/:$//')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
