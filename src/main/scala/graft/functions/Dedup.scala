@@ -430,6 +430,12 @@ object Dedup extends QueryModule {
     "q_minhash_calibration" -> ((s, dir) =>
       graft.Pins.scoped(_ => minhashCalibration(Tables.documents(s, dir)))),
 
+    // [EXT r19] SimHash band-geometry tuning report (see
+    // [[simhashTuning]] for the hypergeometric closed form and the
+    // exact-pair-join parity argument).
+    "q_simhash_tuning" -> ((s, dir) =>
+      graft.Pins.scoped(_ => simhashTuning(Tables.documents(s, dir)))),
+
     // [EXT r18] Cross-source near-dup overlap matrix — the
     // snapshot-to-snapshot dedup-planning report (the number that says
     // "dedup source B against source A before training", e.g. between
@@ -793,6 +799,103 @@ object Dedup extends QueryModule {
       val sMid = (bin + 0.5) / 10.0
       (b, r, bin, sMid, candidateProb(b, r, sMid))
     }
+
+  /** Every (bands, bits-per-band) factorization of the 48-bit SimHash
+    * signature that q_simhash_tuning scores. The shipped blocking
+    * (q_simhash_neardup, [[simhashNearDups]]) is (4, 12).
+    */
+  private[graft] val SimTuningGeometries: Seq[(Int, Int)] =
+    Seq((24, 2), (12, 4), (8, 6), (6, 8), (4, 12), (2, 24))
+
+  /** Hamming window of the SimHash tuning report: the shipped
+    * near-dup verify threshold is 3, so 0..12 covers the near-dup
+    * regime with a 4× margin while keeping the grid literal-sized.
+    */
+  private[graft] val SimTuningMaxHamming = 12
+
+  /** Closed-form P[some band of width w is clean | hamming = h] for a
+    * 48-bit signature split into `bands` bands — EXACT hypergeometric
+    * inclusion–exclusion over "band i contains no differing bit"
+    * events (the bit-placement model: h differing bits uniform over
+    * the 48 positions):
+    *
+    *   P = Σ_{k=1..bands} (−1)^{k+1} C(bands,k) C(48−k·w, h) / C(48, h)
+    *
+    * Evaluated at PLAN-BUILD time in BigInt arithmetic (no float pow,
+    * no cross-engine libm), 4-dp half-up — the SimHash analogue of
+    * [[candidateProb]]'s 1−(1−s^r)^b. At h < bands the pigeonhole
+    * makes P exactly 1 (some band must be clean), which the closed
+    * form reproduces.
+    */
+  private[graft] def simBandProb(bands: Int, width: Int, h: Int): Double = {
+    def c(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - i + 1) / i)
+    val num = (1 to bands).foldLeft(BigInt(0)) { (acc, k) =>
+      val term = c(bands, k) * c(48 - k * width, h)
+      if (k % 2 == 1) acc + term else acc - term
+    }
+    (BigDecimal(num) / BigDecimal(c(48, h)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** The (geometry × hamming) grid with the closed-form candidate
+    * probability — 6 geometries × 13 hamming values, all plan-time
+    * literals shared verbatim with the twin.
+    */
+  private[graft] val SimTuningGrid: Seq[(Int, Int, Int, Double)] =
+    for { (b, w) <- SimTuningGeometries; h <- 0 to SimTuningMaxHamming }
+      yield (b, w, h, simBandProb(b, w, h))
+
+  /** [EXT r19] SimHash band-geometry tuning report — the
+    * q_minhash_tuning S-curve twin for the bit-band blocking
+    * (q_simhash_neardup ships 4×12): for each (bands, bits) split of
+    * the 48-bit signature and each hamming distance 0..12, the exact
+    * hypergeometric P[candidate | hamming] ([[simBandProb]]) and the
+    * expected catch over the OBSERVED candidate histogram of the
+    * shipped geometry. Reads off directly why 4×12 is right for the
+    * hamming≤3 contract: it is the coarsest split whose P stays 1.0
+    * through h=3 (pigeonhole) — fewer/wider bands lose the guarantee,
+    * more/narrower bands multiply bucket-join volume for recall the
+    * verify threshold never uses. Scale: the data-proportional term is
+    * the shipped band self-join (linear in bucket occupancy, the
+    * q_simhash_neardup argument); the grid is 78 literal rows and the
+    * histogram broadcast is ≤13 rows. The candidate join deliberately
+    * matches on the exact (band, bval) PAIR — not the xxhash64 bucket
+    * the report-capped neardup query uses — so the twin's equality
+    * join sees the identical candidate set with no hash-collision
+    * caveat (collisions here would land in the 4..12 window the
+    * verify filter no longer drops).
+    */
+  private[graft] def simhashTuning(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = pinned(docs
+      .select(col("doc_id"), simhash48(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), 12 * b).bitwiseAND(lit(4095L))): _*))
+          .as(Seq("band", "bval"))))
+    val hist = banded
+      .select(col("band"), col("bval"), col("doc_id").as("id_a"),
+        col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bval"), col("doc_id").as("id_b"),
+        col("sig").as("sig_b")), Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= SimTuningMaxHamming)
+      .distinct()
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_obs"))
+    val grid = SimTuningGrid.toDF("bands", "band_bits", "hamming", "p_candidate")
+    grid.join(broadcast(hist), Seq("hamming"), "left")
+      .select(col("bands"), col("band_bits"), col("hamming"),
+        col("p_candidate"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(coalesce(col("n_obs"), lit(0L)) * col("p_candidate"), 4)
+          .as("exp_caught"))
+      .orderBy(col("bands").desc, col("hamming"))
+  }
 
   /** [EXT r18] Band/row S-curve tuning report — the measurement that
     * justifies the LSH parameters the minhash family ships with: for
@@ -1438,6 +1541,33 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" ->
       s"""$simhashSigCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // SimHash geometry S-curve twin: the hypergeometric p values are
+    // plan-time literals shared verbatim with the Spark side; the
+    // observed histogram joins on the exact (band, bval) pair — the
+    // SAME join the Spark side uses (no xxhash64 bucket), so both
+    // engines see the identical candidate set with no hash-collision
+    // caveat inside the 0..12 hamming window.
+    "q_simhash_tuning" ->
+      s"""$simhashSigCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (12 * b)) & 4095 AS bval
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+         |hist AS (SELECT hamming, COUNT(*) AS n_obs FROM cand
+         |         WHERE hamming <= $SimTuningMaxHamming GROUP BY hamming),
+         |grid(bands, band_bits, hamming, p_candidate) AS (VALUES
+         |  ${SimTuningGrid.map { case (b, w, h, p) =>
+               s"($b, $w, $h, CAST($p AS DOUBLE))"
+             }.mkString(",\n  ")})
+         |SELECT bands, band_bits, hamming, p_candidate,
+         |  CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+         |  ROUND(COALESCE(n_obs, 0) * p_candidate, 4) AS exp_caught
+         |FROM grid LEFT JOIN hist USING (hamming)
+         |ORDER BY bands DESC, hamming""".stripMargin,
     // Band-blocked near-dup twin: exact (band, slice) equality where
     // Spark buckets by xxhash64 of the same pair — candidate sets may
     // differ only by hash collisions, every one of which fails the

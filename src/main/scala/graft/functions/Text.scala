@@ -443,6 +443,46 @@ object Text extends QueryModule {
         .orderBy($"lang")
     }),
 
+    // [EXT r19] Per-language vocabulary-budget allocation — the ACTION
+    // the q_bpe_fairness audit exists to drive: split a fixed
+    // vocabulary budget across languages proportional to their
+    // FERTILITY EXCESS (n_symbols − n_words — the count of extra
+    // subword fragments the corpus tokenizer costs that language; 0
+    // means every word is already one symbol and extra vocab buys
+    // nothing). Apportionment is Hamilton largest-remainder in exact
+    // integer arithmetic (the q_allocation machinery: B·x div N floors
+    // first, remaining units to the largest B·x mod N, lang ASC
+    // tiebreak), so Σ alloc = budget EXACTLY whenever any excess
+    // exists. Same dictionary-coded scale shape as q_bpe_fairness
+    // (corpus touched twice), then every windowed stage runs over the
+    // |langs|-row aggregate. Zero-total-excess degenerates to an
+    // all-zero proportional share with the first `budget` langs taking
+    // the remainder units — deterministic on both engines, unreachable
+    // on real text (BPE under-merges SOMETHING), and the greatest(nn,1)
+    // guard only exists for it.
+    "q_vocab_budget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val exc = docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
+        .join(bpeEncodedWords(docs), Seq("w"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_symbols"))
+        .withColumn("excess", $"n_symbols" - $"n_words")
+      val tot = exc.agg(sum($"excess").as("nn"))
+      val based = exc.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($VocabBudget * excess) div greatest(nn, 1)"))
+        .withColumn("rem", expr(s"($VocabBudget * excess) % greatest(nn, 1)"))
+      val spent = based.agg(sum($"base").as("used"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"rem".desc, $"lang".asc)
+      based.crossJoin(broadcast(spent))
+        .withColumn("rk", row_number().over(w))
+        .select($"lang", $"n_words", $"n_symbols", $"excess",
+          ($"base" + when($"rk" <= lit(VocabBudget.toLong) - $"used", 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy($"lang")
+    }),
+
     // [EXT] Context-window chunking — the step that turns a cleaned
     // corpus into training rows: fixed-size token windows (50 tokens)
     // with overlap (stride 40 → 10-token overlap) so no span is lost
@@ -789,6 +829,11 @@ object Text extends QueryModule {
 
   /** Merge rounds learned by q_bpe_merges. */
   val BpeRounds = 6
+
+  /** q_vocab_budget's vocabulary units to apportion across languages
+    * (a per-language share of a production tokenizer's slot budget).
+    */
+  val VocabBudget = 4096
 
   /** Distributed BPE merge training: `rounds` iterations of
     * count-pairs → adopt-argmax → rewrite, returning the learned merge
@@ -1140,6 +1185,33 @@ object Text extends QueryModule {
          |  ((2 * 10000 * n_chars + n_symbols) // (2 * n_symbols)) / 10000.0
          |    AS chars_per_sym
          |FROM agg ORDER BY lang""".stripMargin,
+    // The fairness chain's excess signal feeding the q_allocation
+    // largest-remainder CTE shape — exact integer arithmetic
+    // throughout, lang ASC remainder tiebreak.
+    "q_vocab_budget" ->
+      s"""${bpeEncodeChainCtes("lang")},
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+         |  FROM dw JOIN enc USING (w) GROUP BY lang),
+         |exc AS (SELECT lang, n_words, n_symbols,
+         |          n_symbols - n_words AS excess FROM agg),
+         |tot AS (SELECT CAST(SUM(excess) AS BIGINT) AS nn FROM exc),
+         |based AS (
+         |  SELECT lang, n_words, n_symbols, excess,
+         |    ($VocabBudget * excess) // GREATEST(nn, 1) AS base,
+         |    ($VocabBudget * excess) % GREATEST(nn, 1) AS rem
+         |  FROM exc CROSS JOIN tot),
+         |spent AS (SELECT CAST(SUM(base) AS BIGINT) AS used FROM based),
+         |ranked AS (
+         |  SELECT lang, n_words, n_symbols, excess, base,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+         |  FROM based)
+         |SELECT lang, n_words, n_symbols, CAST(excess AS BIGINT) AS excess,
+         |  CAST(base + CASE WHEN rk <= $VocabBudget - used
+         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM ranked CROSS JOIN spent
+         |ORDER BY lang""".stripMargin,
     // Verified end-to-end since round 11: the loop is deterministic
     // (checkpoint truncation changes plans, never values) and short
     // enough to unroll. v0 is bpeVocab (code-point split — DuckDB's

@@ -748,4 +748,87 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(got.keys.exists { case (a, b) => a == b }, "no within-source cell")
     assert(got.keys.exists { case (a, b) => a != b }, "no cross-source cell")
   }
+
+  test("q_simhash_tuning: hypergeometric grid is the closed form, pigeonhole holds, histogram replays from signatures") {
+    val rows = run("q_simhash_tuning").collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length === 78, "6 geometries x 13 hamming values")
+    rows.foreach { case (b, w, h, p, _, _) =>
+      assert(b * w === 48, "every geometry spends the 48 signature bits")
+      assert(p === Dedup.simBandProb(b, w, h), s"($b,$w) h=$h")
+      // Pigeonhole: fewer differing bits than bands forces a clean
+      // band — the closed form must say EXACTLY 1.
+      if (h < b) assert(p === 1.0, s"pigeonhole broken at ($b,$w) h=$h")
+    }
+    // The shipped 4x12 geometry is the COARSEST split that keeps the
+    // hamming<=3 contract: p = 1 through h=3, and the next-coarser
+    // (2,24) already leaks at h=2.
+    rows.filter(r => r._1 == 4 && r._3 <= 3).foreach(r =>
+      assert(r._4 === 1.0, s"shipped contract broken at h=${r._3}"))
+    assert(rows.find(r => r._1 == 4 && r._3 == 4).get._4 < 1.0)
+    assert(rows.find(r => r._1 == 2 && r._3 == 2).get._4 < 1.0)
+    // With total bits fixed, narrower bands can only widen the catch:
+    // p is monotone nondecreasing in the band count at every h.
+    rows.groupBy(_._3).values.foreach { g =>
+      val byBands = g.sortBy(_._1).map(_._4)
+      assert(byBands === byBands.sorted, "p not monotone in band count")
+    }
+    // The observed histogram is a property of the DATA (shipped
+    // geometry), not of the report row's geometry.
+    rows.groupBy(_._3).foreach { case (h, g) =>
+      assert(g.map(_._5).distinct.length === 1, s"h=$h n_obs varies")
+    }
+    // exp_caught replays as round(n_obs * p, 4).
+    rows.foreach { case (_, _, _, p, n, e) =>
+      assert(e === BigDecimal(n * p)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // Histogram replays from first principles: collected 48-bit
+    // signatures, 4x12 band collisions, hamming <= 12, distinct pairs.
+    val sigs = run("q_dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expectHist = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if (0 until 4).exists(k => ((sa >> (12 * k)) & 4095L) == ((sb >> (12 * k)) & 4095L))
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 12
+    } yield h).groupBy(identity).map { case (h, hs) => h -> hs.length.toLong }
+    val gotHist = rows.filter(_._1 == 4).map(r => r._3 -> r._5)
+      .filter(_._2 > 0L).toMap
+    assert(gotHist === expectHist)
+    assert(gotHist.nonEmpty, "no candidate pairs at this sf — dead report")
+  }
+
+  test("q_vocab_budget replays Hamilton apportionment over the fairness excess signal") {
+    // The excess signal must be EXACTLY the fairness audit's counts —
+    // one shared dictionary-coded chain, two reports.
+    val fairness = run("q_bpe_fairness").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val got = run("q_vocab_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSet === fairness.keySet)
+    got.foreach { case (l, nw, ns, excess, _) =>
+      assert((nw, ns) === fairness(l), s"$l counts diverge from fairness")
+      assert(excess === ns - nw, s"$l excess")
+      assert(excess >= 0L, s"$l negative excess — BPE split a word?")
+    }
+    // First-principles largest-remainder replay in exact integers.
+    val budget = functions.Text.VocabBudget.toLong
+    val nn = got.map(_._4).sum
+    assert(nn > 0L, "zero total excess — degenerate fixture")
+    val based = got.map { case (l, _, _, e, _) =>
+      (l, e, budget * e / nn, budget * e % nn) }
+    val used = based.map(_._3).sum
+    val topUp = based.sortBy { case (l, _, _, rem) => (-rem, l) }
+      .take((budget - used).toInt).map(_._1).toSet
+    val expect = based.map { case (l, _, base, _) =>
+      l -> (base + (if (topUp(l)) 1L else 0L)) }.toMap
+    got.foreach { case (l, _, _, _, alloc) =>
+      assert(alloc === expect(l), s"$l alloc") }
+    // The apportionment spends the budget EXACTLY and must actually
+    // discriminate (an equal split would mean the signal is dead).
+    assert(got.map(_._5).sum === budget)
+    assert(got.map(_._5).distinct.length >= 2, "allocation is uniform")
+  }
 }
