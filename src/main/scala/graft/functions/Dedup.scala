@@ -847,45 +847,82 @@ object Dedup extends QueryModule {
     for { (b, w) <- SimTuningGeometries; h <- 0 to SimTuningMaxHamming }
       yield (b, w, h, simBandProb(b, w, h))
 
+  /** Hot-bucket occupancy cap for the SimHash tuning candidate stage
+    * (the [[JaccardBucketCap]] pattern). It is NOT inert on this
+    * corpus: unigram word-salad docs share most of their distinct-token
+    * vocabulary, so unweighted SimHash signatures CONCENTRATE — at
+    * sf0.1 one 12-bit band value holds 33% of all docs and band
+    * collisions within hamming≤12 reach 2.9M pairs on 5 000 docs
+    * (~24% of ALL pairs, measured r19). The cap bounds candidate work
+    * at O(corpus · cap · bands); the dropped mass-collision regime is
+    * exactly what q_dedup_exact/q_dedup_minhash own.
+    */
+  val SimTuningBucketCap = 16
+
   /** [EXT r19] SimHash band-geometry tuning report — the
     * q_minhash_tuning S-curve twin for the bit-band blocking
     * (q_simhash_neardup ships 4×12): for each (bands, bits) split of
     * the 48-bit signature and each hamming distance 0..12, the exact
     * hypergeometric P[candidate | hamming] ([[simBandProb]]) and the
     * expected catch over the OBSERVED candidate histogram of the
-    * shipped geometry. Reads off directly why 4×12 is right for the
-    * hamming≤3 contract: it is the coarsest split whose P stays 1.0
-    * through h=3 (pigeonhole) — fewer/wider bands lose the guarantee,
-    * more/narrower bands multiply bucket-join volume for recall the
-    * verify threshold never uses. Scale: the data-proportional term is
-    * the shipped band self-join (linear in bucket occupancy, the
-    * q_simhash_neardup argument); the grid is 78 literal rows and the
-    * histogram broadcast is ≤13 rows. The candidate join deliberately
-    * matches on the exact (band, bval) PAIR — not the xxhash64 bucket
-    * the report-capped neardup query uses — so the twin's equality
-    * join sees the identical candidate set with no hash-collision
-    * caveat (collisions here would land in the 4..12 window the
-    * verify filter no longer drops).
+    * shipped geometry under the occupancy cap. Reads off directly why
+    * 4×12 is right for the hamming≤3 contract: it is the coarsest
+    * split whose P stays 1.0 through h=3 (pigeonhole) — fewer/wider
+    * bands lose the guarantee, more/narrower bands multiply
+    * bucket-join volume for recall the verify threshold never uses.
+    *
+    * Scale design (both measured r19 at sf0.1):
+    *   - '''occupancy cap''' ([[SimTuningBucketCap]]): the capless
+    *     band self-join is quadratic-in-collisions on signature-
+    *     concentrated corpora (2.9M pairs on 5k docs); capped work is
+    *     O(corpus · cap · bands).
+    *   - '''first-matching-band dedup''': a pair colliding in k bands
+    *     would emit k rows; instead of a pair-level `distinct()`
+    *     (a multi-million-row shuffle here), each joined row keeps
+    *     only the band whose EARLIER raw band slices all differ — a
+    *     per-row integer predicate (both sigs are in the row), so the
+    *     pair stream needs no shuffle at all before the ≤13-row
+    *     aggregate. The predicate reads RAW slices: a pair whose first
+    *     matching band sits in a capped-away bucket is dropped even if
+    *     a later band survives — a deliberate recall trade of the same
+    *     class as the cap itself, mirrored exactly by the twin.
+    *
+    * The candidate join matches on the exact (band, bval) PAIR — not
+    * the xxhash64 bucket q_simhash_neardup hashes to — so the twin's
+    * equality join sees the identical candidate set with no
+    * hash-collision caveat (a collision here would land inside the
+    * 0..12 window that, unlike neardup's hamming≤3 verify, would keep
+    * it).
     */
   private[graft] def simhashTuning(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    def slice(c: Column, b: Int): Column =
+      shiftright(c, 12 * b).bitwiseAND(lit(4095L))
+    // Occupancy is a (band, bval)-partitioned window BEFORE the pin —
+    // it shares the self-join's shuffle key, and the pinned table is
+    // already hot-bucket-free (the cappedCandidatePairs shape).
     val banded = pinned(docs
       .select(col("doc_id"), simhash48(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), 12 * b).bitwiseAND(lit(4095L))): _*))
-          .as(Seq("band", "bval"))))
+        posexplode(array((0 until 4).map(b => slice(col("sig"), b)): _*))
+          .as(Seq("band", "bval")))
+      .withColumn("_occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bval"))))
+      .filter(col("_occ") <= lit(SimTuningBucketCap))
+      .drop("_occ"))
+    val firstMatch = (0 until 3).map(j =>
+      col("band") <= lit(j) || slice(col("sig_a"), j) =!= slice(col("sig_b"), j))
+      .reduce(_ && _)
     val hist = banded
       .select(col("band"), col("bval"), col("doc_id").as("id_a"),
         col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("bval"), col("doc_id").as("id_b"),
         col("sig").as("sig_b")), Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("id_a") < col("id_b") && firstMatch)
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= SimTuningMaxHamming)
-      .distinct()
       .groupBy(col("hamming")).agg(count(lit(1)).as("n_obs"))
     val grid = SimTuningGrid.toDF("bands", "band_bits", "hamming", "p_candidate")
     grid.join(broadcast(hist), Seq("hamming"), "left")
@@ -1546,17 +1583,25 @@ object Dedup extends QueryModule {
     // observed histogram joins on the exact (band, bval) pair — the
     // SAME join the Spark side uses (no xxhash64 bucket), so both
     // engines see the identical candidate set with no hash-collision
-    // caveat inside the 0..12 hamming window.
+    // caveat inside the 0..12 hamming window. The occ CTE mirrors the
+    // occupancy cap and the first-match predicate mirrors the
+    // band-dedup — both evaluated on the same raw slices.
     "q_simhash_tuning" ->
       s"""$simhashSigCte,
          |bands AS (
          |  SELECT doc_id, simhash, b AS band, (simhash >> (12 * b)) & 4095 AS bval
          |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |keep AS (
+         |  SELECT * FROM (SELECT doc_id, simhash, band, bval,
+         |    COUNT(*) OVER (PARTITION BY band, bval) AS occ FROM bands)
+         |  WHERE occ <= $SimTuningBucketCap),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+         |  SELECT CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM keep x JOIN keep y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |  WHERE (x.band <= 0 OR (x.simhash & 4095) != (y.simhash & 4095))
+         |    AND (x.band <= 1 OR ((x.simhash >> 12) & 4095) != ((y.simhash >> 12) & 4095))
+         |    AND (x.band <= 2 OR ((x.simhash >> 24) & 4095) != ((y.simhash >> 24) & 4095))),
          |hist AS (SELECT hamming, COUNT(*) AS n_obs FROM cand
          |         WHERE hamming <= $SimTuningMaxHamming GROUP BY hamming),
          |grid(bands, band_bits, hamming, p_candidate) AS (VALUES

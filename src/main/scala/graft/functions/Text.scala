@@ -462,21 +462,25 @@ object Text extends QueryModule {
     // guard only exists for it.
     "q_vocab_budget" -> ((s, dir) => {
       import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val exc = docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
+      // Unlike q_allocation's crossJoin(broadcast(tot)) shape, the
+      // totals here are GLOBAL WINDOWS over the |langs|-row aggregate:
+      // each broadcast is a sequential job barrier on top of the BPE
+      // chain's ~40 jobs (measured +9 jobs / +0.9 s warm at sf0.1 for
+      // the broadcast spelling), while three window stages over ≤
+      // |langs| rows are one task. The single-partition WindowExec
+      // warning is the |langs|-bounded case it exists to allow.
+      docs.select($"lang", explode(tokens(lower($"text"))).as("w"))
         .join(bpeEncodedWords(docs), Seq("w"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_symbols"))
         .withColumn("excess", $"n_symbols" - $"n_words")
-      val tot = exc.agg(sum($"excess").as("nn"))
-      val based = exc.crossJoin(broadcast(tot))
+        .withColumn("nn", sum($"excess").over(W.partitionBy()))
         .withColumn("base", expr(s"($VocabBudget * excess) div greatest(nn, 1)"))
         .withColumn("rem", expr(s"($VocabBudget * excess) % greatest(nn, 1)"))
-      val spent = based.agg(sum($"base").as("used"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"rem".desc, $"lang".asc)
-      based.crossJoin(broadcast(spent))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("used", sum($"base").over(W.partitionBy()))
+        .withColumn("rk", row_number().over(W.orderBy($"rem".desc, $"lang".asc)))
         .select($"lang", $"n_words", $"n_symbols", $"excess",
           ($"base" + when($"rk" <= lit(VocabBudget.toLong) - $"used", 1L)
             .otherwise(0L)).as("alloc"))

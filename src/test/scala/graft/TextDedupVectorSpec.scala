@@ -785,12 +785,19 @@ class TextDedupVectorSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     // Histogram replays from first principles: collected 48-bit
-    // signatures, 4x12 band collisions, hamming <= 12, distinct pairs.
+    // signatures, 4x12 band collisions under the occupancy cap, each
+    // pair counted once at its FIRST matching raw band (the band-dedup
+    // predicate), hamming <= 12.
     val sigs = run("q_dedup_simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
+    def bv(s: Long, k: Int): Long = (s >> (12 * k)) & 4095L
+    val occ = (for { (_, s) <- sigs; k <- 0 until 4 } yield (k, bv(s, k)))
+      .groupBy(identity).map { case (b, bs) => b -> bs.length }
+    val keep = (b: Int, v: Long) => occ((b, v)) <= Dedup.SimTuningBucketCap
     val expectHist = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
-      if (0 until 4).exists(k => ((sa >> (12 * k)) & 4095L) == ((sb >> (12 * k)) & 4095L))
+      k <- (0 until 4).find(k => bv(sa, k) == bv(sb, k)).toSeq
+      if keep(k, bv(sa, k))
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 12
     } yield h).groupBy(identity).map { case (h, hs) => h -> hs.length.toLong }
     val gotHist = rows.filter(_._1 == 4).map(r => r._3 -> r._5)
