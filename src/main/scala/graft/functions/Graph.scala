@@ -714,9 +714,17 @@ object Graph extends QueryModule {
     try {
       // Pinned: the assigned table is both sides of the cell-bounded
       // kNN self-join; the symmetrized edge table feeds every round.
+      // The cell family is CORPUS-SCALED (Vectors.ivfCellCount): the
+      // kNN edge build is a within-cell self-join, so the fixed k=8
+      // family was quadratic in corpus size — measured r19 at sf1.0
+      // (2 500-occupancy cells), 29 s vs 4.3 at sf0.1; scaled cells
+      // hold occupancy ≈ IvfTargetPerCell and the build is
+      // O(n · target). Graded SFs sit at the clamp floor (k = 8), so
+      // their results are bit-identical to the fixed-family history.
       val a = pins(Vectors.ivfAssigned(
         Tables.embeddings(s, dir)
-          .select($"vec_id", Vectors.asDouble($"embedding").as("v"))))
+          .select($"vec_id", Vectors.asDouble($"embedding").as("v")),
+        Vectors.ivfCellsFor(Tables.rowCount(s, dir, "embeddings"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"vec_id").orderBy($"sim".desc, $"nb".asc)
       val knn = a.select($"cell", $"vec_id", $"v")
@@ -871,7 +879,7 @@ object Graph extends QueryModule {
          |WHERE pr.support >= $MinSupport
          |ORDER BY jaccard DESC, pr.s1, pr.s2 LIMIT $LinkTopK""".stripMargin,
     "q_label_prop" ->
-      s"""${Vectors.ivfAssignCte},
+      s"""${Vectors.ivfAssignScaledCte},
          |knn0 AS (
          |  SELECT x.vec_id, y.vec_id AS nb, ROUND(
          |    list_sum(list_transform(list_zip(x.vv, y.vv), p -> p[1] * p[2]))

@@ -113,6 +113,39 @@ object Vectors extends QueryModule {
   private val IvfK = 8
   private val IvfSeed = 11L
 
+  /** Corpus-scaled IVF cell count for the WITHIN-CELL SELF-JOIN
+    * consumers (q_semantic_dedup, q_label_prop's kNN edge build):
+    * cells ≈ n / [[IvfTargetPerCell]] so expected occupancy stays
+    * flat and pair work is O(n · target) — the [[planeCount]] scaling
+    * argument applied to the IVF path. A FIXED cell count is
+    * quadratic: measured r19 at sf1.0 (20k vectors / 8 cells = 2 500
+    * per cell), q_label_prop read 29 s vs 4.3 at sf0.1 — 6.9× for
+    * 10× data. Clamped to [IvfK, [[IvfMaxCells]]]: the floor keeps
+    * all three GRADED SFs (≤2 000 vectors) at exactly the historical
+    * k = 8 (bit-identical results, oracles untouched); the ceiling is
+    * the size of the literal centroid pool the twins embed — an
+    * oracle-determinism artifact, not an algorithmic limit (a
+    * production run trains k ∝ n/target centroids with KMeans). The
+    * probe-bounded IVF consumers (q_ann_ivf*, q_ann_recall,
+    * q_ivf_assign, q_cluster_balance, q_knn_join) stay on the fixed
+    * k = 8 family: their per-query work is occupancy-LINEAR and the
+    * cell count there is a recall knob, not a blowup.
+    */
+  private[graft] val IvfTargetPerCell = 250L
+  private[graft] val IvfMaxCells = 128
+
+  private[graft] def ivfCellCount(n: Long): Int =
+    math.min(IvfMaxCells,
+      math.max(IvfK, math.ceil(n.toDouble / IvfTargetPerCell).toInt))
+
+  /** Centroid family sized for `n` vectors — a PREFIX of the seeded
+    * centroid stream ([[ivfCentroids]] draws row-major, so family k's
+    * first j rows equal family j; VectorsSpec pins it), hence the
+    * graded-SF assignments are bit-identical to the fixed-k history.
+    */
+  private[graft] def ivfCellsFor(n: Long): Array[Array[Double]] =
+    ivfCentroids(ivfCellCount(n), 64, IvfSeed)
+
   /** Cosine threshold for q_semantic_dedup. The synthetic embeddings
     * are near-orthogonal (pairwise cosine spans ≈±0.5), so the
     * SemDeDup-typical 0.95 would select nothing; 0.35 exercises both
@@ -151,9 +184,10 @@ object Vectors extends QueryModule {
     * rule, see Dedup.shinglesFromTokens). First-occurrence argmin on
     * ties, same as SQL list_position.
     */
-  private[graft] def ivfAssigned(emb: DataFrame): DataFrame =
+  private[graft] def ivfAssigned(emb: DataFrame,
+      cells: Array[Array[Double]] = ivfCells): DataFrame =
     emb
-      .withColumn("dists", array(ivfCells.toIndexedSeq.map(c => sqDist(col("v"), c)): _*))
+      .withColumn("dists", array(cells.toIndexedSeq.map(c => sqDist(col("v"), c)): _*))
       .withColumn("cell",
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .drop("dists")
@@ -405,11 +439,17 @@ object Vectors extends QueryModule {
     // decision across engines).
     "q_semantic_dedup" -> ((s, dir) => {
       import s.implicits._
-      val cents2d = array(ivfCells.toIndexedSeq.map(c =>
+      // Corpus-SCALED cell family (see ivfCellCount): the drop
+      // decision is a within-cell SELF-join, so a fixed cell count is
+      // quadratic in corpus size; at the graded SFs the scaled family
+      // IS the historical k=8 (clamp floor), so results are
+      // bit-identical there.
+      val cells = ivfCellsFor(Tables.rowCount(s, dir, "embeddings"))
+      val cents2d = array(cells.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit): _*)): _*)
       graft.Pins.scoped { pins =>
         val a = pins(ivfAssigned(Tables.embeddings(s, dir)
-            .select($"vec_id", asDouble($"embedding").as("v")))
+            .select($"vec_id", asDouble($"embedding").as("v")), cells)
           .withColumn("simcent",
             round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4)))
         val x = a.select($"vec_id", $"cell", $"v", $"simcent")
@@ -621,9 +661,43 @@ object Vectors extends QueryModule {
        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
        |        ORDER BY dist, cell) = 1)""".stripMargin
 
+  /** The FULL (clamp-max) centroid pool as a VALUES list — generated
+    * from the same seeded stream, so family k is its prefix (the
+    * planesSql trick).
+    */
+  private lazy val ivfCentsPoolSql: String =
+    ivfCentroids(IvfMaxCells, 64, IvfSeed).zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n        ")
+
+  /** Corpus-SCALED assignment CTEs — the [[ivfAssignCte]] shape with
+    * the cell count computed in SQL from `embeddings`' row count
+    * (exact mirror of [[ivfCellCount]]: same ceil, same clamps), used
+    * by the within-cell self-join twins (q_semantic_dedup,
+    * q_label_prop). At the graded SFs nc = $IvfK, so `cents` filters
+    * to the identical historical family.
+    */
+  private[graft] lazy val ivfAssignScaledCte: String =
+    s"""WITH nc AS (SELECT LEAST($IvfMaxCells, GREATEST($IvfK,
+       |         CAST(CEIL(COUNT(*) / $IvfTargetPerCell.0) AS INT))) AS nc
+       |       FROM embeddings),
+       |cents AS (SELECT cell, c FROM (VALUES
+       |        $ivfCentsPoolSql) pool(cell, c), nc
+       |      WHERE pool.cell < nc.nc),
+       |v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |      FROM embeddings),
+       |d AS (SELECT vec_id, vv, cell,
+       |        list_sum(list_transform(list_zip(vv, c),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |      FROM v, cents),
+       |a AS (SELECT vec_id, vv, cell FROM d
+       |      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cell) = 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_semantic_dedup" ->
-      s"""$ivfAssignCte,
+      s"""$ivfAssignScaledCte,
          |sc AS (
          |  SELECT a.vec_id, a.cell, a.vv, ROUND(
          |    list_sum(list_transform(list_zip(a.vv, cents.c), p -> p[1] * p[2]))

@@ -806,6 +806,22 @@ class TextDedupVectorSpec extends SparkSpec {
     assert(gotHist.nonEmpty, "no candidate pairs at this sf — dead report")
   }
 
+  test("scaled IVF cell family: clamp floor covers the graded SFs, prefix-stable, mirrors the SQL clamps") {
+    // All three graded SFs sit at the clamp floor — the scaled family
+    // IS the historical k=8, so assignments are bit-identical there.
+    for (n <- Seq(500L, 2000L)) assert(Vectors.ivfCellCount(n) === 8, s"n=$n")
+    // Scaling region and ceiling (the literal-pool bound the twins embed).
+    assert(Vectors.ivfCellCount(20000L) === 80)
+    assert(Vectors.ivfCellCount(40000L) === 128)
+    // Prefix stability: family k's first j centroids equal family j —
+    // the property that keeps graded assignments unchanged and lets
+    // the twin filter one shared pool.
+    val small = Vectors.ivfCellsFor(2000L).map(_.toSeq).toSeq
+    val big = Vectors.ivfCellsFor(30000L).map(_.toSeq).toSeq
+    assert(big.length === Vectors.ivfCellCount(30000L))
+    assert(big.take(small.length) === small)
+  }
+
   test("q_vocab_budget replays Hamilton apportionment over the fairness excess signal") {
     // The excess signal must be EXACTLY the fairness audit's counts —
     // one shared dictionary-coded chain, two reports.
