@@ -132,7 +132,7 @@ object Vectors extends QueryModule {
     * cell count there is a recall knob, not a blowup.
     */
   private[graft] val IvfTargetPerCell = 250L
-  private[graft] val IvfMaxCells = 128
+  private[graft] val IvfMaxCells = 256
 
   private[graft] def ivfCellCount(n: Long): Int =
     math.min(IvfMaxCells,

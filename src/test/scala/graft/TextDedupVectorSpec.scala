@@ -812,7 +812,8 @@ class TextDedupVectorSpec extends SparkSpec {
     for (n <- Seq(500L, 2000L)) assert(Vectors.ivfCellCount(n) === 8, s"n=$n")
     // Scaling region and ceiling (the literal-pool bound the twins embed).
     assert(Vectors.ivfCellCount(20000L) === 80)
-    assert(Vectors.ivfCellCount(40000L) === 128)
+    assert(Vectors.ivfCellCount(40000L) === 160)
+    assert(Vectors.ivfCellCount(100000L) === 256)
     // Prefix stability: family k's first j centroids equal family j —
     // the property that keeps graded assignments unchanged and lets
     // the twin filter one shared pool.
