@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Currently injected: `minhash_sig` ([[graft.plans.MinHashSig]]),
   * `simhash_sig` ([[graft.plans.SimHashSig]]), `vec_dot`
   * ([[graft.plans.VecDot]]), `vec_sqdist` ([[graft.plans.VecSqDist]]),
+  * `ivf_argmin` ([[graft.plans.IvfArgmin]]),
   * `vec_eq_count` ([[graft.plans.VecEqCount]]), `rolling_hash`
   * ([[graft.plans.RollingHash]]), `md5_prefix64`
   * ([[graft.plans.Md5Prefix]]), and the explicit bloom semi-join
@@ -24,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     plans.SimHashSig.register(ext)
     plans.VecDot.register(ext)
     plans.VecSqDist.register(ext)
+    plans.IvfArgmin.register(ext)
     plans.VecEqCount.register(ext)
     plans.RollingHash.register(ext)
     plans.Md5Prefix.register(ext)

@@ -505,8 +505,11 @@ object Graph extends QueryModule {
     }),
 
     // [EXT r13] Community detection by synchronous label propagation
-    // (LPA, Raghavan et al. 2007) over the embedding within-cell kNN
-    // graph — unsupervised cluster DISCOVERY next to the assignment
+    // (LPA, Raghavan et al. 2007) over the embedding kNN graph built
+    // within refined IVF buckets (cell + hyperplane sign bits for
+    // dense cells, candidate pool capped — Vectors.refineBuckets /
+    // CellPoolCap, the r20 scale fix)
+    // — unsupervised cluster DISCOVERY next to the assignment
     // queries (q_ivf_assign assigns to FIXED centroids; LPA finds the
     // groups the neighbor structure itself implies), and the
     // community layer between connected components (q_dedup_groups:
@@ -708,7 +711,9 @@ object Graph extends QueryModule {
     */
   private[graft] def labelProp(s: org.apache.spark.sql.SparkSession, dir: String,
       strategy: CheckpointStrategy = CheckpointStrategy.Local,
-      rounds: Int = LpaRounds): DataFrame = {
+      rounds: Int = LpaRounds,
+      poolCap: Int = Vectors.CellPoolCap,
+      refine: Boolean = true): DataFrame = {
     import s.implicits._
     val pins = new Pins
     try {
@@ -721,14 +726,49 @@ object Graph extends QueryModule {
       // hold occupancy ≈ IvfTargetPerCell and the build is
       // O(n · target). Graded SFs sit at the clamp floor (k = 8), so
       // their results are bit-identical to the fixed-family history.
-      val a = pins(Vectors.ivfAssigned(
+      val assigned = pins(Vectors.ivfAssigned(
         Tables.embeddings(s, dir)
           .select($"vec_id", Vectors.asDouble($"embedding").as("v")),
         Vectors.ivfCellsFor(Tables.rowCount(s, dir, "embeddings"))))
+      // Dense cells REFINED by hyperplane sign bits
+      // (Vectors.refineBuckets): the r19 dense core keeps one nearest
+      // centroid however k scales, but a plane through it still
+      // splits it, so the kNN candidates stay GEOMETRIC neighbors
+      // (same cell AND same halfspace) instead of a uniform sample —
+      // measured r20: an md5-sample-only pool read 8/50 size-multiset
+      // report overlap vs capless at sf1.0; the refined pool restores
+      // the capless report (SCALING.md r20). Pinned separately from
+      // the assignment: refinement's occupancy aggregate and the main
+      // stream both read `assigned`, and the refined frame feeds both
+      // kNN join sides.
+      // (`refine = false` — CellPoolCount/specs only — keeps the
+      // whole cell as one bucket, the pre-refinement geometry.)
+      val a = pins(
+        if (refine) Vectors.refineBuckets(assigned)
+        else assigned.withColumn("bucket", $"cell".cast("long")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"vec_id").orderBy($"sim".desc, $"nb".asc)
-      val knn = a.select($"cell", $"vec_id", $"v")
-        .join(a.select($"cell", $"vec_id".as("nb"), $"v".as("nv")), Seq("cell"))
+      // Neighbor-CANDIDATE pool, capped (Vectors.CellPoolCap — the
+      // within-cell occupancy-cap contract): each vector picks its
+      // kNN from the first `poolCap` BUCKET members under the md5
+      // rank (deterministic, uniform, refresh-stable — the
+      // q_cluster_balance priority), so the edge build is
+      // O(n · poolCap) even when the one hyperplane-unsplittable core
+      // (near-identical vectors, same side of every plane) defeats
+      // the refinement — and for THAT core a uniform sample is
+      // lossless, the members being interchangeable neighbors. Every
+      // vector still RECEIVES a decision — only the candidate side
+      // shrinks, and pool size min(occ, cap) ≥ 2 in any ≥2-occupant
+      // bucket keeps every such node in the graph. row_number+filter
+      // plans as Partial+Final WindowGroupLimit (≤ poolCap rows per
+      // bucket per map task).
+      val pool = a
+        .withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+            .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)))
+        .filter($"prn" <= poolCap)
+      val knn = a.select($"bucket", $"vec_id", $"v")
+        .join(pool.select($"bucket", $"vec_id".as("nb"), $"v".as("nv")), Seq("bucket"))
         .filter($"vec_id" =!= $"nb")
         .select($"vec_id", $"nb",
           round(Vectors.cosine($"v", $"nv"), 4).as("sim"))
@@ -878,14 +918,26 @@ object Graph extends QueryModule {
          |FROM pr JOIN deg d1 ON d1.sk = pr.s1 JOIN deg d2 ON d2.sk = pr.s2
          |WHERE pr.support >= $MinSupport
          |ORDER BY jaccard DESC, pr.s1, pr.s2 LIMIT $LinkTopK""".stripMargin,
+    // The refinement + pool CTEs mirror labelProp exactly: same
+    // shared-literal planes and integer bit thresholds
+    // (Vectors.refineBucketsCte), same md5 rank per refined bucket,
+    // same CellPoolCap (DuckDB md5 = Spark md5 = lowercase hex, the
+    // q_cluster_balance-proven ordering) — the capped refined kNN
+    // graph is hash-verified end to end.
     "q_label_prop" ->
       s"""${Vectors.ivfAssignScaledCte},
+         |${Vectors.refineBucketsCte},
+         |pool AS (
+         |  SELECT vec_id, bucket, vv FROM ab
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |    <= ${Vectors.CellPoolCap}),
          |knn0 AS (
          |  SELECT x.vec_id, y.vec_id AS nb, ROUND(
          |    list_sum(list_transform(list_zip(x.vv, y.vv), p -> p[1] * p[2]))
          |    / (SQRT(list_sum(list_transform(x.vv, v -> v * v)))
          |       * SQRT(list_sum(list_transform(y.vv, v -> v * v)))), 4) AS sim
-         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |  FROM ab x JOIN pool y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
          |knn AS (
          |  SELECT vec_id, nb FROM (
          |    SELECT vec_id, nb,

@@ -134,6 +134,119 @@ object Vectors extends QueryModule {
   private[graft] val IvfTargetPerCell = 250L
   private[graft] val IvfMaxCells = 256
 
+  /** Within-cell comparison-POOL cap for the self-join consumers
+    * (q_semantic_dedup here, q_label_prop's kNN edge build in
+    * [[graft.functions.Graph]]) — the third instance of the
+    * occupancy-cap contract (JaccardBucketCap, SimTuningBucketCap:
+    * Dedup.scala). [[ivfCellCount]] holds EXPECTED occupancy at
+    * [[IvfTargetPerCell]], but a dense embedding region that
+    * data-independent random centroids cannot subdivide keeps one
+    * cell quadratic (measured r19 at sf2.0: max occupancy stalls
+    * ~2 300 from k=128 to k=160, q_label_prop 39.2 s — 3.2× for 2×
+    * data). The cap bounds the join's y-side to the first
+    * CellPoolCap members of each cell under a DETERMINISTIC rank —
+    * the survivor-priority order (simcent ASC, vec_id ASC) for
+    * semantic dedup, the md5 order (uniform, refresh-stable — the
+    * q_cluster_balance key) for the kNN pool — so pair work is
+    * O(n · CellPoolCap) by construction even in an unsplittable hot
+    * cell; deliberately the SAME number as the target occupancy, so
+    * a capped dense cell costs what a well-split cell costs. The
+    * documented recall trade: a vector whose only higher-priority
+    * near-dup sits beyond the pool is KEPT (dedup), and kNN edges
+    * form against a Cap-sized uniform sample of the cell (LPA);
+    * both twins cap with the identical rank, so the trade is
+    * oracle-PROVEN, not just argued (unlike the Dedup caps this one
+    * is ACTIVE at the graded SFs — sf0.1's floor-k cells reach
+    * occupancy 814 — hence the three-SF re-proof in r20's session).
+    * CellPoolSpec pins inertness below the cap and the exact capped
+    * rule above it.
+    */
+  private[graft] val CellPoolCap: Int = IvfTargetPerCell.toInt
+
+  /** Hyperplane REFINEMENT of dense cells — the structural half of
+    * the dense-core answer (the [[CellPoolCap]] scaladoc's story):
+    * a region that keeps ONE nearest centroid however many centroids
+    * the pool adds (the r19 finding — max occupancy stalls ~2 300 as
+    * k grows 80→160) is still SPLIT by a hyperplane through it, so
+    * any cell above target occupancy is subdivided by the sign bits
+    * of seeded shared-literal planes ([[hyperplanes]] — the
+    * q_ann_lsh machinery): bits = min(ceil(log2(occ/target)),
+    * [[RefineMaxBits]]), bucket = cell·2^maxBits + the code's first
+    * `bits` bits (an MSB shift, so bucket is a PREFIX refinement —
+    * bits=0 keeps the cell whole). Deterministic and oracle-shared:
+    * occupancy is an exact integer count, the bit thresholds are
+    * exact integer compares, and the twins recompute the same code
+    * from the same plane literals. The one core hyperplanes cannot
+    * split — near-DUPLICATE vectors, which sit on the same side of
+    * every plane — is exactly the core where a uniform candidate
+    * sample is lossless, so the md5 pool cap downstream stays the
+    * hard O(n · cap) bound while the refinement keeps the candidates
+    * GEOMETRIC neighbors (measured r20: the md5-only cap read 8/50
+    * size-multiset overlap vs capless at sf1.0; with refinement the
+    * candidate pool is same-cell AND same-halfspace — SCALING.md r20
+    * block for the fidelity and pair economics).
+    */
+  private[graft] val RefineMaxBits = 4
+  private[graft] val RefineSeed = 23L
+
+  /** `(…, bucket)` — the refined-bucket column over an assigned
+    * frame (requires `cell` and `v`). One |cells|-row occupancy
+    * aggregate broadcasts back; the 4-bit sign code is one
+    * [[lshBucket]] projection; the variable-width MSB shift is an
+    * exact power-of-two division (both engines integer-divide).
+    */
+  private[graft] def refineBuckets(a: DataFrame): DataFrame = {
+    val planes = hyperplanes(RefineMaxBits, 64, RefineSeed)
+    val occ = a.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .withColumn("rbits",
+        when(col("occ") <= IvfTargetPerCell, 0)
+          .when(col("occ") <= IvfTargetPerCell * 2, 1)
+          .when(col("occ") <= IvfTargetPerCell * 4, 2)
+          .when(col("occ") <= IvfTargetPerCell * 8, 3)
+          .otherwise(RefineMaxBits))
+    val divisors = array((0 to RefineMaxBits)
+      .map(b => lit(1L << (RefineMaxBits - b))): _*)
+    a.join(broadcast(occ.select(col("cell"), col("rbits"))), Seq("cell"))
+      .withColumn("bucket",
+        col("cell").cast("long") * (1L << RefineMaxBits) +
+          floor(lshBucket(col("v"), planes) /
+            element_at(divisors, col("rbits") + 1)).cast("long"))
+      .drop("rbits")
+  }
+
+  /** The refined-bucket CTE chain — the exact SQL mirror of
+    * [[refineBuckets]] over the scaled-assignment CTE's `a` (shared
+    * plane literals via [[planesSql]], same MSB-first fold as the
+    * q_ann_lsh twin, same integer thresholds/shift). Emits `ab` =
+    * (vec_id, vv, cell, bucket).
+    */
+  private[graft] lazy val refineBucketsCte: String =
+    s"""rp(pid, pv) AS (VALUES
+       |        ${planesSql(RefineSeed)}),
+       |rocc AS (SELECT cell, COUNT(*) AS occ FROM a GROUP BY cell),
+       |rb AS (SELECT cell, CASE
+       |         WHEN occ <= $IvfTargetPerCell THEN 0
+       |         WHEN occ <= ${IvfTargetPerCell * 2} THEN 1
+       |         WHEN occ <= ${IvfTargetPerCell * 4} THEN 2
+       |         WHEN occ <= ${IvfTargetPerCell * 8} THEN 3
+       |         ELSE $RefineMaxBits END AS rbits
+       |       FROM rocc),
+       |rcode AS (SELECT a.vec_id, CAST(SUM(CASE WHEN
+       |          list_sum(list_transform(list_zip(a.vv, rp.pv),
+       |            p -> p[1] * p[2])) >= 0
+       |          THEN (CAST(1 AS BIGINT) << (${RefineMaxBits - 1} - rp.pid))
+       |          ELSE 0 END) AS BIGINT) AS code
+       |        FROM a, rp WHERE rp.pid < $RefineMaxBits
+       |        GROUP BY a.vec_id),
+       |ab AS (SELECT a.vec_id, a.vv, a.cell,
+       |         a.cell * ${1L << RefineMaxBits} + (rcode.code // (CASE rb.rbits
+       |           WHEN 0 THEN ${1L << RefineMaxBits}
+       |           WHEN 1 THEN ${1L << (RefineMaxBits - 1)}
+       |           WHEN 2 THEN ${1L << (RefineMaxBits - 2)}
+       |           WHEN 3 THEN ${1L << (RefineMaxBits - 3)}
+       |           ELSE 1 END)) AS bucket
+       |       FROM a JOIN rcode USING (vec_id) JOIN rb USING (cell))""".stripMargin
+
   private[graft] def ivfCellCount(n: Long): Int =
     math.min(IvfMaxCells,
       math.max(IvfK, math.ceil(n.toDouble / IvfTargetPerCell).toInt))
@@ -179,12 +292,33 @@ object Vectors extends QueryModule {
       lit(0.0), (acc, x) => acc + x)
 
   /** `(…, cell)` — each vector assigned to its nearest centroid (the
-    * IVF coarse quantization). `dists` is projected to an attribute
-    * before argmin references it twice (per-element re-evaluation
-    * rule, see Dedup.shinglesFromTokens). First-occurrence argmin on
-    * ties, same as SQL list_position.
+    * IVF coarse quantization) via the codegen'd `ivf_argmin`
+    * expression ([[graft.plans.IvfArgmin]]): one fused k×dim loop per
+    * row with the centroid pool held as ONE reference object.
+    * First-occurrence argmin on exact distance ties, bit-identical to
+    * the `array(k × vec_sqdist)` + `array_min` + `array_position`
+    * formulation it replaced (retained below as [[ivfAssignedHof]]
+    * for the ExpressionSpec parity pin) and to the twins' `ORDER BY
+    * dist, cell`. The replacement is a SCALE fix, not a cleanup: with
+    * the corpus-scaled family k ∝ n, the array formulation inlined
+    * k·dim literals into the plan and built a k-element array per row
+    * — at sf2.0 (k=160, 10 240 plan literals) the assignment stage
+    * alone measured 31 s of q_label_prop's 38; ivf_argmin holds the
+    * same scan at the n·k·dim arithmetic floor (r20, SCALING.md).
     */
   private[graft] def ivfAssigned(emb: DataFrame,
+      cells: Array[Array[Double]] = ivfCells): DataFrame =
+    emb.withColumn("cell",
+      call_function(graft.plans.IvfArgmin.FunctionName, col("v"),
+        array(cells.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)))
+
+  /** The pre-expression formulation — retained as the reference
+    * implementation for the ExpressionSpec parity test. `dists` is
+    * projected to an attribute before argmin references it twice
+    * (per-element re-evaluation rule, see Dedup.shinglesFromTokens).
+    * First-occurrence argmin on ties, same as SQL list_position.
+    */
+  private[graft] def ivfAssignedHof(emb: DataFrame,
       cells: Array[Array[Double]] = ivfCells): DataFrame =
     emb
       .withColumn("dists", array(cells.toIndexedSeq.map(c => sqDist(col("v"), c)): _*))
@@ -268,6 +402,55 @@ object Vectors extends QueryModule {
         round(cosine(col("v"), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The q_semantic_dedup builder (SemDeDup — see the queries-map
+    * entry's scaladoc for the algorithm/determinism contract).
+    * `poolCap` bounds the drop decision's comparison side: within
+    * each cell, only the first `poolCap` members under the
+    * survivor-priority order (simcent ASC, vec_id ASC — the SAME
+    * order the drop condition already uses) can act as droppers, so
+    * pair work is O(n · poolCap) however dense a cell gets (the
+    * [[CellPoolCap]] contract; the parameter exists for
+    * CellPoolSpec's activation tests). The row_number+filter pair
+    * plans as Partial+Final WindowGroupLimit — each map task forwards
+    * at most poolCap rows per cell before the shuffle.
+    */
+  private[graft] def semanticDedup(s: SparkSession, dir: String,
+      poolCap: Int = CellPoolCap): DataFrame = {
+    import s.implicits._
+    // Corpus-SCALED cell family (see ivfCellCount): the drop
+    // decision is a within-cell SELF-join, so a fixed cell count is
+    // quadratic in corpus size; at the graded SFs the scaled family
+    // IS the historical k=8 (clamp floor), so results are
+    // bit-identical there.
+    val cells = ivfCellsFor(Tables.rowCount(s, dir, "embeddings"))
+    val cents2d = array(cells.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    graft.Pins.scoped { pins =>
+      val a = pins(ivfAssigned(Tables.embeddings(s, dir)
+          .select($"vec_id", asDouble($"embedding").as("v")), cells)
+        .withColumn("simcent",
+          round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4)))
+      val x = a.select($"vec_id", $"cell", $"v", $"simcent")
+      val wPool = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cell").orderBy($"simcent".asc, $"vec_id".asc)
+      val y = a.withColumn("prn", row_number().over(wPool))
+        .filter($"prn" <= poolCap)
+        .select($"vec_id".as("y_id"), $"cell".as("y_cell"),
+          $"v".as("y_v"), $"simcent".as("y_sc"))
+      val dropped = x.join(y,
+          $"cell" === $"y_cell" && $"vec_id" =!= $"y_id" &&
+            ($"y_sc" < $"simcent" ||
+              ($"y_sc" === $"simcent" && $"y_id" < $"vec_id")))
+        .filter(round(cosine($"v", $"y_v"), 4) >= SemDedupTau)
+        .select($"vec_id").distinct()
+        .withColumn("is_dropped", lit(1))
+      a.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"simcent",
+          when($"is_dropped".isNull, 1).otherwise(0).as("keep"))
+        .orderBy($"vec_id")
+    }
   }
 
   override def queries: Map[String, Query] = Map(
@@ -427,9 +610,11 @@ object Vectors extends QueryModule {
     // vec_id breaking exact ties. Non-iterative by construction (the
     // paper's rule, not connected components — q_dedup_groups owns
     // that shape), so one within-cell self-join decides every row.
-    // Scale: pair work is bounded by cell occupancy, and a production
-    // run scales k with corpus size exactly like the IVF path — cells
-    // become partition keys, never all-pairs. Fixed centroids keep the
+    // Scale: pair work is bounded by cell occupancy × [[CellPoolCap]]
+    // (the dropper side is pool-capped — see [[semanticDedup]]), and a
+    // production run scales k with corpus size exactly like the IVF
+    // path — cells become partition keys, never all-pairs. Fixed
+    // centroids keep the
     // whole cascade deterministic, so unlike embedding-LSH this
     // near-dup path is oracle-checked end to end (assignment,
     // priority, drop set). Both the pair similarity and the centroid
@@ -437,37 +622,7 @@ object Vectors extends QueryModule {
     // compare — the rounded-threshold contract every float-comparing
     // query here uses (a last-ulp fold difference must not flip a keep
     // decision across engines).
-    "q_semantic_dedup" -> ((s, dir) => {
-      import s.implicits._
-      // Corpus-SCALED cell family (see ivfCellCount): the drop
-      // decision is a within-cell SELF-join, so a fixed cell count is
-      // quadratic in corpus size; at the graded SFs the scaled family
-      // IS the historical k=8 (clamp floor), so results are
-      // bit-identical there.
-      val cells = ivfCellsFor(Tables.rowCount(s, dir, "embeddings"))
-      val cents2d = array(cells.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)
-      graft.Pins.scoped { pins =>
-        val a = pins(ivfAssigned(Tables.embeddings(s, dir)
-            .select($"vec_id", asDouble($"embedding").as("v")), cells)
-          .withColumn("simcent",
-            round(cosine($"v", element_at(cents2d, $"cell" + 1)), 4)))
-        val x = a.select($"vec_id", $"cell", $"v", $"simcent")
-        val y = a.select($"vec_id".as("y_id"), $"cell".as("y_cell"),
-          $"v".as("y_v"), $"simcent".as("y_sc"))
-        val dropped = x.join(y,
-            $"cell" === $"y_cell" && $"vec_id" =!= $"y_id" &&
-              ($"y_sc" < $"simcent" ||
-                ($"y_sc" === $"simcent" && $"y_id" < $"vec_id")))
-          .filter(round(cosine($"v", $"y_v"), 4) >= SemDedupTau)
-          .select($"vec_id").distinct()
-          .withColumn("is_dropped", lit(1))
-        a.join(dropped, Seq("vec_id"), "left")
-          .select($"vec_id", $"cell", $"simcent",
-            when($"is_dropped".isNull, 1).otherwise(0).as("keep"))
-          .orderBy($"vec_id")
-      }
-    }),
+    "q_semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
 
     // [EXT] cluster-balanced selection — the diversity-balancing cap
     // (the embedding-space twin of q_domain_cap): at most ClusterCap
@@ -696,6 +851,10 @@ object Vectors extends QueryModule {
        |        ORDER BY dist, cell) = 1)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // The pool CTE mirrors semanticDedup's dropper-side cap exactly:
+    // same rank (simcent ASC, vec_id ASC per cell), same CellPoolCap,
+    // so the recall trade is hash-PROVEN at every graded SF (the cap
+    // is ACTIVE there — floor-k cells exceed 250 occupants at sf0.1).
     "q_semantic_dedup" ->
       s"""$ivfAssignScaledCte,
          |sc AS (
@@ -704,9 +863,13 @@ object Vectors extends QueryModule {
          |    / (SQRT(list_sum(list_transform(a.vv, x -> x * x)))
          |       * SQRT(list_sum(list_transform(cents.c, x -> x * x)))), 4) AS simcent
          |  FROM a JOIN cents USING (cell)),
+         |pool AS (
+         |  SELECT vec_id, cell, vv, simcent FROM sc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY simcent, vec_id) <= $CellPoolCap),
          |dropped AS (
          |  SELECT DISTINCT x.vec_id
-         |  FROM sc x JOIN sc y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  FROM sc x JOIN pool y ON x.cell = y.cell AND x.vec_id <> y.vec_id
          |    AND (y.simcent < x.simcent
          |         OR (y.simcent = x.simcent AND y.vec_id < x.vec_id))
          |  WHERE ROUND(

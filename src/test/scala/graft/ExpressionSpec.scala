@@ -355,4 +355,58 @@ class ExpressionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("HashAggregate"), plan)
   }
+
+  test("ivf_argmin is bit-identical to the array/array_min/array_position formulation, fixed AND scaled-size families") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.Vectors.asDouble($"embedding").as("v"))
+    // The floor family (k=8, every graded SF) and a scaled-size
+    // family (k=160 — sf2.0's) from the same seeded prefix stream.
+    for (k <- Seq(8, 160)) {
+      val cells = graft.functions.Vectors.ivfCentroids(k, 64, 11L)
+      val rows = graft.functions.Vectors.ivfAssigned(emb, cells)
+          .select($"vec_id", $"cell".as("c_expr"))
+        .join(graft.functions.Vectors.ivfAssignedHof(emb, cells)
+          .select($"vec_id", $"cell".as("c_hof")), "vec_id")
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getInt(1) === r.getInt(2)),
+        s"argmin assignment must match the reference formulation at k=$k")
+    }
+    // Exact distance tie between cells 0 and 1 → FIRST index wins
+    // (the array_position / ORDER BY dist, cell contract).
+    val tiePool = array(
+      array(lit(0.5), lit(0.5)), array(lit(0.5), lit(0.5)),
+      array(lit(9.0), lit(9.0)))
+    val edge = Seq(
+      (1L, Some(Seq(0.5, 0.5))),        // tie → cell 0
+      (2L, None: Option[Seq[Double]]),  // null vector → null
+      (3L, Some(Seq(0.5, 0.5, 0.5))))   // dim mismatch vs pool → null
+      .toDF("id", "v")
+      .select($"id", call_function("ivf_argmin", $"v", tiePool).as("cell"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(edge(1L) === 0)
+    assert(edge(2L) === null)
+    assert(edge(3L) === null)
+    // Interpreted eval (no-codegen path) agrees with codegen.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val cells = graft.functions.Vectors.ivfCentroids(8, 64, 11L)
+      val rows = graft.functions.Vectors.ivfAssigned(emb, cells)
+          .select($"vec_id", $"cell".as("c_interp"))
+        .join(graft.functions.Vectors.ivfAssignedHof(emb, cells)
+          .select($"vec_id", $"cell".as("c_hof")), "vec_id")
+        .collect()
+      assert(rows.nonEmpty && rows.forall(r => r.getInt(1) === r.getInt(2)))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // A non-foldable centroid pool is rejected at analysis.
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(call_function("ivf_argmin", $"v", array(array($"vec_id".cast("double"))))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
 }

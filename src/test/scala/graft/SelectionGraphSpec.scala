@@ -38,17 +38,27 @@ class SelectionGraphSpec extends SparkSpec {
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // The contract is the CAPPED rule (Vectors.CellPoolCap): only the
+    // first-cap pool under the priority order can drop. At this SF the
+    // pool is the whole cell (CellPoolSpec asserts occupancy ≤ cap),
+    // so the checks reduce to the uncapped SemDeDup guarantee.
     val byCell = out.groupBy(_._2)
     byCell.values.foreach { members =>
+      val pool = members.sortBy(m => (m._3, m._1))
+        .take(Vectors.CellPoolCap).map(_._1).toSet
       val kept = members.filter(_._4 == 1)
-      for (x <- kept; y <- kept if x._1 < y._1)
-        assert(r4(cos(vecs(x._1), vecs(y._1))) < Vectors.SemDedupTau,
-          s"kept pair ${x._1},${y._1} violates τ-separation")
+      for (x <- kept; y <- kept if x._1 < y._1) {
+        val hi = if (y._3 < x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+        if (pool contains hi._1)
+          assert(r4(cos(vecs(x._1), vecs(y._1))) < Vectors.SemDedupTau,
+            s"kept pair ${x._1},${y._1} violates τ-separation (in-pool dropper)")
+      }
       for (d <- members.filter(_._4 == 0)) {
         val witness = members.exists(y => y._1 != d._1 &&
+          (pool contains y._1) &&
           (y._3 < d._3 || (y._3 == d._3 && y._1 < d._1)) &&
           r4(cos(vecs(d._1), vecs(y._1))) >= Vectors.SemDedupTau)
-        assert(witness, s"dropped ${d._1} has no higher-priority witness")
+        assert(witness, s"dropped ${d._1} has no higher-priority in-pool witness")
       }
     }
   }
