@@ -55,6 +55,31 @@ object CellPoolCount {
         .collect().head
       println(s"[pool] $d semdedup keep agreement ${agree.getLong(1)}/${agree.getLong(0)}")
       Storage.releaseAll(s)
+      // Single-probe recall@10 of the SCALED cell family (the r19
+      // verdict's unmeasured number): exact brute-force top-10 vs the
+      // probe's-own-cell top-10 per query, the q_ann_recall
+      // methodology over the scaled assignment (the committed
+      // q_ann_recall key grades the FIXED k=8 family).
+      locally {
+        val ass = functions.Vectors.ivfAssigned(
+          Tables.embeddings(s, d).select($"vec_id", functions.Vectors.asDouble($"embedding").as("v")),
+          cells).persist()
+        val probes = broadcast(ass.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("qcell")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id".asc)
+        def topK(cand: org.apache.spark.sql.DataFrame) = cand
+          .select($"q_id", $"vec_id",
+            round(functions.Vectors.cosine($"v", $"qv"), 4).as("sim"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+          .select($"q_id", $"vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = topK(ass.join(probes, $"vec_id" =!= $"q_id"))
+        val approx = topK(ass.join(probes,
+          $"cell" === $"qcell" && $"vec_id" =!= $"q_id"))
+        println(s"[pool] $d scaled-ivf recall@10 ${(exact intersect approx).size}/${exact.size}")
+        ass.unpersist()
+      }
       // kNN EDGE recall — the mechanistic number under the report
       // overlap: what fraction of the original (full-cell, uncapped)
       // top-[[functions.Graph.LpaKnn]] edges the refined+capped
