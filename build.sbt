@@ -32,3 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Freshness marker for tools/jrun.sh: touched on EVERY `sbt compile`
+// invocation (no-ops included — class/zinc mtimes only move on real
+// recompiles, so a touched-but-unchanged build.sbt would trip a
+// class-mtime guard forever). jrun fails when any source or build
+// file is newer than this marker, i.e. exactly when a change exists
+// that the last `sbt compile` has not seen.
+Compile / compile := {
+  val out = (Compile / compile).value
+  sbt.IO.touch(target.value / "last-sbt-compile")
+  out
+}

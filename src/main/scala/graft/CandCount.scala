@@ -25,6 +25,16 @@ object CandCount {
       val capped = functions.Dedup.exactJaccardCandidates(docs).count()
       println(s"[cand] $d raw=$raw capped_verified=$capped")
       Storage.releaseAll(s)
+      // SimHash-tuning first-band-capped recall loss (the r19
+      // advisor's measurability ask — the number that RETIRED the
+      // first-matching-band rule): pairs the r19 predicate dropped
+      // because their first raw matching band sat in a capped bucket
+      // while a later band survived = cappedDistinct − firstMatch.
+      // The shipped stage now pays for cappedDistinct.
+      val (firstMatch, cappedDistinct) = functions.Dedup.simTuningPairCounts(docs)
+      println(s"[cand] $d simtuning first_match=$firstMatch capped_distinct=$cappedDistinct " +
+        s"first_band_capped_loss=${cappedDistinct - firstMatch}")
+      Storage.releaseAll(s)
     }
     s.stop()
   }

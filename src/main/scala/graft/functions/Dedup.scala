@@ -876,16 +876,17 @@ object Dedup extends QueryModule {
     *     band self-join is quadratic-in-collisions on signature-
     *     concentrated corpora (2.9M pairs on 5k docs); capped work is
     *     O(corpus · cap · bands).
-    *   - '''first-matching-band dedup''': a pair colliding in k bands
-    *     would emit k rows; instead of a pair-level `distinct()`
-    *     (a multi-million-row shuffle here), each joined row keeps
-    *     only the band whose EARLIER raw band slices all differ — a
-    *     per-row integer predicate (both sigs are in the row), so the
-    *     pair stream needs no shuffle at all before the ≤13-row
-    *     aggregate. The predicate reads RAW slices: a pair whose first
-    *     matching band sits in a capped-away bucket is dropped even if
-    *     a later band survives — a deliberate recall trade of the same
-    *     class as the cap itself, mirrored exactly by the twin.
+    *   - '''distinct-pair dedup over the CAPPED stream''' (r20): a
+    *     pair colliding in k bands emits k rows; they dedup with one
+    *     small distinct over the cap-bounded stream
+    *     (O(corpus · cap · bands) rows — ~127k at sf1.0). The r19
+    *     first-matching-band predicate (kept as [[simTuningPairCounts]]
+    *     for the measurement) existed to avoid a pair shuffle on the
+    *     CAPLESS 2.9M-row stream, but under the cap its remaining
+    *     effect was a measured recall loss — 47% of capped distinct
+    *     pairs at sf1.0 dropped because their first raw matching band
+    *     sat in a capped bucket while a later band survived — for a
+    *     shuffle saving that no longer exists.
     *
     * The candidate join matches on the exact (band, bval) PAIR — not
     * the xxhash64 bucket q_simhash_neardup hashes to — so the twin's
@@ -894,35 +895,87 @@ object Dedup extends QueryModule {
     * 0..12 window that, unlike neardup's hamming≤3 verify, would keep
     * it).
     */
-  private[graft] def simhashTuning(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    def slice(c: Column, b: Int): Column =
-      shiftright(c, 12 * b).bitwiseAND(lit(4095L))
-    // Occupancy is a (band, bval)-partitioned window BEFORE the pin —
-    // it shares the self-join's shuffle key, and the pinned table is
-    // already hot-bucket-free (the cappedCandidatePairs shape).
-    val banded = pinned(docs
+  /** 12-bit band slice of a 48-bit simhash signature. */
+  private def simBandSlice(c: Column, b: Int): Column =
+    shiftright(c, 12 * b).bitwiseAND(lit(4095L))
+
+  /** The (doc_id, sig, band, bval) band table of the simhash-tuning
+    * chain, occupancy-capped at `cap` and PINNED (both self-join
+    * sides read it). Occupancy is a (band, bval)-partitioned window
+    * BEFORE the pin — it shares the self-join's shuffle key, and the
+    * pinned table is already hot-bucket-free (the
+    * cappedCandidatePairs shape). Factored out so the
+    * first-band-capped recall loss is MEASURABLE
+    * ([[simTuningPairCounts]], CandCount) instead of only documented.
+    */
+  private def simTuningBanded(docs: DataFrame, cap: Int): DataFrame =
+    pinned(docs
       .select(col("doc_id"), simhash48(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(b => slice(col("sig"), b)): _*))
+        posexplode(array((0 until 4).map(b => simBandSlice(col("sig"), b)): _*))
           .as(Seq("band", "bval")))
       .withColumn("_occ", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bval"))))
-      .filter(col("_occ") <= lit(SimTuningBucketCap))
+      .filter(col("_occ") <= lit(cap))
       .drop("_occ"))
-    val firstMatch = (0 until 3).map(j =>
-      col("band") <= lit(j) || slice(col("sig_a"), j) =!= slice(col("sig_b"), j))
-      .reduce(_ && _)
-    val hist = banded
-      .select(col("band"), col("bval"), col("doc_id").as("id_a"),
-        col("sig").as("sig_a"))
-      .join(banded.select(col("band"), col("bval"), col("doc_id").as("id_b"),
-        col("sig").as("sig_b")), Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b") && firstMatch)
-      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+
+  /** The first-matching-band predicate over a banded self-join row:
+    * keep the row only if every EARLIER raw band slice differs. */
+  private def simFirstMatch: Column = (0 until 3).map(j =>
+    col("band") <= lit(j) ||
+      simBandSlice(col("sig_a"), j) =!= simBandSlice(col("sig_b"), j))
+    .reduce(_ && _)
+
+  /** Banded self-join pairs (id_a < id_b) of a band table. */
+  private def simBandJoin(banded: DataFrame): DataFrame = banded
+    .select(col("band"), col("bval"), col("doc_id").as("id_a"),
+      col("sig").as("sig_a"))
+    .join(banded.select(col("band"), col("bval"), col("doc_id").as("id_b"),
+      col("sig").as("sig_b")), Seq("band", "bval"))
+    .filter(col("id_a") < col("id_b"))
+
+  /** Diagnostic (CandCount — the r19 advisor's measurability ask,
+    * and the measurement that RETIRED the first-matching-band rule):
+    * (firstMatch, cappedDistinct) candidate-pair counts of the
+    * simhash-tuning band stage at the shipped cap. Their DIFFERENCE
+    * is the pairs the r19 per-row predicate dropped because their
+    * first raw matching band sat in a capped bucket while a later
+    * band survived — measured at 47% of capped distinct pairs at
+    * sf1.0, which is why the shipped stage now dedups with a
+    * distinct over the cap-bounded stream instead (see
+    * [[simhashTuning]]).
+    */
+  private[graft] def simTuningPairCounts(docs: DataFrame): (Long, Long) = {
+    val banded = simTuningBanded(docs, SimTuningBucketCap)
+    val joined = simBandJoin(banded)
+    val shipped = joined.filter(simFirstMatch).count()
+    val cappedDistinct =
+      joined.select(col("id_a"), col("id_b")).distinct().count()
+    (shipped, cappedDistinct)
+  }
+
+  private[graft] def simhashTuning(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = simTuningBanded(docs, SimTuningBucketCap)
+    // Distinct-PAIR dedup over the capped stream (r20 — supersedes the
+    // first-matching-band predicate): the per-row predicate existed to
+    // avoid a pair-level shuffle on the CAPLESS 2.9M-row stream, but
+    // the occupancy cap already bounds the joined stream to
+    // O(corpus · cap · bands) (~127k rows at sf1.0), where the distinct
+    // is one small shuffle — and the predicate's recall loss was
+    // MEASURED at 47% of capped distinct pairs at sf1.0 (a pair whose
+    // first raw matching band sat in a capped bucket was dropped even
+    // when a later band survived; simTuningPairCounts/CandCount keeps
+    // the measurement). hamming is a function of the pair, so
+    // distinct on (id_a, id_b, hamming) is distinct pairs; the
+    // hamming filter runs BEFORE the distinct to shrink its input.
+    val hist = simBandJoin(banded)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= SimTuningMaxHamming)
+      .distinct()
       .groupBy(col("hamming")).agg(count(lit(1)).as("n_obs"))
     val grid = SimTuningGrid.toDF("bands", "band_bits", "hamming", "p_candidate")
     grid.join(broadcast(hist), Seq("hamming"), "left")
@@ -1596,14 +1649,12 @@ object Dedup extends QueryModule {
          |    COUNT(*) OVER (PARTITION BY band, bval) AS occ FROM bands)
          |  WHERE occ <= $SimTuningBucketCap),
          |cand AS (
-         |  SELECT CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
          |  FROM keep x JOIN keep y
          |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-         |  WHERE (x.band <= 0 OR (x.simhash & 4095) != (y.simhash & 4095))
-         |    AND (x.band <= 1 OR ((x.simhash >> 12) & 4095) != ((y.simhash >> 12) & 4095))
-         |    AND (x.band <= 2 OR ((x.simhash >> 24) & 4095) != ((y.simhash >> 24) & 4095))),
-         |hist AS (SELECT hamming, COUNT(*) AS n_obs FROM cand
-         |         WHERE hamming <= $SimTuningMaxHamming GROUP BY hamming),
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimTuningMaxHamming),
+         |hist AS (SELECT hamming, COUNT(*) AS n_obs FROM cand GROUP BY hamming),
          |grid(bands, band_bits, hamming, p_candidate) AS (VALUES
          |  ${SimTuningGrid.map { case (b, w, h, p) =>
                s"($b, $w, $h, CAST($p AS DOUBLE))"

@@ -455,11 +455,11 @@ object Text extends QueryModule {
     // tiebreak), so Σ alloc = budget EXACTLY whenever any excess
     // exists. Same dictionary-coded scale shape as q_bpe_fairness
     // (corpus touched twice), then every windowed stage runs over the
-    // |langs|-row aggregate. Zero-total-excess degenerates to an
-    // all-zero proportional share with the first `budget` langs taking
-    // the remainder units — deterministic on both engines, unreachable
-    // on real text (BPE under-merges SOMETHING), and the greatest(nn,1)
-    // guard only exists for it.
+    // |langs|-row aggregate. Zero-total-excess degenerates to the
+    // all-zero share (the nn > 0 gate on the remainder top-up: with no
+    // signal anywhere, no language earns a unit) — deterministic on
+    // both engines, unreachable on real text (BPE under-merges
+    // SOMETHING); the greatest(nn,1) guard only exists for it.
     "q_vocab_budget" -> ((s, dir) => {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
@@ -482,7 +482,7 @@ object Text extends QueryModule {
         .withColumn("used", sum($"base").over(W.partitionBy()))
         .withColumn("rk", row_number().over(W.orderBy($"rem".desc, $"lang".asc)))
         .select($"lang", $"n_words", $"n_symbols", $"excess",
-          ($"base" + when($"rk" <= lit(VocabBudget.toLong) - $"used", 1L)
+          ($"base" + when($"nn" > 0 && $"rk" <= lit(VocabBudget.toLong) - $"used", 1L)
             .otherwise(0L)).as("alloc"))
         .orderBy($"lang")
     }),
@@ -1202,17 +1202,17 @@ object Text extends QueryModule {
          |          n_symbols - n_words AS excess FROM agg),
          |tot AS (SELECT CAST(SUM(excess) AS BIGINT) AS nn FROM exc),
          |based AS (
-         |  SELECT lang, n_words, n_symbols, excess,
+         |  SELECT lang, n_words, n_symbols, excess, nn,
          |    ($VocabBudget * excess) // GREATEST(nn, 1) AS base,
          |    ($VocabBudget * excess) % GREATEST(nn, 1) AS rem
          |  FROM exc CROSS JOIN tot),
          |spent AS (SELECT CAST(SUM(base) AS BIGINT) AS used FROM based),
          |ranked AS (
-         |  SELECT lang, n_words, n_symbols, excess, base,
+         |  SELECT lang, n_words, n_symbols, excess, nn, base,
          |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
          |  FROM based)
          |SELECT lang, n_words, n_symbols, CAST(excess AS BIGINT) AS excess,
-         |  CAST(base + CASE WHEN rk <= $VocabBudget - used
+         |  CAST(base + CASE WHEN nn > 0 AND rk <= $VocabBudget - used
          |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
          |FROM ranked CROSS JOIN spent
          |ORDER BY lang""".stripMargin,

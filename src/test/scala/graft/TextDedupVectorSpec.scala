@@ -786,8 +786,10 @@ class TextDedupVectorSpec extends SparkSpec {
     }
     // Histogram replays from first principles: collected 48-bit
     // signatures, 4x12 band collisions under the occupancy cap, each
-    // pair counted once at its FIRST matching raw band (the band-dedup
-    // predicate), hamming <= 12.
+    // DISTINCT pair counted once if ANY surviving band matches (the
+    // r20 distinct-pair rule — the first-matching-band predicate was
+    // retired after its capped-bucket recall loss measured 47% at
+    // sf1.0; see Dedup.simhashTuning), hamming <= 12.
     val sigs = run("q_dedup_simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     def bv(s: Long, k: Int): Long = (s >> (12 * k)) & 4095L
@@ -796,8 +798,7 @@ class TextDedupVectorSpec extends SparkSpec {
     val keep = (b: Int, v: Long) => occ((b, v)) <= Dedup.SimTuningBucketCap
     val expectHist = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
-      k <- (0 until 4).find(k => bv(sa, k) == bv(sb, k)).toSeq
-      if keep(k, bv(sa, k))
+      if (0 until 4).exists(k => bv(sa, k) == bv(sb, k) && keep(k, bv(sa, k)))
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 12
     } yield h).groupBy(identity).map { case (h, hs) => h -> hs.length.toLong }
     val gotHist = rows.filter(_._1 == 4).map(r => r._3 -> r._5)

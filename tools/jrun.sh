@@ -7,13 +7,25 @@
 set -euo pipefail
 CLASSES=/root/repo/target/scala-2.13/classes
 # Guard against silently benchmarking stale code: the script runs
-# whatever sbt last compiled, so fail if the classes dir is missing or
-# older than the newest main source.
+# whatever sbt last compiled, so fail if any source or build-definition
+# file is newer than the last `sbt compile` INVOCATION (the
+# build.sbt-touched marker — it moves on no-op compiles too, unlike
+# class/zinc mtimes, so deletes/renames and scalac-option changes are
+# caught and a touched-but-unchanged file cannot trip the guard
+# forever). Falls back to the newest-.class compare on a checkout that
+# predates the marker.
 [ -d "$CLASSES" ] || { echo "jrun: $CLASSES missing — run sbt compile" >&2; exit 1; }
-SRC_T=$(find /root/repo/src/main -type f -printf '%T@\n' | sort -rn | head -1)
-CLS_T=$(find "$CLASSES" -name '*.class' -printf '%T@\n' | sort -rn | head -1)
+SRC_T=$(find /root/repo/src/main /root/repo/build.sbt /root/repo/project \
+  -maxdepth 3 -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' \) \
+  -printf '%T@\n' | sort -rn | head -1)
+MARKER=/root/repo/target/last-sbt-compile
+if [ -f "$MARKER" ]; then
+  CLS_T=$(stat -c '%.Y' "$MARKER")
+else
+  CLS_T=$(find "$CLASSES" -name '*.class' -printf '%T@\n' | sort -rn | head -1)
+fi
 if [ -z "$CLS_T" ] || awk -v s="$SRC_T" -v c="$CLS_T" 'BEGIN{exit !(s>c)}'; then
-  echo "jrun: compiled classes are older than src/main — run sbt compile" >&2
+  echo "jrun: sources or build definition changed after the last sbt compile — run sbt compile" >&2
   exit 1
 fi
 CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':' | sed 's/:$//')"
