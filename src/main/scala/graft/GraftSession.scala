@@ -56,10 +56,45 @@ object GraftSession {
     s
   }
 
-  /** Run one throwaway job so codegen/scheduler/shuffle start-up cost
+  /** Run throwaway jobs so codegen/scheduler/shuffle start-up cost
     * doesn't bill to the first measured query.
+    *
+    * Beyond the original range+sum smoke, this warms the ITERATIVE-
+    * CHAIN path with data-free miniatures of the two fixed-round
+    * solvers (r20 adjudication 1 / r20 verdict item 2): a fresh JVM's
+    * first multi-job chain pays ~9–13 s of whole-session JIT +
+    * analyzer/optimizer work on top of its settled cost (measured
+    * r21: q_pagerank run-1 13.9 s vs settled 4.9; q_kcore 16.1 vs
+    * 6.8), and that floor is a property of the SESSION, not the data
+    * — a 3-node pagerank and a 10-node k-core run the identical rule
+    * pipeline, codegen classes, Pins/Generations lifecycle,
+    * localCheckpoint machinery and AQE-off bracket, so they pay the
+    * floor here, outside every timed window (the Layouts.prime
+    * trick applied to JIT instead of layout I/O). Results are
+    * discarded and all storage is drained — nothing here touches or
+    * precomputes any benchmark input.
     */
-  def warm(s: SparkSession): Unit =
+  def warm(s: SparkSession): Unit = {
     s.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    import s.implicits._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Miniature PageRank: a 3-cycle — exercises the head() size probe,
+    // the per-round broadcast join + map-combined aggregate, the
+    // dangling branch selection and the eager final truncation.
+    val pins = new Pins
+    noop(functions.Graph.pagerank(
+      Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst"),
+      pins = pins))
+    // Miniature k-core: K10 (every degree 9 ≥ KcoreK) — exercises the
+    // composed 6-round semi-join+aggregate chain, Generations
+    // staging/advance, the assert_true report and its truncation.
+    val k10 = for { a <- 1 to 10; b <- 1 to 10 if a < b }
+      yield (s"n$a", s"n$b")
+    noop(functions.Graph.kcoreFrom(s, k10.toDF("s1", "s2")))
+    // Drop the miniatures' checkpoint blocks: warm must leave the
+    // session's storage exactly as it found it.
+    Storage.releaseAll(s)
+  }
 }

@@ -26,8 +26,11 @@ object SweepProbe {
     val cpus = GraftSession.cpusFromEnv
     println(s"[probe] config: local[$cpus], shuffle.partitions=$cpus")
     val spark = GraftSession.local(cpus)
-    GraftSession.warm(spark)
+    // prime-then-warm, matching Bench (r21): the warm miniatures run
+    // last so a fresh probe reading isn't re-inflated by prime's
+    // layout build.
     sources.Layouts.prime(spark, sfDir)
+    GraftSession.warm(spark)
     def run(name: String): Double = {
       System.gc()
       val t0 = System.nanoTime()

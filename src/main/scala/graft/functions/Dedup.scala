@@ -908,7 +908,7 @@ object Dedup extends QueryModule {
     * first-band-capped recall loss is MEASURABLE
     * ([[simTuningPairCounts]], CandCount) instead of only documented.
     */
-  private def simTuningBanded(docs: DataFrame, cap: Int): DataFrame =
+  private[graft] def simTuningBanded(docs: DataFrame, cap: Int): DataFrame =
     pinned(docs
       .select(col("doc_id"), simhash48(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"),
@@ -922,13 +922,13 @@ object Dedup extends QueryModule {
 
   /** The first-matching-band predicate over a banded self-join row:
     * keep the row only if every EARLIER raw band slice differs. */
-  private def simFirstMatch: Column = (0 until 3).map(j =>
+  private[graft] def simFirstMatch: Column = (0 until 3).map(j =>
     col("band") <= lit(j) ||
       simBandSlice(col("sig_a"), j) =!= simBandSlice(col("sig_b"), j))
     .reduce(_ && _)
 
   /** Banded self-join pairs (id_a < id_b) of a band table. */
-  private def simBandJoin(banded: DataFrame): DataFrame = banded
+  private[graft] def simBandJoin(banded: DataFrame): DataFrame = banded
     .select(col("band"), col("bval"), col("doc_id").as("id_a"),
       col("sig").as("sig_a"))
     .join(banded.select(col("band"), col("bval"), col("doc_id").as("id_b"),
@@ -948,11 +948,22 @@ object Dedup extends QueryModule {
     */
   private[graft] def simTuningPairCounts(docs: DataFrame): (Long, Long) = {
     val banded = simTuningBanded(docs, SimTuningBucketCap)
-    val joined = simBandJoin(banded)
-    val shipped = joined.filter(simFirstMatch).count()
-    val cappedDistinct =
-      joined.select(col("id_a"), col("id_b")).distinct().count()
-    (shipped, cappedDistinct)
+    // ONE aggregation pass over the banded self-join (r20 advisor):
+    // at most one join row per pair satisfies the first-matching-band
+    // predicate (a pair has exactly one first raw matching band, and
+    // only the row AT that band passes), so summing the per-pair max
+    // of the predicate equals the former `filter(simFirstMatch).count`
+    // while the per-pair groupBy is itself the distinct-pair count —
+    // the self-join executes once instead of twice per call.
+    val row = simBandJoin(banded)
+      .select(col("id_a"), col("id_b"),
+        when(simFirstMatch, 1L).otherwise(0L).as("fm"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("fm")).as("fm"))
+      .agg(coalesce(sum(col("fm")), lit(0L)).as("shipped"),
+        count(lit(1)).as("capped_distinct"))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 
   private[graft] def simhashTuning(docs: DataFrame): DataFrame = {

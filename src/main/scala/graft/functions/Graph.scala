@@ -580,6 +580,42 @@ object Graph extends QueryModule {
       strategy: CheckpointStrategy = CheckpointStrategy.Local,
       roundsPerCheckpoint: Int = KcoreRoundsPerCheckpoint): DataFrame = {
     import s.implicits._
+    // NOT pinned (unlike q_degree_dist's edge list): the static
+    // ReuseExchange rule — which runs with AQE off too — already
+    // dedups the two union sides' pair-aggregate subtrees here;
+    // a pin was measured at identical quad runtime (3.8–5.0 s vs
+    // 3.5–4.8 s) and rejected as a pure cache-write cost.
+    kcoreFrom(s,
+      copurchasePairs(s, dir)
+        .filter($"support" >= MinSupport)
+        .select($"s1", $"s2"),
+      strategy, roundsPerCheckpoint)
+  }
+
+  /** The peel loop over an ORIENTED (s1 < s2) thresholded edge list —
+    * split from [[kcore]] (which builds the co-purchase edges and
+    * delegates here unchanged) so a tiny same-shape edge table can
+    * warm the analyzer/codegen/JIT path of the iterative chain
+    * OUTSIDE any timed window ([[graft.GraftSession.warm]] — the
+    * fresh-context floor of r20 adjudication 1: a fresh JVM pays
+    * ~9–13 s of whole-session JIT + multi-job-chain analysis on this
+    * query's run 1, which a 10-node miniature pays identically at
+    * zero data cost).
+    *
+    * `thresholded` is BY-NAME so it is built (and copurchasePairs'
+    * ambient basket pin registered) INSIDE the Aqe.off bracket, as it
+    * was before the split: a persist registered with AQE on captures
+    * an AdaptiveSparkPlan inside the InMemoryRelation, whose output
+    * partitioning is opaque to the outer sort-merge joins — the
+    * by-value spelling was MEASURED to add one Exchange+Sort per
+    * cached-basket consumer in the composed peel plan (plans/r21
+    * diff: 1025 → 2038 Exchange nodes printed).
+    */
+  private[graft] def kcoreFrom(s: org.apache.spark.sql.SparkSession,
+      thresholded: => DataFrame,
+      strategy: CheckpointStrategy = CheckpointStrategy.Local,
+      roundsPerCheckpoint: Int = KcoreRoundsPerCheckpoint): DataFrame = {
+    import s.implicits._
     // AQE off for the peel loop's own actions (the generation
     // truncations AND the eager report truncation run INSIDE this
     // builder): the loop is fixed-round semi-join+aggregate over a
@@ -595,18 +631,39 @@ object Graph extends QueryModule {
     graft.Aqe.off(s) {
     val pins = new Pins
     val gen = new Generations(strategy)
+    // The truncated edge table (strategy path below) — released in the
+    // finally alongside the pins: its blocks must outlive every round
+    // AND the report, so it cannot ride the Generations lifecycle
+    // (advance releases the superseded generation, and a truncated
+    // LogicalRDD cannot recompute after unpersist).
+    var edgesTrunc: Option[DataFrame] = None
     try {
-      // NOT pinned (unlike q_degree_dist's edge list): the static
-      // ReuseExchange rule — which runs with AQE off too — already
-      // dedups the two union sides' pair-aggregate subtrees here;
-      // a pin was measured at identical quad runtime (3.8–5.0 s vs
-      // 3.5–4.8 s) and rejected as a pure cache-write cost.
-      val thresholded = copurchasePairs(s, dir)
-        .filter($"support" >= MinSupport)
-        .select($"s1", $"s2")
-      val edges = pins(thresholded
+      // Bind the by-name frame ONCE, here inside the bracket — each
+      // reference would otherwise rebuild it (and re-register its
+      // ambient basket pin) per union side.
+      val t = thresholded
+      val edgesRaw = t
         .select($"s1".as("src"), $"s2".as("dst"))
-        .union(thresholded.select($"s2".as("src"), $"s1".as("dst"))))
+        .union(t.select($"s2".as("src"), $"s1".as("dst")))
+      // The edge table is lineage-TRUNCATED, not just pinned (r21): a
+      // persist keeps the full basket→pair logical subtree in the
+      // plan, and the composed peel references edges 13× (6 rounds +
+      // the report's two semi-joins + the degree counts), so every
+      // action re-analyzed a ~30k-line tree — measured as the
+      // dominant share of the query's in-sweep COLD (analysis +
+      // codegen of the chain, 10.1–10.4 s under mild drag vs a
+      // 6.3–7.9 s quiet floor, r21 sweeps). Truncation collapses each
+      // reference to a LogicalRDD leaf; same rows, same work, one
+      // extra eager job (8 ≤ the 9-job budget, JobBudgetSpec). Under
+      // Noop (plan inspection) the pin is kept instead — PlanSpec
+      // reads the lazy pre-truncation tree.
+      val edges = strategy match {
+        case CheckpointStrategy.Noop => pins(edgesRaw)
+        case _ =>
+          val e = strategy.truncate(edgesRaw)
+          edgesTrunc = Some(e)
+          e
+      }
       // Generation lifecycle: stage truncates the new round, advance
       // releases the superseded one (the shared Generations
       // discipline). At the default single-barrier composition the
@@ -676,7 +733,10 @@ object Graph extends QueryModule {
       // action is a trivial LogicalRDD scan instead of a 2-semi-join
       // tail re-planned under AQE with an unpinned edge table.
       strategy.truncate(report)
-    } finally { gen.releaseAll(); pins.releaseAll() }
+    } finally {
+      gen.releaseAll(); pins.releaseAll()
+      edgesTrunc.foreach(strategy.release)
+    }
     }
   }
 
@@ -756,10 +816,15 @@ object Graph extends QueryModule {
       // O(n · poolCap) even when the one hyperplane-unsplittable core
       // (near-identical vectors, same side of every plane) defeats
       // the refinement — and for THAT core a uniform sample is
-      // lossless, the members being interchangeable neighbors. Every
-      // vector still RECEIVES a decision — only the candidate side
-      // shrinks, and pool size min(occ, cap) ≥ 2 in any ≥2-occupant
-      // bucket keeps every such node in the graph. row_number+filter
+      // lossless, the members being interchangeable neighbors. The
+      // keeps-every-node guarantee is per refined BUCKET: in any
+      // ≥2-occupant bucket the pool size min(occ, cap) ≥ 2 keeps
+      // every member in the graph (only the candidate side shrinks),
+      // but hyperplane refinement of a dense cell CAN isolate a
+      // vector in a singleton bucket, and that vector then gets no
+      // kNN edges and sits out LPA — part of the documented recall
+      // trade (SCALING.md r20), mirrored identically in the DuckDB
+      // twin so oracle parity holds. row_number+filter
       // plans as Partial+Final WindowGroupLimit (≤ poolCap rows per
       // bucket per map task).
       val pool = a

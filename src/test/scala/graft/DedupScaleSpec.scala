@@ -332,4 +332,25 @@ class DedupScaleSpec extends SparkSpec {
     info(s"n=$n planes=${planes.length} maxOcc=$occ avg=$avg")
     assert(occ <= math.max(8 * avg, 64.0), s"max occupancy $occ vs avg $avg")
   }
+
+  test("simTuningPairCounts one-pass aggregation ≡ the two-action formulation (r21)") {
+    // The diagnostic used to run two actions over the pinned banded
+    // self-join (filter(firstMatch).count + distinct.count); the
+    // one-pass rewrite groups per pair and sums the per-pair max of
+    // the predicate. Equivalence rests on "≤1 join row per pair
+    // satisfies firstMatch" — assert both numbers against the old
+    // formulation spelled out directly.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val (shipped, cappedDistinct) = Dedup.simTuningPairCounts(docs)
+    val banded = Dedup.simTuningBanded(docs, Dedup.SimTuningBucketCap)
+    val joined = Dedup.simBandJoin(banded)
+    val oldShipped = joined.filter(Dedup.simFirstMatch).count()
+    val oldDistinct =
+      joined.select($"id_a", $"id_b").distinct().count()
+    Storage.releaseAll(spark)
+    assert(shipped === oldShipped)
+    assert(cappedDistinct === oldDistinct)
+    assert(shipped <= cappedDistinct)
+  }
 }

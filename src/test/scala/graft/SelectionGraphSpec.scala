@@ -419,4 +419,23 @@ class SelectionGraphSpec extends SparkSpec {
         s"only-fixpoint=${expect.keySet -- got.keySet}")
     got.values.foreach(d => assert(d >= functions.Graph.KcoreK))
   }
+
+  test("kcoreFrom: the warm-path miniature (K10) peels to the full 9-core") {
+    // GraftSession.warm runs kcoreFrom over exactly this complete
+    // graph to pay the fresh-JVM analysis/JIT floor outside the timed
+    // window (r21). Pin here that the miniature is a NON-degenerate
+    // pass through the whole chain: every node survives (degree
+    // 9 ≥ KcoreK = 8), the assert_true report fires no error, and the
+    // result is the full core — so the warm run exercises the same
+    // report path a real invocation does, rows included.
+    import spark.implicits._
+    val k10 = (for { a <- 1 to 10; b <- 1 to 10 if a < b }
+      yield (s"n$a", s"n$b")).toDF("s1", "s2")
+    val got = functions.Graph.kcoreFrom(spark, k10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Storage.releaseAll(spark)
+    assert(got.keySet === (1 to 10).map(i => s"n$i").toSet)
+    assert(got.values.forall(_ === 9L),
+      s"K10 core degrees must all be 9, got $got")
+  }
 }

@@ -285,4 +285,17 @@ class StorageLifecycleSpec extends SparkSpec {
       s"q_pagerank must release its pins at materialization; $left entries resident")
     Storage.releaseAll(spark)
   }
+
+  test("GraftSession.warm leaves the session's storage empty (r21 iterative-chain miniatures)") {
+    // warm now runs data-free pagerank/kcore miniatures to pay the
+    // fresh-JVM JIT/analysis floor outside every timed window; the
+    // miniatures checkpoint tiny results and pin tiny tables, and the
+    // closing Storage.releaseAll must drop every one — a warm that
+    // leaked storage would bias the first measured query of every
+    // Bench/QBench session.
+    Storage.releaseAll(spark)
+    GraftSession.warm(spark)
+    assert(Storage.residentRddCount(spark) === 0,
+      "warm must drain all of its miniature runs' storage")
+  }
 }

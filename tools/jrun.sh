@@ -15,9 +15,16 @@ CLASSES=/root/repo/target/scala-2.13/classes
 # forever). Falls back to the newest-.class compare on a checkout that
 # predates the marker.
 [ -d "$CLASSES" ] || { echo "jrun: $CLASSES missing — run sbt compile" >&2; exit 1; }
-SRC_T=$(find /root/repo/src/main /root/repo/build.sbt /root/repo/project \
-  -maxdepth 3 -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' \) \
-  -printf '%T@\n' | sort -rn | head -1)
+# No depth limit on src/main: the bulk of the sources live at depth 4
+# (src/main/scala/graft/functions/*.scala et al.), which a -maxdepth 3
+# scan silently missed — edits there then benchmarked stale classes.
+# Only the sbt metadata dir is depth-limited.
+SRC_T=$({ find /root/repo/src/main /root/repo/build.sbt \
+    -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' \) \
+    -printf '%T@\n';
+  find /root/repo/project -maxdepth 2 \
+    -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' \) \
+    -printf '%T@\n'; } | sort -rn | head -1)
 MARKER=/root/repo/target/last-sbt-compile
 if [ -f "$MARKER" ]; then
   CLS_T=$(stat -c '%.Y' "$MARKER")
